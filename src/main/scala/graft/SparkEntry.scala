@@ -1,13 +1,46 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * The query catalog is assembled from per-domain modules; every entry is a
+  * [[Q]] with a DuckDB oracle unless the op is genuinely non-SQL-expressible.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  /** All catalog modules, in SURVEY.md §2 inventory order. */
+  def catalog: Seq[Q] =
+    relational.RelationalQueries.all ++
+      scalar.ScalarFunctionQueries.all ++
+      ingest.IngestQueries.all ++
+      dedup.DedupQueries.all ++
+      similarity.SimilarityQueries.all ++
+      text.TextQueries.all ++
+      multimodal.MultimodalQueries.all ++
+      streaming.StreamingQueries.all
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Revenue-per-day rollup over orders joined to broadcast customer dims. */
+  def entry(spark: SparkSession): DataFrame = {
+    val d = "/root/testdata/sf0.001"
+    Tables.t(spark, d, "orders")
+      .join(broadcast(Tables.t(spark, d, "customer")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(date_trunc("day", col("o_orderdate")).as("order_day"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        Det.dsum(col("o_totalprice")).as("revenue"))
+      .orderBy("order_day")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    catalog.map(q => q.name -> q.fn).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops. */
+  def oracleSql: Map[String, String] =
+    catalog.flatMap(q => q.oracle.map(q.name -> _)).toMap
 }

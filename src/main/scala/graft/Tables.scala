@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Loaders for the driver's TPC-H-ish parquet tables (TESTDATA.md).
+  *
+  * All engine queries read through here so scan behavior (column pruning,
+  * predicate pushdown into the parquet footer) is uniform and auditable in
+  * one place via `.explain("formatted")`.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+}
+
+/** Cross-engine-deterministic numeric helpers.
+  *
+  * Floating-point SUM is order-dependent, and Spark's partial/final
+  * aggregation order differs run-to-run and engine-to-engine. For
+  * DuckDB-oracle hash parity we route every double aggregation through an
+  * exact decimal accumulator: the per-row double -> decimal cast is
+  * deterministic (no double sits exactly on a decimal half-ulp boundary),
+  * decimal addition is associative/exact, and the final decimal -> double
+  * cast is deterministic. Both engines therefore produce bit-identical
+  * doubles regardless of row order or parallelism.
+  */
+object Det {
+  /** Order-independent double sum: CAST(SUM(CAST(c AS DECIMAL(28,8))) AS DOUBLE). */
+  def dsum(c: Column): Column = sum(c.cast(DecimalType(28, 8))).cast(DoubleType)
+
+  /** Order-independent double avg: exact decimal sum divided by count. */
+  def davg(c: Column): Column =
+    (sum(c.cast(DecimalType(28, 8))).cast(DoubleType) / count(c)).cast(DoubleType)
+
+  /** The matching DuckDB SQL fragments. */
+  def sqlSum(e: String): String = s"CAST(SUM(CAST($e AS DECIMAL(28,8))) AS DOUBLE)"
+  def sqlAvg(e: String): String =
+    s"CAST(CAST(SUM(CAST($e AS DECIMAL(28,8))) AS DOUBLE) / COUNT($e) AS DOUBLE)"
+}

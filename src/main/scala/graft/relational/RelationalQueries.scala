@@ -1,0 +1,520 @@
+package graft.relational
+
+import graft.{Det, Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator surface (SURVEY.md section 2.2): scans, projection,
+  * filters, every join flavor, aggregation incl. rollup/cube/distinct,
+  * window functions, sort/limit/top-k, set ops, subqueries.
+  *
+  * Design notes for 100 TB scale:
+  *  - filters/projections sit directly on the parquet scan so Catalyst
+  *    pushes them into the reader (verified via explain: PushedFilters);
+  *  - dimension joins (region/nation/supplier/customer) are explicitly
+  *    `broadcast()` — at 100 TB the fact side never shuffles for these;
+  *  - fact-fact joins (lineitem-orders) rely on sort-merge + AQE; both
+  *    sides are pre-filtered before the shuffle;
+  *  - per-group top-k uses a window over the grouped key, which shuffles
+  *    once on the group key; global top-k uses orderBy().limit(k) which
+  *    Spark executes as a per-partition TakeOrdered (no full sort).
+  */
+object RelationalQueries {
+
+  private def li(s: SparkSession, d: String) = Tables.t(s, d, "lineitem")
+  private def ord(s: SparkSession, d: String) = Tables.t(s, d, "orders")
+  private def cust(s: SparkSession, d: String) = Tables.t(s, d, "customer")
+  private def nat(s: SparkSession, d: String) = Tables.t(s, d, "nation")
+  private def reg(s: SparkSession, d: String) = Tables.t(s, d, "region")
+  private def sup(s: SparkSession, d: String) = Tables.t(s, d, "supplier")
+  private def part(s: SparkSession, d: String) = Tables.t(s, d, "part")
+
+  // --- scans / projection / filter ------------------------------------
+
+  val q01ScanProject: Q = Q(
+    "q01_scan_project",
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_quantity > 45
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+    li(s, d)
+      .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1995-01-01 00:00:00"))
+        && col("l_quantity") > 45)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  val q02Predicates: Q = Q(
+    "q02_filter_predicates",
+    """SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+      |FROM orders
+      |WHERE o_orderstatus IN ('F','O')
+      |  AND o_orderpriority LIKE '1-%'
+      |  AND o_totalprice BETWEEN 1000 AND 5000
+      |  AND o_custkey IS NOT NULL
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    ord(s, d)
+      .filter(col("o_orderstatus").isin("F", "O")
+        && col("o_orderpriority").like("1-%")
+        && col("o_totalprice").between(1000, 5000)
+        && col("o_custkey").isNotNull)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+      .orderBy("o_orderkey")
+  }
+
+  // --- aggregation ------------------------------------------------------
+
+  /** TPC-H Q1-style pricing summary; double sums via exact decimal path. */
+  val q03AggBasic: Q = Q(
+    "q03_agg_pricing_summary",
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${Det.sqlSum("l_quantity")} AS sum_qty,
+       |  ${Det.sqlSum("l_extendedprice")} AS sum_base_price,
+       |  ${Det.sqlSum("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+       |  ${Det.sqlAvg("l_quantity")} AS avg_qty,
+       |  COUNT(*) AS count_order
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+    li(s, d)
+      .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-01 00:00:00")))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        Det.dsum(col("l_quantity")).as("sum_qty"),
+        Det.dsum(col("l_extendedprice")).as("sum_base_price"),
+        Det.dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+        Det.davg(col("l_quantity")).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val q04AggDistinct: Q = Q(
+    "q04_agg_distinct",
+    """SELECT l_returnflag,
+      |  COUNT(DISTINCT l_orderkey) AS n_orders,
+      |  COUNT(DISTINCT l_suppkey) AS n_supps,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    li(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+  }
+
+  /** ROLLUP with per-column GROUPING flags (cross-engine stable, unlike
+    * grouping_id bit order); null group keys coalesced for a total sort. */
+  val q05Rollup: Q = Q(
+    "q05_agg_rollup",
+    """SELECT COALESCE(l_returnflag,'~') AS rflag, COALESCE(l_linestatus,'~') AS lstatus,
+      |  CAST(GROUPING(l_returnflag) AS INT) AS g_rflag, CAST(GROUPING(l_linestatus) AS INT) AS g_lstatus,
+      |  COUNT(*) AS n
+      |FROM lineitem
+      |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY rflag, lstatus, g_rflag, g_lstatus""".stripMargin) { (s, d) =>
+    li(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping(col("l_returnflag")).cast("int").as("g_rflag"),
+        grouping(col("l_linestatus")).cast("int").as("g_lstatus"),
+        count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("~")).as("rflag"),
+        coalesce(col("l_linestatus"), lit("~")).as("lstatus"),
+        col("g_rflag"), col("g_lstatus"), col("n"))
+      .orderBy("rflag", "lstatus", "g_rflag", "g_lstatus")
+  }
+
+  val q06Cube: Q = Q(
+    "q06_agg_cube",
+    """SELECT COALESCE(o_orderstatus,'~') AS status, COALESCE(o_orderpriority,'~') AS prio,
+      |  CAST(GROUPING(o_orderstatus) AS INT) AS g_status, CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+      |  COUNT(*) AS n
+      |FROM orders
+      |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      |ORDER BY status, prio, g_status, g_prio""".stripMargin) { (s, d) =>
+    ord(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        grouping(col("o_orderstatus")).cast("int").as("g_status"),
+        grouping(col("o_orderpriority")).cast("int").as("g_prio"),
+        count(lit(1)).as("n"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("~")).as("status"),
+        coalesce(col("o_orderpriority"), lit("~")).as("prio"),
+        col("g_status"), col("g_prio"), col("n"))
+      .orderBy("status", "prio", "g_status", "g_prio")
+  }
+
+  // --- joins ------------------------------------------------------------
+
+  /** Broadcast equi-join: customer dim is broadcast; orders never shuffles. */
+  val q07JoinBroadcast: Q = Q(
+    "q07_join_broadcast",
+    """SELECT c_mktsegment, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,8))) AS DOUBLE) AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+    ord(s, d)
+      .join(broadcast(cust(s, d)), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"), Det.dsum(col("o_totalprice")).as("revenue"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** TPC-H Q5-style 5-way join: fact-fact sort-merge + broadcast dims. */
+  val q08JoinMultiway: Q = Q(
+    "q08_join_multiway",
+    s"""SELECT r_name, n_name,
+       |  ${Det.sqlSum("l_extendedprice * (1 - l_discount)")} AS revenue,
+       |  COUNT(*) AS n
+       |FROM lineitem
+       |JOIN orders   ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey  = c_custkey
+       |JOIN nation   ON c_nationkey = n_nationkey
+       |JOIN region   ON n_regionkey = r_regionkey
+       |WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+       |GROUP BY r_name, n_name
+       |ORDER BY r_name, n_name""".stripMargin) { (s, d) =>
+    li(s, d)
+      .join(ord(s, d).filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1995-01-01 00:00:00"))),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(
+        Det.dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** Left outer join keeping customers with no orders (null-side agg). */
+  val q09JoinOuter: Q = Q(
+    "q09_join_left_outer",
+    """SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+      |  CAST(SUM(CAST(COALESCE(o_totalprice,0) AS DECIMAL(28,8))) AS DOUBLE) AS spend
+      |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_custkey
+      |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    cust(s, d)
+      .join(ord(s, d), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        Det.dsum(coalesce(col("o_totalprice"), lit(0))).as("spend"))
+      .orderBy("c_custkey")
+  }
+
+  val q10JoinFull: Q = Q(
+    "q10_join_full_outer",
+    """WITH a AS (SELECT n_nationkey AS k, n_name FROM nation WHERE n_nationkey < 20),
+      |     b AS (SELECT s_nationkey AS k, COUNT(*) AS n_supp FROM supplier GROUP BY s_nationkey)
+      |SELECT COALESCE(a.k, b.k) AS k, COALESCE(n_name,'~') AS n_name, COALESCE(n_supp,0) AS n_supp
+      |FROM a FULL JOIN b ON a.k = b.k
+      |ORDER BY k""".stripMargin) { (s, d) =>
+    val a = nat(s, d).filter(col("n_nationkey") < 20)
+      .select(col("n_nationkey").as("ak"), col("n_name"))
+    val b = sup(s, d).groupBy(col("s_nationkey").as("bk"))
+      .agg(count(lit(1)).as("n_supp"))
+    a.join(b, col("ak") === col("bk"), "full")
+      .select(
+        coalesce(col("ak"), col("bk")).as("k"),
+        coalesce(col("n_name"), lit("~")).as("n_name"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      .orderBy("k")
+  }
+
+  /** Left-semi join = EXISTS: customers having at least one urgent order. */
+  val q11SemiJoin: Q = Q(
+    "q11_join_semi",
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    cust(s, d)
+      .join(ord(s, d).filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** Left-anti join = NOT EXISTS: parts never shipped. */
+  val q12AntiJoin: Q = Q(
+    "q12_join_anti",
+    """SELECT p_partkey, p_name FROM part
+      |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+      |                  WHERE l_partkey = p_partkey AND l_quantity > 48)
+      |ORDER BY p_partkey""".stripMargin) { (s, d) =>
+    part(s, d)
+      .join(li(s, d).filter(col("l_quantity") > 48),
+        col("p_partkey") === col("l_partkey"), "left_anti")
+      .select("p_partkey", "p_name")
+      .orderBy("p_partkey")
+  }
+
+  val q13CrossJoin: Q = Q(
+    "q13_join_cross",
+    """SELECT r_name, n_name FROM region CROSS JOIN nation
+      |WHERE r_regionkey < 2
+      |ORDER BY r_name, n_name""".stripMargin) { (s, d) =>
+    reg(s, d).filter(col("r_regionkey") < 2)
+      .crossJoin(nat(s, d))
+      .select("r_name", "n_name")
+      .orderBy("r_name", "n_name")
+  }
+
+  /** Non-equi (range/theta) join: price-band lookup. The band table is tiny
+    * and broadcast, so the theta join is a broadcast nested loop — the only
+    * sane physical plan for non-equi at scale. */
+  val q14RangeJoin: Q = Q(
+    "q14_join_range",
+    """WITH bands(band, lo, hi) AS (VALUES ('low', 0.0, 2000.0), ('mid', 2000.0, 4000.0), ('high', 4000.0, 1e18))
+      |SELECT band, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,8))) AS DOUBLE) AS total
+      |FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+      |GROUP BY band
+      |ORDER BY band""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val bands = Seq(("low", 0.0, 2000.0), ("mid", 2000.0, 4000.0), ("high", 4000.0, 1e18))
+      .toDF("band", "lo", "hi")
+    ord(s, d)
+      .join(broadcast(bands), col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n"), Det.dsum(col("o_totalprice")).as("total"))
+      .orderBy("band")
+  }
+
+  // --- window functions ---------------------------------------------------
+
+  val q15WindowRank: Q = Q(
+    "q15_window_rank",
+    """SELECT c_mktsegment, c_custkey, c_acctbal, rnk, drnk, rn FROM (
+      |  SELECT c_mktsegment, c_custkey, c_acctbal,
+      |    RANK()        OVER w AS rnk,
+      |    DENSE_RANK()  OVER w AS drnk,
+      |    ROW_NUMBER()  OVER w AS rn
+      |  FROM customer
+      |  WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+      |) WHERE rnk <= 5
+      |ORDER BY c_mktsegment, rnk, c_custkey""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    cust(s, d)
+      .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        row_number().over(w).cast("long").as("rn"))
+      .filter(col("rnk") <= 5)
+      .orderBy("c_mktsegment", "rnk", "c_custkey")
+  }
+
+  /** Running + sliding frames (ROWS BETWEEN) over per-supplier shipments. */
+  val q16WindowFrames: Q = Q(
+    "q16_window_frames",
+    """SELECT l_suppkey, l_orderkey, l_linenumber,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,8)))
+      |       OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,8)))
+      |       OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS window3_qty
+      |FROM lineitem
+      |WHERE l_suppkey <= 3
+      |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    li(s, d)
+      .filter(col("l_suppkey") <= 3)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        sum(col("l_quantity").cast("decimal(28,8)"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double").as("running_qty"),
+        sum(col("l_quantity").cast("decimal(28,8)"))
+          .over(w.rowsBetween(-2, Window.currentRow))
+          .cast("double").as("window3_qty"))
+      .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+  }
+
+  val q17LagLead: Q = Q(
+    "q17_window_lag_lead",
+    """SELECT o_custkey, o_orderkey,
+      |  LAG(o_orderkey)  OVER w AS prev_order,
+      |  LEAD(o_orderkey) OVER w AS next_order,
+      |  COALESCE(DATEDIFF('day', CAST(LAG(o_orderdate) OVER w AS DATE), CAST(o_orderdate AS DATE)), -1) AS days_since_prev
+      |FROM orders
+      |WHERE o_custkey <= 20
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    ord(s, d)
+      .filter(col("o_custkey") <= 20)
+      .select(col("o_custkey"), col("o_orderkey"),
+        lag(col("o_orderkey"), 1).over(w).as("prev_order"),
+        lead(col("o_orderkey"), 1).over(w).as("next_order"),
+        coalesce(
+          datediff(col("o_orderdate").cast("date"), lag(col("o_orderdate"), 1).over(w).cast("date")).cast("long"),
+          lit(-1L)).as("days_since_prev"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val q18Ntile: Q = Q(
+    "q18_window_ntile",
+    """SELECT bucket, COUNT(*) AS n,
+      |  CAST(MIN(c_acctbal) AS DOUBLE) AS lo, CAST(MAX(c_acctbal) AS DOUBLE) AS hi
+      |FROM (SELECT c_acctbal, NTILE(10) OVER (ORDER BY c_acctbal, c_custkey) AS bucket FROM customer)
+      |GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, d) =>
+    val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
+    cust(s, d)
+      .select(col("c_acctbal"), ntile(10).over(w).cast("long").as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        min(col("c_acctbal")).cast("double").as("lo"),
+        max(col("c_acctbal")).cast("double").as("hi"))
+      .orderBy("bucket")
+  }
+
+  // --- sort / limit / top-k ---------------------------------------------
+
+  /** Global top-k: Spark plans orderBy+limit as TakeOrderedAndProject —
+    * per-partition heap then driver merge; no global sort at any scale. */
+  val q19TopKGlobal: Q = Q(
+    "q19_topk_global",
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin) { (s, d) =>
+    ord(s, d)
+      .select("o_orderkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(25)
+  }
+
+  /** Per-group top-k via row_number window (single shuffle on group key). */
+  val q20TopKPerGroup: Q = Q(
+    "q20_topk_per_group",
+    """SELECT c_mktsegment, o_orderkey, o_totalprice FROM (
+      |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders JOIN customer ON o_custkey = c_custkey)
+      |WHERE rn <= 3
+      |ORDER BY c_mktsegment, o_totalprice DESC, o_orderkey""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    ord(s, d)
+      .join(broadcast(cust(s, d)), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .drop("rn")
+      .orderBy(col("c_mktsegment"), col("o_totalprice").desc, col("o_orderkey"))
+  }
+
+  // --- set operations ------------------------------------------------------
+
+  val q21SetOps: Q = Q(
+    "q21_set_ops",
+    """WITH hi AS (SELECT o_custkey AS k FROM orders WHERE o_totalprice > 4500),
+      |     urgent AS (SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT')
+      |SELECT 'intersect' AS op, k FROM (SELECT k FROM hi INTERSECT SELECT k FROM urgent)
+      |UNION ALL
+      |SELECT 'except' AS op, k FROM (SELECT k FROM hi EXCEPT SELECT k FROM urgent)
+      |ORDER BY op, k""".stripMargin) { (s, d) =>
+    val o = ord(s, d)
+    val hi = o.filter(col("o_totalprice") > 4500).select(col("o_custkey").as("k"))
+    val urgent = o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey").as("k"))
+    hi.intersect(urgent).select(lit("intersect").as("op"), col("k"))
+      .unionByName(hi.except(urgent).select(lit("except").as("op"), col("k")))
+      .orderBy("op", "k")
+  }
+
+  val q22UnionDistinct: Q = Q(
+    "q22_union_distinct",
+    """SELECT k FROM (
+      |  SELECT c_nationkey AS k FROM customer
+      |  UNION
+      |  SELECT s_nationkey AS k FROM supplier)
+      |ORDER BY k""".stripMargin) { (s, d) =>
+    cust(s, d).select(col("c_nationkey").as("k"))
+      .union(sup(s, d).select(col("s_nationkey").as("k")))
+      .distinct()
+      .orderBy("k")
+  }
+
+  // --- subqueries ----------------------------------------------------------
+
+  /** Scalar subquery: orders above the global average price. */
+  val q23ScalarSubquery: Q = Q(
+    "q23_subquery_scalar",
+    s"""SELECT o_orderkey, o_totalprice FROM orders
+       |WHERE o_totalprice > (SELECT ${Det.sqlAvg("o_totalprice")} FROM orders) * 1.5
+       |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val o = ord(s, d)
+    val avgPrice = o.agg(Det.davg(col("o_totalprice")).as("a"))
+    o.join(broadcast(avgPrice), col("o_totalprice") > col("a") * 1.5)
+      .select("o_orderkey", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  /** Correlated aggregate subquery, decorrelated as join-on-group-agg. */
+  val q24CorrelatedSubquery: Q = Q(
+    "q24_subquery_correlated",
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+      |WHERE o_totalprice > 2 * (
+      |  SELECT CAST(CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(28,8))) AS DOUBLE) / COUNT(o2.o_totalprice) AS DOUBLE)
+      |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val o = ord(s, d)
+    val perCust = o.groupBy(col("o_custkey").as("k"))
+      .agg(Det.davg(col("o_totalprice")).as("cust_avg"))
+    o.join(perCust, col("o_custkey") === col("k"))
+      .filter(col("o_totalprice") > col("cust_avg") * 2)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  val q25Having: Q = Q(
+    "q25_having",
+    """SELECT l_partkey, COUNT(*) AS n
+      |FROM lineitem GROUP BY l_partkey HAVING COUNT(*) >= 40
+      |ORDER BY l_partkey""".stripMargin) { (s, d) =>
+    li(s, d)
+      .groupBy("l_partkey")
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 40)
+      .orderBy("l_partkey")
+  }
+
+  val q26CaseWhen: Q = Q(
+    "q26_case_when",
+    """SELECT tier, COUNT(*) AS n FROM (
+      |  SELECT CASE WHEN o_totalprice < 1000 THEN 'S'
+      |              WHEN o_totalprice < 3000 THEN 'M'
+      |              WHEN o_totalprice < 5000 THEN 'L'
+      |              ELSE 'XL' END AS tier
+      |  FROM orders)
+      |GROUP BY tier ORDER BY tier""".stripMargin) { (s, d) =>
+    ord(s, d)
+      .select(
+        when(col("o_totalprice") < 1000, "S")
+          .when(col("o_totalprice") < 3000, "M")
+          .when(col("o_totalprice") < 5000, "L")
+          .otherwise("XL").as("tier"))
+      .groupBy("tier")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("tier")
+  }
+
+  val all: Seq[Q] = Seq(
+    q01ScanProject, q02Predicates, q03AggBasic, q04AggDistinct, q05Rollup,
+    q06Cube, q07JoinBroadcast, q08JoinMultiway, q09JoinOuter, q10JoinFull,
+    q11SemiJoin, q12AntiJoin, q13CrossJoin, q14RangeJoin, q15WindowRank,
+    q16WindowFrames, q17LagLead, q18Ntile, q19TopKGlobal, q20TopKPerGroup,
+    q21SetOps, q22UnionDistinct, q23ScalarSubquery, q24CorrelatedSubquery,
+    q25Having, q26CaseWhen)
+}
