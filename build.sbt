@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // java.sql.Timestamp.valueOf literals parse in the JVM default TZ; pin it
+  // so Spark filter boundaries match the oracle's naive TIMESTAMP literals
+  // on any host (ADVICE r1).
+  "-Duser.timezone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

@@ -11,15 +11,22 @@ import org.apache.spark.sql.functions._
 object SparkEntry {
 
   /** All catalog modules, in SURVEY.md §2 inventory order. */
-  def catalog: Seq[Q] =
-    relational.RelationalQueries.all ++
-      scalar.ScalarFunctionQueries.all ++
-      ingest.IngestQueries.all ++
-      dedup.DedupQueries.all ++
-      similarity.SimilarityQueries.all ++
-      text.TextQueries.all ++
-      multimodal.MultimodalQueries.all ++
-      streaming.StreamingQueries.all
+  def catalog: Seq[Q] = {
+    val all =
+      relational.RelationalQueries.all ++
+        scalar.ScalarFunctionQueries.all ++
+        ingest.IngestQueries.all ++
+        dedup.DedupQueries.all ++
+        similarity.SimilarityQueries.all ++
+        text.TextQueries.all ++
+        multimodal.MultimodalQueries.all ++
+        streaming.StreamingQueries.all
+    // A duplicate name would silently drop a Map entry (and its oracle),
+    // shrinking coverage unnoticed — fail fast instead.
+    val dups = all.groupBy(_.name).filter(_._2.size > 1).keys
+    require(dups.isEmpty, s"duplicate query names: ${dups.mkString(", ")}")
+    all
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Revenue-per-day rollup over orders joined to broadcast customer dims. */

@@ -365,15 +365,48 @@ object RelationalQueries {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** Scalable global NTILE (VERDICT r1 fix: no single-partition window).
+    *
+    * A bare `Window.orderBy` funnels every row through one task. Instead:
+    * range-partition the total order, number rows within each partition in
+    * parallel, and add per-partition start offsets computed from a tiny
+    * one-row-per-partition count aggregate collected at the driver — the
+    * same mechanism `RDD.zipWithIndex` uses. The only window left is
+    * partitioned by `pid`, so every stage stays parallel at any scale (the
+    * collect is #shuffle-partitions rows, never data rows). Bucket
+    * assignment then applies the standard NTILE size formula (first N%k
+    * buckets get one extra row) to the global row number.
+    */
   val q18Ntile: Q = Q(
     "q18_window_ntile",
     """SELECT bucket, COUNT(*) AS n,
       |  CAST(MIN(c_acctbal) AS DOUBLE) AS lo, CAST(MAX(c_acctbal) AS DOUBLE) AS hi
       |FROM (SELECT c_acctbal, NTILE(10) OVER (ORDER BY c_acctbal, c_custkey) AS bucket FROM customer)
       |GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, d) =>
-    val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
-    cust(s, d)
-      .select(col("c_acctbal"), ntile(10).over(w).cast("long").as("bucket"))
+    import s.implicits._
+    val k = 10L
+    val sorted = cust(s, d)
+      .select(col("c_acctbal"), col("c_custkey"))
+      .repartitionByRange(col("c_acctbal"), col("c_custkey"))
+      .sortWithinPartitions("c_acctbal", "c_custkey")
+      .withColumn("pid", spark_partition_id())
+    val counts = sorted.groupBy("pid").agg(count(lit(1)).as("cnt"))
+      .orderBy("pid").collect()
+    val n = counts.map(_.getLong(1)).sum
+    val offsets = counts.map(_.getLong(1)).scanLeft(0L)(_ + _)
+    val offsetDf = counts.map(_.getInt(0)).zip(offsets).toSeq.toDF("opid", "off")
+    val wp = Window.partitionBy(col("pid")).orderBy(col("c_acctbal"), col("c_custkey"))
+    val q = n / k
+    val r = n % k
+    val bigSpan = (q + 1) * r // rows 1..bigSpan land in the q+1-sized buckets
+    sorted
+      .join(broadcast(offsetDf), col("pid") === col("opid"))
+      .withColumn("rn", col("off") + row_number().over(wp))
+      .select(col("c_acctbal"),
+        when(col("rn") <= bigSpan,
+          floor((col("rn") - 1) / lit(q + 1)) + 1)
+          .otherwise(lit(r) + floor((col("rn") - 1 - bigSpan) / lit(math.max(q, 1L))) + 1)
+          .as("bucket"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n"),
         min(col("c_acctbal")).cast("double").as("lo"),

@@ -10,6 +10,7 @@ order. Exit code = number of mismatching queries.
 """
 import json
 import math
+import os
 import sys
 
 import duckdb
@@ -34,6 +35,25 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_bad = 0
+    # Q.noOracle entries have a parquet dir but no oracle SQL: give them a
+    # rows>0 smoke so the downgrade path is at least exercised (ADVICE r1).
+    for d in sorted(os.listdir(out_dir)):
+        if d in oracles or not os.path.isdir(os.path.join(out_dir, d)):
+            continue
+        if only and d not in only:
+            continue
+        try:
+            nrows = con.execute(
+                f"SELECT count(*) FROM '{out_dir}/{d}/*.parquet'").fetchone()[0]
+        except Exception as e:
+            print(f"FAIL {d} (no-oracle): load error: {e}")
+            n_bad += 1
+            continue
+        if nrows > 0:
+            print(f"OK   {d} (no-oracle, {nrows} rows)")
+        else:
+            print(f"FAIL {d} (no-oracle): 0 rows")
+            n_bad += 1
     for name, sql in sorted(oracles.items()):
         if only and name not in only:
             continue
