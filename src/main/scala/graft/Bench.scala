@@ -22,10 +22,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // NonFatal only (ADVICE r2): an OOM must crash the harness, not show up
+    // as a silent -1 among ordinary numbers. Failures are named on stderr.
     def runOnce(q: Q): Double = {
       val t0 = System.nanoTime()
       try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => return -1.0 }
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] ${q.name} failed: ${e.getClass.getName}: ${e.getMessage}")
+          return -1.0
+      }
       (System.nanoTime() - t0) / 1e9
     }
     SparkEntry.catalog.foreach(runOnce) // warmup pass (JIT + codegen cache)

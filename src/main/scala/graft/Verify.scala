@@ -41,6 +41,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Explicit manifest of no-oracle queries (ADVICE r2): the rows>0 smoke
+    // must FAIL when an expected output dir is missing entirely, not skip it.
+    val noOracle = SparkEntry.catalog.filter(_.oracle.isEmpty).map(x => q(x.name))
+    Files.writeString(Paths.get(s"$outDir/no_oracle.json"),
+      noOracle.mkString("[", ",", "]"))
     spark.stop()
   }
 }

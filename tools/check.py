@@ -35,12 +35,21 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_bad = 0
-    # Q.noOracle entries have a parquet dir but no oracle SQL: give them a
-    # rows>0 smoke so the downgrade path is at least exercised (ADVICE r1).
-    for d in sorted(os.listdir(out_dir)):
-        if d in oracles or not os.path.isdir(os.path.join(out_dir, d)):
-            continue
+    # Q.noOracle entries get a rows>0 smoke. Driven by the explicit manifest
+    # Verify writes (ADVICE r2): a query whose Spark write failed entirely
+    # (missing dir) is a FAIL, and stray dirs are ignored.
+    manifest_path = os.path.join(out_dir, "no_oracle.json")
+    if os.path.exists(manifest_path):
+        expected = sorted(json.load(open(manifest_path)))
+    else:
+        expected = sorted(d for d in os.listdir(out_dir)
+                          if d not in oracles and os.path.isdir(os.path.join(out_dir, d)))
+    for d in expected:
         if only and d not in only:
+            continue
+        if not os.path.isdir(os.path.join(out_dir, d)):
+            print(f"FAIL {d} (no-oracle): output dir missing (Spark write failed?)")
+            n_bad += 1
             continue
         try:
             nrows = con.execute(
