@@ -15,8 +15,18 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
+    // rejects; sessions set spark.sql.legacy.parquet.nanosAsLong=true and the
+    // long is converted here. Integer `div` keeps full precision (a double
+    // round-trip would lose sub-second bits at 2^63-scale epochs); the data
+    // carries no sub-microsecond component, so the truncation is exact.
+    df.schema.fields.find(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType) match {
+      case Some(_) => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case None => df
+    }
+  }
 }
 
 /** Cross-engine-deterministic numeric helpers.

@@ -1,3 +1,220 @@
 package graft.scalar
-import graft.Q
-object ScalarFunctionQueries { val all: Seq[Q] = Seq() }
+
+import graft.{Det, Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Scalar function surface (SURVEY.md §2.2 "Scalar fns" row): string,
+  * regexp, edit distance, array higher-order functions, map, JSON over
+  * `events.props` (the reference decodes JSON on every page,
+  * /root/reference/fetch_articles.py:66), date/time, math.
+  *
+  * Everything here is a built-in `org.apache.spark.sql.functions` call —
+  * codegen'd, no UDFs — so every expression stays inside whole-stage
+  * codegen and the scan keeps column pruning (only referenced columns are
+  * read). Oracle-parity notes are on each query; the recurring ones:
+  * DuckDB returns BIGINT where Spark returns INT (cast to long), and both
+  * engines' regexp/levenshtein/JSON-path semantics agree on the shapes
+  * used here.
+  */
+object ScalarFunctionQueries {
+
+  private def ev(s: org.apache.spark.sql.SparkSession, d: String) = Tables.t(s, d, "events")
+  private def part(s: org.apache.spark.sql.SparkSession, d: String) = Tables.t(s, d, "part")
+  private def docs(s: org.apache.spark.sql.SparkSession, d: String) = Tables.t(s, d, "documents")
+  private def ord(s: org.apache.spark.sql.SparkSession, d: String) = Tables.t(s, d, "orders")
+
+  val s01StringBasics: Q = Q(
+    "s01_string_basics",
+    """SELECT p_partkey,
+      |  upper(p_brand) AS brand_up,
+      |  lower(p_type) AS type_lo,
+      |  substring(p_name, 1, 8) AS name8,
+      |  length(p_name) AS name_len,
+      |  concat(p_brand, ':', p_type) AS brand_type,
+      |  trim(p_name) AS name_trim,
+      |  replace(p_type, ' ', '_') AS type_us
+      |FROM part WHERE p_partkey <= 50
+      |ORDER BY p_partkey""".stripMargin) { (s, d) =>
+    part(s, d)
+      .filter(col("p_partkey") <= 50)
+      .select(col("p_partkey"),
+        upper(col("p_brand")).as("brand_up"),
+        lower(col("p_type")).as("type_lo"),
+        substring(col("p_name"), 1, 8).as("name8"),
+        length(col("p_name")).cast("long").as("name_len"),
+        concat(col("p_brand"), lit(":"), col("p_type")).as("brand_type"),
+        trim(col("p_name")).as("name_trim"),
+        regexp_replace(col("p_type"), " ", "_").as("type_us"))
+      .orderBy("p_partkey")
+  }
+
+  /** regexp_extract group capture + LIKE-class predicates on the same scan. */
+  val s02Regexp: Q = Q(
+    "s02_regexp_extract",
+    """SELECT o_orderkey,
+      |  regexp_extract(o_orderpriority, '([0-9]+)-([A-Z]+)', 1) AS prio_num,
+      |  regexp_extract(o_orderpriority, '([0-9]+)-([A-Z]+)', 2) AS prio_word,
+      |  CASE WHEN regexp_matches(o_orderpriority, '^[12]-') THEN 1 ELSE 0 END AS is_high
+      |FROM orders WHERE o_orderkey <= 300
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    ord(s, d)
+      .filter(col("o_orderkey") <= 300)
+      .select(col("o_orderkey"),
+        regexp_extract(col("o_orderpriority"), "([0-9]+)-([A-Z]+)", 1).as("prio_num"),
+        regexp_extract(col("o_orderpriority"), "([0-9]+)-([A-Z]+)", 2).as("prio_word"),
+        when(col("o_orderpriority").rlike("^[12]-"), 1).otherwise(0).as("is_high"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Edit distance between brand names — the classic fuzzy-match scalar. */
+  val s03Levenshtein: Q = Q(
+    "s03_levenshtein",
+    """SELECT p_partkey, p_brand,
+      |  levenshtein(p_brand, 'Brand#13') AS dist
+      |FROM part WHERE p_partkey <= 100
+      |ORDER BY p_partkey""".stripMargin) { (s, d) =>
+    part(s, d)
+      .filter(col("p_partkey") <= 100)
+      .select(col("p_partkey"), col("p_brand"),
+        levenshtein(col("p_brand"), lit("Brand#13")).cast("long").as("dist"))
+      .orderBy("p_partkey")
+  }
+
+  /** Array higher-order functions over tokenized text: transform, filter,
+    * sort, slice, size. distinct-then-sort keeps order deterministic on
+    * both engines (DuckDB list_distinct order is unspecified). */
+  val s04ArrayFns: Q = Q(
+    "s04_array_fns",
+    """SELECT doc_id,
+      |  len(string_split(text, ' ')) AS n_tokens,
+      |  len(list_filter(string_split(text, ' '), t -> length(t) > 4)) AS n_long,
+      |  list_slice(list_sort(list_distinct(string_split(text, ' '))), 1, 5) AS first5,
+      |  list_transform(list_slice(list_sort(list_distinct(string_split(text, ' '))), 1, 3), t -> upper(t)) AS up3
+      |FROM documents WHERE doc_id < 100
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val toks = split(col("text"), " ")
+    val dsort = sort_array(array_distinct(toks))
+    docs(s, d)
+      .filter(col("doc_id") < 100)
+      .select(col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        size(filter(toks, t => length(t) > 4)).cast("long").as("n_long"),
+        slice(dsort, 1, 5).as("first5"),
+        transform(slice(dsort, 1, 3), t => upper(t)).as("up3"))
+      .orderBy("doc_id")
+  }
+
+  /** Map construction + lookup: event-type weights via map_from_arrays +
+    * element_at. The oracle states the same lookup as CASE — the map is
+    * the Spark-side surface under test, the values are what's compared. */
+  val s05MapFns: Q = Q(
+    "s05_map_fns",
+    """SELECT event_type,
+      |  CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2 WHEN 'signup' THEN 5
+      |                  WHEN 'purchase' THEN 10 ELSE 0 END AS weight,
+      |  COUNT(*) AS n
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+    val wmap = map_from_arrays(
+      array(lit("click"), lit("view"), lit("signup"), lit("purchase")),
+      array(lit(1), lit(2), lit(5), lit(10)))
+    ev(s, d)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"))
+      .select(col("event_type"),
+        coalesce(element_at(wmap, col("event_type")), lit(0)).as("weight"),
+        col("n"))
+      .orderBy("event_type")
+  }
+
+  /** JSON path extraction over events.props ('{"k": N}'): string path via
+    * get_json_object and typed decode via from_json — both O4's primitives
+    * (ref fetch_articles.py:66) applied columnar. */
+  val s06Json: Q = Q(
+    "s06_json_extract",
+    """SELECT k_bucket, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS sum_value
+      |FROM (SELECT CAST(json_extract_string(props, '$.k') AS INT) // 10 AS k_bucket, value
+      |      FROM events WHERE props IS NOT NULL)
+      |GROUP BY k_bucket ORDER BY k_bucket""".stripMargin) { (s, d) =>
+    val kInt = get_json_object(col("props"), "$.k").cast("int")
+    ev(s, d)
+      .filter(col("props").isNotNull)
+      .select(floor(kInt / 10).cast("int").as("k_bucket"), col("value"))
+      .groupBy("k_bucket")
+      .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_value"))
+      .orderBy("k_bucket")
+  }
+
+  /** from_json into a typed struct (schema'd decode, not just path walk),
+    * then field access — the columnar analog of the reference's per-page
+    * response.json() decode. */
+  val s07JsonStruct: Q = Q(
+    "s07_json_struct",
+    """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+      |FROM events WHERE event_id < 500 AND props IS NOT NULL
+      |ORDER BY event_id""".stripMargin) { (s, d) =>
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.IntegerType)))
+    ev(s, d)
+      .filter(col("event_id") < 500 && col("props").isNotNull)
+      .select(col("event_id"),
+        from_json(col("props"), schema).getField("k").as("k"))
+      .orderBy("event_id")
+  }
+
+  /** Date/time kit: truncation, field extraction, day arithmetic, epoch. */
+  val s08DateTime: Q = Q(
+    "s08_datetime",
+    """SELECT event_id,
+      |  date_trunc('hour', ts) AS ts_hour,
+      |  CAST(year(ts) AS INT) AS y,
+      |  CAST(month(ts) AS INT) AS m,
+      |  CAST(day(ts) AS INT) AS dom,
+      |  CAST(ts + INTERVAL 7 DAY AS TIMESTAMP) AS ts_plus7,
+      |  CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS epoch_s,
+      |  datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS days_since
+      |FROM events WHERE event_id < 300
+      |ORDER BY event_id""".stripMargin) { (s, d) =>
+    ev(s, d)
+      .filter(col("event_id") < 300)
+      .select(col("event_id"),
+        date_trunc("hour", col("ts")).as("ts_hour"),
+        year(col("ts")).as("y"),
+        month(col("ts")).as("m"),
+        dayofmonth(col("ts")).as("dom"),
+        (col("ts") + expr("INTERVAL 7 DAY")).as("ts_plus7"),
+        unix_timestamp(col("ts")).as("epoch_s"),
+        datediff(col("ts").cast("date"), lit(java.sql.Date.valueOf("2024-01-01"))).cast("long").as("days_since"))
+      .orderBy("event_id")
+  }
+
+  /** Math kit on exact-friendly shapes: abs/floor/ceil/sqrt are IEEE-exact,
+    * round is taken on a DECIMAL so half-up ties agree across engines. */
+  val s09Math: Q = Q(
+    "s09_math",
+    """SELECT o_orderkey,
+      |  abs(o_totalprice - 3000.0) AS dist_mid,
+      |  CAST(floor(o_totalprice / 100) AS BIGINT) AS price_c,
+      |  CAST(ceil(o_totalprice / 1000) AS BIGINT) AS price_k,
+      |  sqrt(o_totalprice) AS price_sqrt,
+      |  CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) / 7, 2) AS DOUBLE) AS seventh,
+      |  CASE WHEN o_totalprice > 3000 THEN 1 WHEN o_totalprice = 3000 THEN 0 ELSE -1 END AS side
+      |FROM orders WHERE o_orderkey <= 400
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    ord(s, d)
+      .filter(col("o_orderkey") <= 400)
+      .select(col("o_orderkey"),
+        abs(col("o_totalprice") - 3000.0).as("dist_mid"),
+        floor(col("o_totalprice") / 100).as("price_c"),
+        ceil(col("o_totalprice") / 1000).as("price_k"),
+        sqrt(col("o_totalprice")).as("price_sqrt"),
+        round(col("o_totalprice").cast("decimal(18,2)") / 7, 2).cast("double").as("seventh"),
+        when(col("o_totalprice") > 3000, 1).when(col("o_totalprice") === 3000, 0)
+          .otherwise(-1).as("side"))
+      .orderBy("o_orderkey")
+  }
+
+  val all: Seq[Q] = Seq(
+    s01StringBasics, s02Regexp, s03Levenshtein, s04ArrayFns, s05MapFns,
+    s06Json, s07JsonStruct, s08DateTime, s09Math)
+}
