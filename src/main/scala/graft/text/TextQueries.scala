@@ -1,3 +1,215 @@
 package graft.text
-import graft.Q
-object TextQueries { val all: Seq[Q] = Seq() }
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis surface over `documents` (SURVEY.md §2.2 "Text analysis"
+  * row + the LLM-pipeline north star): term frequency, n-grams, language
+  * ID (stopword-lexicon heuristic), quality scoring, token counting
+  * (whitespace + regex), and document fingerprinting (bag-of-words md5 and
+  * a positional rolling hash).
+  *
+  * Scale posture: everything except the two frequency queries is a pure
+  * per-row map (higher-order array functions — zero shuffles, full
+  * codegen); the frequency queries are one hash-agg shuffle each, and the
+  * language-ID join broadcasts a constant lexicon so the fact side never
+  * moves.
+  */
+object TextQueries {
+
+  private def docs(s: SparkSession, d: String): DataFrame = Tables.t(s, d, "documents")
+  private def toks = split(col("text"), " ")
+
+  /** Global term frequency, top 50. The count ties are broken by token, so
+    * the LIMIT boundary is deterministic on both engines. */
+  val t01TermFrequency: Q = Q(
+    "t01_term_frequency",
+    """SELECT tok, COUNT(*) AS n
+      |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      |GROUP BY tok ORDER BY n DESC, tok LIMIT 50""".stripMargin) { (s, d) =>
+    docs(s, d)
+      .select(explode(toks).as("tok"))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok"))
+      .limit(50)
+  }
+
+  /** Word 3-gram frequency, top 40. Spark builds the grams per row with
+    * transform(sequence) — no join, one agg shuffle. */
+  val t02NgramCounts: Q = Q(
+    "t02_ngram_counts",
+    """SELECT ngram, COUNT(*) AS n FROM (
+      |  SELECT unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+      |                 for i in range(1, len(toks) - 1)]) AS ngram
+      |  FROM (SELECT string_split(text, ' ') AS toks FROM documents)
+      |  WHERE len(toks) >= 3)
+      |GROUP BY ngram ORDER BY n DESC, ngram LIMIT 40""".stripMargin) { (s, d) =>
+    val grams = transform(
+      sequence(lit(1), size(toks) - 2),
+      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))
+    docs(s, d)
+      .filter(size(toks) >= 3)
+      .select(explode(grams).as("ngram"))
+      .groupBy("ngram")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("ngram"))
+      .limit(40)
+  }
+
+  /** Stopword-lexicon language ID: explode tokens, join a tiny broadcast
+    * lexicon, argmax hits per doc (ties by lang asc), docs with no lexicon
+    * hit fall back to 'und'. The lexicon is constant and broadcast — the
+    * document side shuffles once on doc_id for the per-doc argmax. */
+  val t03LangId: Q = Q(
+    "t03_lang_id",
+    """WITH lex(word, cand) AS (VALUES
+      |    ('the','en'), ('a','en'),
+      |    ('le','fr'), ('la','fr'), ('et','fr'),
+      |    ('der','de'), ('die','de'), ('und','de'),
+      |    ('el','es'), ('los','es'), ('y','es')),
+      |  hits AS (
+      |    SELECT doc_id, cand, COUNT(*) AS n_hits FROM
+      |      (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) t
+      |      JOIN lex ON t.tok = lex.word
+      |    GROUP BY doc_id, cand),
+      |  best AS (
+      |    SELECT doc_id, cand, n_hits,
+      |      ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY n_hits DESC, cand) AS rn
+      |    FROM hits)
+      |SELECT d.doc_id, COALESCE(b.cand, 'und') AS pred_lang, COALESCE(b.n_hits, 0) AS n_hits
+      |FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON d.doc_id = b.doc_id
+      |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val lex = Seq(
+      ("the", "en"), ("a", "en"),
+      ("le", "fr"), ("la", "fr"), ("et", "fr"),
+      ("der", "de"), ("die", "de"), ("und", "de"),
+      ("el", "es"), ("los", "es"), ("y", "es")).toDF("word", "cand")
+    val hits = docs(s, d)
+      .select(col("doc_id"), explode(toks).as("tok"))
+      .join(broadcast(lex), col("tok") === col("word"))
+      .groupBy("doc_id", "cand")
+      .agg(count(lit(1)).as("n_hits"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("n_hits").desc, col("cand"))
+    val best = hits.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    docs(s, d).select(col("doc_id"))
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cand"), lit("und")).as("pred_lang"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-doc quality scoring: token counts, type-token ratio, mean token
+    * length, stopword ratio, and a keep/drop flag — the standard cheap
+    * pre-training filters. Pure per-row map, no shuffle. Ratios are exact
+    * int counts divided in double (IEEE-identical on both engines). */
+  val t04QualityScore: Q = Q(
+    "t04_quality_score",
+    """SELECT doc_id,
+      |  len(toks) AS n_tokens,
+      |  len(list_distinct(toks)) AS n_types,
+      |  len(list_distinct(toks)) / len(toks) AS type_token_ratio,
+      |  (n_chars - len(toks) + 1) / len(toks) AS mean_tok_len,
+      |  len(list_filter(toks, t -> t IN ('the', 'a'))) / len(toks) AS stopword_ratio,
+      |  CASE WHEN len(toks) BETWEEN 10 AND 1000
+      |        AND len(list_distinct(toks)) / len(toks) > 0.2 THEN 1 ELSE 0 END AS keep
+      |FROM (SELECT doc_id, n_chars, string_split(text, ' ') AS toks FROM documents)
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val nTok = size(toks).cast("long")
+    val nTypes = size(array_distinct(toks)).cast("long")
+    docs(s, d)
+      .select(col("doc_id"),
+        nTok.as("n_tokens"),
+        nTypes.as("n_types"),
+        (nTypes / nTok).as("type_token_ratio"),
+        ((col("n_chars") - nTok + 1) / nTok).as("mean_tok_len"),
+        (size(filter(toks, t => t.isin("the", "a"))).cast("long") / nTok).as("stopword_ratio"),
+        when(nTok.between(10, 1000) && nTypes / nTok > 0.2, 1).otherwise(0).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** Corpus stats by (lang, source): doc counts, char volume, length
+    * distribution. One partial-aggregated shuffle on a 25-ary key. */
+  val t05LangSourceStats: Q = Q(
+    "t05_lang_source_stats",
+    """SELECT lang, source, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+      |  CAST(SUM(n_chars) AS BIGINT) / COUNT(*) AS avg_chars
+      |FROM documents GROUP BY lang, source
+      |ORDER BY lang, source""".stripMargin) { (s, d) =>
+    docs(s, d)
+      .groupBy("lang", "source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"),
+        (sum(col("n_chars")) / count(lit(1))).as("avg_chars"))
+      .orderBy("lang", "source")
+  }
+
+  /** Token counting, three ways (north star "whitespace + BPE-ish regex"):
+    * whitespace split, regex word extraction, and a vowel-cluster subword
+    * segmentation — all per-row regexp_extract_all, no shuffle. The
+    * patterns stick to character classes so Java and RE2 agree. */
+  val t06TokenCounting: Q = Q(
+    "t06_token_counting",
+    """SELECT doc_id,
+      |  len(string_split(text, ' ')) AS n_ws,
+      |  len(regexp_extract_all(text, '[a-z0-9]+')) AS n_words,
+      |  len(regexp_extract_all(text, '[aeiou]+|[b-df-hj-np-tv-z]+')) AS n_subword,
+      |  n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    docs(s, d)
+      .select(col("doc_id"),
+        size(toks).cast("long").as("n_ws"),
+        size(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0))).cast("long").as("n_words"),
+        size(regexp_extract_all(col("text"), lit("[aeiou]+|[b-df-hj-np-tv-z]+"), lit(0))).cast("long").as("n_subword"),
+        col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  /** Bag-of-words fingerprint: md5 over the sorted distinct token set — an
+    * order-insensitive canonical content hash (the exact-dedup key for
+    * shuffled-word near-identical docs). Per-row, no shuffle. */
+  val t07FingerprintBow: Q = Q(
+    "t07_fingerprint_bow",
+    """SELECT doc_id,
+      |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    docs(s, d)
+      .select(col("doc_id"),
+        md5(concat_ws(" ", sort_array(array_distinct(toks)))).as("fp"))
+      .orderBy("doc_id")
+  }
+
+  /** Positional rolling hash: sum_i i * h(tok_i) with h = first 8 md5 hex
+    * digits — order-sensitive, so token swaps change the fingerprint.
+    * Bounded exactly (h < 2^32, i <= ~1e3, n <= ~1e3 ⇒ sum < 2^62), so
+    * int64 arithmetic is exact on both engines. Per-row transform +
+    * aggregate — no explode, no shuffle. */
+  val t08FingerprintRolling: Q = Q(
+    "t08_fingerprint_rolling",
+    """SELECT doc_id,
+      |  CAST(list_sum([i * (('0x' || substr(md5(toks[i]), 1, 8))::BIGINT)
+      |                 for i in range(1, len(toks) + 1)]) AS BIGINT) AS fp
+      |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val weighted = transform(toks,
+      (t, i) => (i + 1).cast("long") * conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
+    docs(s, d)
+      .select(col("doc_id"),
+        aggregate(weighted, lit(0L), (acc, x) => acc + x).as("fp"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(
+    t01TermFrequency, t02NgramCounts, t03LangId, t04QualityScore,
+    t05LangSourceStats, t06TokenCounting, t07FingerprintBow,
+    t08FingerprintRolling)
+}
