@@ -1,3 +1,182 @@
 package graft.dedup
-import graft.Q
-object DedupQueries { val all: Seq[Q] = Seq() }
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication surface (LLM-pipeline north star): exact, hash-key,
+  * MinHash+LSH, SimHash, and an exact n-gram-Jaccard similarity join with
+  * lossless prefix filtering.
+  *
+  * Scale design — the whole point of this module is that NOTHING here is
+  * all-pairs:
+  *  - exact/hash dedup shuffle once on the dedup key (an 8-byte xxhash64,
+  *    not the document text — at 100 TB the shuffle moves keys, not docs);
+  *  - MinHash near-dup joins only within (band, band-signature) buckets —
+  *    the standard LSH guarantee that candidate count tracks true-pair
+  *    count, not N²;
+  *  - SimHash blocks on 16-bit signature chunks (pigeonhole: hamming <= 3
+  *    is guaranteed to share a block; higher distances probabilistically);
+  *  - the Jaccard join prunes with prefix filtering (PPJoin-style): a pair
+  *    can only match at threshold θ if their lexicographic shingle
+  *    prefixes of length |s|-⌈θ|s|⌉+1 intersect — provably lossless, so
+  *    the pruned Spark plan still hash-matches DuckDB's all-pairs oracle.
+  */
+object DedupQueries {
+
+  private def docs(s: SparkSession, d: String): DataFrame = Tables.t(s, d, "documents")
+  private def toks = split(col("text"), " ")
+
+  /** Distinct word-3-gram shingles, lexicographically sorted (canonical
+    * order shared by the prefix filter and the signature computations). */
+  private def shingles: Column = sort_array(array_distinct(transform(
+    sequence(lit(1), greatest(size(toks) - 2, lit(0))),
+    i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))))
+
+  /** Exact dedup with deterministic representative: min doc_id per text
+    * group. (dropDuplicates keeps an arbitrary row — fine in production,
+    * not hash-comparable; min-id is the reproducible equivalent.) */
+  val d01ExactDedup: Q = Q(
+    "d01_exact_dedup",
+    """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS group_size
+      |FROM documents GROUP BY text
+      |ORDER BY keep_id""".stripMargin) { (s, d) =>
+    docs(s, d)
+      .groupBy("text")
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("group_size"))
+      .select("keep_id", "group_size")
+      .orderBy("keep_id")
+  }
+
+  /** Hash-key dedup: the 100 TB pattern — shuffle the 8-byte xxhash64 of
+    * the text, never the text itself. The oracle checks the distinct-hash
+    * count against the distinct-text count per source (identical barring a
+    * 64-bit collision, p < 1e-13 at this scale). */
+  val d02HashDedup: Q = Q(
+    "d02_hash_dedup",
+    """SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT text) AS n_distinct
+      |FROM documents GROUP BY source
+      |ORDER BY source""".stripMargin) { (s, d) =>
+    docs(s, d)
+      .select(col("source"), xxhash64(col("text")).as("h"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), countDistinct(col("h")).as("n_distinct"))
+      .orderBy("source")
+  }
+
+  /** MinHash + banded LSH near-dup pairs. 32 permutations (xxhash64 with a
+    * per-permutation salt), 8 bands x 4 rows; candidates only within
+    * (band, band-key) buckets; estimated Jaccard = signature agreement,
+    * kept at >= 0.5. No SQL oracle (minhash is engine-specific); the
+    * driver's rows>0 smoke applies and MinHashSpec asserts the estimate
+    * brackets the exact Jaccard on the planted near-dup pairs. */
+  val d03MinHashLsh: Q = Q.noOracle("d03_minhash_lsh") { (s, d) =>
+    val P = 32 // permutations
+    val B = 8  // bands
+    val R = 4  // rows per band
+    val withSig = docs(s, d)
+      .select(col("doc_id"), shingles.as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", array((0 until P).map(p =>
+        array_min(transform(col("sh"), x => xxhash64(lit(p), x)))): _*))
+    val bandKeys = array((0 until B).map(b =>
+      xxhash64((0 until R).map(r => element_at(col("sig"), b * R + r + 1)): _*)): _*)
+    // The signature rides along through the band explode so candidate
+    // verification needs no join back to the docs (8x sig duplication in
+    // the shuffle, bounded at 32*8 bytes per row — cheap at any scale).
+    val bands = withSig
+      .select(col("doc_id"), col("sig"), posexplode(bandKeys).as(Seq("band", "bkey")))
+    val est = size(filter(
+      zip_with(col("sig_i"), col("sig_j"), (x, y) => x === y), v => v))
+      .cast("double") / P
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("i"), col("b.doc_id").as("j"),
+        col("a.sig").as("sig_i"), col("b.sig").as("sig_j"))
+      .dropDuplicates("i", "j")
+      .select(col("i"), col("j"), est.as("est_sim"))
+      .filter(col("est_sim") >= 0.5)
+      .orderBy("i", "j")
+  }
+
+  /** SimHash near-dup pairs: 64-bit signature from per-token bit votes,
+    * blocked on 4x16-bit chunks, verified at hamming <= 8. Signature and
+    * bit-count are per-row SQL higher-order functions (no UDF, no
+    * shuffle); the only shuffle is the (block, value) bucket join. */
+  val d04SimHash: Q = Q.noOracle("d04_simhash") { (s, d) =>
+    val votes = expr(
+      """aggregate(
+        |  transform(split(text, ' '), t -> xxhash64(t)),
+        |  array_repeat(0L, 64),
+        |  (acc, h) -> zip_with(acc,
+        |    transform(sequence(0, 63), j -> IF(((h >> j) & 1) = 1, 1L, -1L)),
+        |    (a, b) -> a + b))""".stripMargin)
+    val simhash = expr(
+      """aggregate(
+        |  transform(sequence(0, 63), j -> IF(element_at(votes, j + 1) > 0, shiftleft(1L, j), 0L)),
+        |  0L, (acc, x) -> acc | x)""".stripMargin)
+    val withSim = docs(s, d)
+      .select(col("doc_id"), votes.as("votes"))
+      .select(col("doc_id"), simhash.as("sim"))
+    val blocks = withSim.select(col("doc_id"), col("sim"),
+      posexplode(array((0 until 4).map(b =>
+        shiftrightunsigned(col("sim"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("blk", "blkval")))
+    blocks.as("a")
+      .join(blocks.as("b"),
+        col("a.blk") === col("b.blk") && col("a.blkval") === col("b.blkval")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
+        expr("bit_count(a.sim ^ b.sim)").cast("long").as("hamming"))
+      .dropDuplicates("i", "j")
+      .filter(col("hamming") <= 8)
+      .orderBy("i", "j")
+  }
+
+  /** Exact n-gram-Jaccard similarity join at θ=0.6 with lossless prefix
+    * filtering: only pairs sharing a token in their length
+    * |s|-⌈θ|s|⌉+1 sorted-shingle prefix can reach θ, so the bucket join
+    * explores a tiny candidate set yet returns EXACTLY the all-pairs
+    * answer — which is what the DuckDB oracle computes. Jaccard is an
+    * exact int/int division (bit-identical across engines). */
+  val d05NgramJaccard: Q = Q(
+    "d05_ngram_jaccard",
+    """WITH sh AS (
+      |  SELECT doc_id, list_sort(list_distinct(
+      |           [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+      |            for i in range(1, len(toks) - 1)])) AS s
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      |  WHERE len(toks) >= 3)
+      |SELECT a.doc_id AS i, b.doc_id AS j,
+      |  len(list_intersect(a.s, b.s)) /
+      |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jac
+      |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |WHERE len(list_intersect(a.s, b.s)) /
+      |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.6
+      |ORDER BY i, j""".stripMargin) { (s, d) =>
+    val theta = 0.6
+    val sh = docs(s, d)
+      .select(col("doc_id"), shingles.as("s"))
+      .filter(size(col("s")) > 0)
+    // prefix length |s| - ceil(θ|s|) + 1 over the canonical sort order
+    val prefix = sh.select(col("doc_id"), col("s"),
+      explode(slice(col("s"), lit(1),
+        (size(col("s")) - ceil(size(col("s")) * theta) + 1).cast("int"))).as("ptok"))
+    val inter = size(array_intersect(col("s_i"), col("s_j"))).cast("long")
+    val jac = inter / (size(col("s_i")).cast("long") + size(col("s_j")).cast("long") - inter)
+    prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.ptok") === col("b.ptok") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
+        col("a.s").as("s_i"), col("b.s").as("s_j"))
+      .dropDuplicates("i", "j")
+      .select(col("i"), col("j"), jac.as("jac"))
+      .filter(col("jac") >= theta)
+      .orderBy("i", "j")
+  }
+
+  val all: Seq[Q] = Seq(d01ExactDedup, d02HashDedup, d03MinHashLsh, d04SimHash, d05NgramJaccard)
+}
