@@ -1,3 +1,198 @@
 package graft.ingest
-import graft.Q
-object IngestQueries { val all: Seq[Q] = Seq() }
+
+import graft.{Det, Q}
+import org.apache.spark.sql.functions._
+
+/** Oracle-checked catalog entries for the reference's ingestion pipeline
+  * (SURVEY.md §2.1 O4–O14) over the committed fixtures — plus the JSON/CSV
+  * scan coverage of §2.2. The DuckDB oracle reads the very same fixture
+  * files (read_json/read_csv), so both engines see identical input bytes.
+  */
+object IngestQueries {
+
+  private val F = ArticlePipeline.fixturesDir
+
+  /** Shared oracle fragments. */
+  private val pagesSql =
+    s"""read_json('$F/articles/*/*.json',
+       |  columns={'id':'BIGINT','published_at':'VARCHAR','title':'VARCHAR'},
+       |  hive_partitioning=true)""".stripMargin
+  private val wmSql =
+    s"""(SELECT try_cast(latest_timestamp AS TIMESTAMP) AS wm
+       |  FROM read_json('$F/checkpoints/latest_timestamp.json',
+       |    columns={'latest_timestamp':'VARCHAR'}))""".stripMargin
+
+  /** O1/O4/O10: one multi-file scan unions every page blob; per-page raw
+    * row counts (page 6 is an empty array on both engines → absent). */
+  val i01PageScan: Q = Q(
+    "i01_page_scan",
+    s"""SELECT CAST(page AS INT) AS page, COUNT(*) AS n_raw,
+       |  COUNT(published_at) AS n_with_ts
+       |FROM $pagesSql
+       |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, _) =>
+    ArticlePipeline.readPages(s)
+      .groupBy("page")
+      .agg(count(lit(1)).as("n_raw"), count(col("published_at")).as("n_with_ts"))
+      .orderBy("page")
+  }
+
+  /** O5/O6: ISO-8601 parse with malformed-skip accounting — id 106
+    * (missing), 107 (garbage), 207 (null) surface as n_malformed, never as
+    * batch failures. */
+  val i02TimestampParse: Q = Q(
+    "i02_timestamp_parse",
+    s"""SELECT CAST(page AS INT) AS page, COUNT(*) AS n_raw,
+       |  COUNT(try_cast(published_at AS TIMESTAMP)) AS n_parsed,
+       |  COUNT(*) - COUNT(try_cast(published_at AS TIMESTAMP)) AS n_malformed,
+       |  MIN(try_cast(published_at AS TIMESTAMP)) AS min_ts,
+       |  MAX(try_cast(published_at AS TIMESTAMP)) AS max_ts
+       |FROM $pagesSql
+       |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, _) =>
+    ArticlePipeline.withTs(ArticlePipeline.readPages(s))
+      .groupBy("page")
+      .agg(
+        count(lit(1)).as("n_raw"),
+        count(col("ts")).as("n_parsed"),
+        (count(lit(1)) - count(col("ts"))).as("n_malformed"),
+        min(col("ts")).as("min_ts"),
+        max(col("ts")).as("max_ts"))
+      .orderBy("page")
+  }
+
+  /** O7 (+O13 read): strictly-newer-than-watermark filter. Id 403 sits
+    * exactly AT the watermark and must be absent (strict `>`,
+    * fetch_articles.py:102). */
+  val i03WatermarkFilter: Q = Q(
+    "i03_watermark_filter",
+    s"""SELECT id, try_cast(published_at AS TIMESTAMP) AS ts, CAST(page AS INT) AS page
+       |FROM $pagesSql, $wmSql
+       |WHERE try_cast(published_at AS TIMESTAMP) > wm
+       |ORDER BY id""".stripMargin) { (s, _) =>
+    ArticlePipeline.newSince(
+      ArticlePipeline.keepParsed(ArticlePipeline.readPages(s)),
+      ArticlePipeline.loadWatermark(s))
+      .select("id", "ts", "page")
+      .orderBy("id")
+  }
+
+  /** O9: the running-max watermark advance over the kept batch. */
+  val i04RunningMax: Q = Q(
+    "i04_running_max",
+    s"""SELECT MAX(ts) AS new_watermark, COUNT(*) AS n_new FROM (
+       |  SELECT try_cast(published_at AS TIMESTAMP) AS ts FROM $pagesSql, $wmSql
+       |  WHERE try_cast(published_at AS TIMESTAMP) > wm)""".stripMargin) { (s, _) =>
+    ArticlePipeline.nextWatermark(
+      ArticlePipeline.newSince(
+        ArticlePipeline.keepParsed(ArticlePipeline.readPages(s)),
+        ArticlePipeline.loadWatermark(s)))
+  }
+
+  /** O12/O13: the full incremental run — parse, skip, watermark-filter,
+    * hive date-partitioned JSON sink — then a read-back of the committed
+    * files proves the partition layout (counts per ingest_date come from
+    * the sink's own directories, not the in-memory batch). */
+  val i05PartitionedSink: Q = Q(
+    "i05_partitioned_sink",
+    s"""SELECT CAST(try_cast(published_at AS TIMESTAMP) AS DATE) AS ingest_date,
+       |  COUNT(*) AS n
+       |FROM $pagesSql, $wmSql
+       |WHERE try_cast(published_at AS TIMESTAMP) > wm
+       |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, _) =>
+    val kept = ArticlePipeline.newSince(
+      ArticlePipeline.keepParsed(ArticlePipeline.readPages(s)),
+      ArticlePipeline.loadWatermark(s))
+      .drop("wm")
+    val out = java.nio.file.Files.createTempDirectory("graft_i05_sink_").toString
+    ArticlePipeline.writeDatePartitioned(kept, out)
+    s.read
+      .schema(ArticlePipeline.articleSchema.add("ts", org.apache.spark.sql.types.TimestampType))
+      .json(out)
+      .groupBy("ingest_date")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("ingest_date")
+  }
+
+  /** O11/O14: bounded backfill micro-batch from the page-cursor
+    * checkpoint. The committed cursor is 0 — the max(1, page) floor
+    * (fetch_articles_backfill.py:42) must land the window on pages 1–3. */
+  val i06BackfillCursor: Q = Q(
+    "i06_backfill_cursor",
+    s"""SELECT MIN(page) AS first_page, MAX(page) AS last_page,
+       |  COUNT(DISTINCT page) AS n_pages, COUNT(*) AS n_rows,
+       |  MAX(page) + 1 AS next_cursor
+       |FROM (SELECT CAST(page AS INT) AS page FROM $pagesSql,
+       |  (SELECT greatest(page, 1) AS cursor
+       |   FROM read_json('$F/checkpoints/backfill_page.json', columns={'page':'BIGINT'}))
+       |  WHERE page >= cursor AND page < cursor + 3)""".stripMargin) { (s, _) =>
+    ArticlePipeline.boundedPages(
+      ArticlePipeline.readPages(s), ArticlePipeline.loadBackfillCursor(s), 3)
+      .agg(
+        min(col("page")).as("first_page"),
+        max(col("page")).as("last_page"),
+        countDistinct(col("page")).as("n_pages"),
+        count(lit(1)).as("n_rows"),
+        (max(col("page")) + 1).as("next_cursor"))
+  }
+
+  /** End-to-end incremental summary: per-day new-article counts — the
+    * query a consumer of the reference's blob layout would run. */
+  val i07DailyCounts: Q = Q(
+    "i07_ingest_daily_counts",
+    s"""SELECT CAST(try_cast(published_at AS TIMESTAMP) AS DATE) AS day,
+       |  COUNT(*) AS n, COUNT(DISTINCT id) AS n_ids
+       |FROM $pagesSql, $wmSql
+       |WHERE try_cast(published_at AS TIMESTAMP) > wm
+       |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, _) =>
+    ArticlePipeline.newSince(
+      ArticlePipeline.keepParsed(ArticlePipeline.readPages(s)),
+      ArticlePipeline.loadWatermark(s))
+      .groupBy(col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("id")).as("n_ids"))
+      .orderBy("day")
+  }
+
+  /** O4/O6 line-level: PERMISSIVE newline-delimited read — the two corrupt
+    * lines become all-null rows on both engines (Spark PERMISSIVE null-fill
+    * == DuckDB ignore_errors), counted but never fatal. */
+  val i08JsonlPermissive: Q = Q(
+    "i08_jsonl_permissive",
+    s"""SELECT COUNT(*) AS n_total, COUNT(id) AS n_valid,
+       |  COUNT(*) - COUNT(id) AS n_corrupt
+       |FROM read_json('$F/articles_jsonl/articles.jsonl',
+       |  columns={'id':'BIGINT','published_at':'VARCHAR'},
+       |  format='newline_delimited', ignore_errors=true)""".stripMargin) { (s, _) =>
+    ArticlePipeline.readJsonl(s)
+      .agg(
+        count(lit(1)).as("n_total"),
+        count(col("id")).as("n_valid"),
+        (count(lit(1)) - count(col("id"))).as("n_corrupt"))
+  }
+
+  /** CSV scan (SURVEY §2.2 scans row) with explicit schema + header. */
+  val i09CsvScan: Q = Q(
+    "i09_csv_scan",
+    s"""SELECT category, COUNT(*) AS n,
+       |  ${Det.sqlSum("price")} AS total_price,
+       |  CAST(SUM(CAST(in_stock AS INT)) AS BIGINT) AS n_in_stock
+       |FROM read_csv('$F/prices.csv', header=true,
+       |  columns={'sku':'VARCHAR','category':'VARCHAR','price':'DOUBLE','in_stock':'BOOLEAN'})
+       |GROUP BY category ORDER BY category""".stripMargin) { (s, _) =>
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("sku", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("category", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("price", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("in_stock", org.apache.spark.sql.types.BooleanType)))
+    s.read.schema(schema).option("header", "true").csv(s"$F/prices.csv")
+      .groupBy("category")
+      .agg(
+        count(lit(1)).as("n"),
+        Det.dsum(col("price")).as("total_price"),
+        sum(col("in_stock").cast("int")).as("n_in_stock"))
+      .orderBy("category")
+  }
+
+  val all: Seq[Q] = Seq(
+    i01PageScan, i02TimestampParse, i03WatermarkFilter, i04RunningMax,
+    i05PartitionedSink, i06BackfillCursor, i07DailyCounts,
+    i08JsonlPermissive, i09CsvScan)
+}
