@@ -1,3 +1,142 @@
 package graft.streaming
-import graft.Q
-object StreamingQueries { val all: Seq[Q] = Seq() }
+
+import graft.{Det, Q}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Structured Streaming surface (SURVEY.md §2.2 streaming row; §7 P3):
+  * the `events` table replayed through a file stream with
+  * Trigger.AvailableNow, exercising watermarks, tumbling/sliding windows,
+  * session windows, and dropDuplicatesWithinWatermark — each checked
+  * against its batch-equivalent DuckDB SQL (stream-batch equivalence is
+  * exactly what Structured Streaming's incremental model guarantees, so
+  * the oracle is legitimate, not a weaker proxy).
+  *
+  * Every query runs the real streaming engine (offsets, state store,
+  * micro-batches) to completion inside the catalog fn, lands in a memory
+  * sink, and returns the sink table ordered. The replay dir is a temp
+  * copy of events.parquet so the file-stream source sees exactly one
+  * table. At production scale the same plans run unchanged against a
+  * directory that keeps growing — AvailableNow becomes a real trigger and
+  * the memory sink becomes a partitioned parquet/Kafka sink.
+  */
+object StreamingQueries {
+
+  /** events replayed as a bounded file stream (ts arrives as int64 nanos
+    * under the session's nanosAsLong conf, converted exactly like the
+    * batch reader in Tables). */
+  private def replayedEvents(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_events_")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$d/events.parquet"), dir.resolve("events.parquet"))
+    val raw = s.read.parquet(s"$d/events.parquet").schema
+    val df = s.readStream.schema(raw).parquet(dir.toString)
+    if (raw("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
+
+  /** Run a streaming DataFrame to completion into a memory sink, return
+    * the sink table. Query names are uniqued per invocation (bench runs
+    * each fn twice in one session). */
+  private def runToTable(s: SparkSession, df: DataFrame, mode: String): DataFrame = {
+    val qn = s"graft_sink_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+    val q = df.writeStream
+      .format("memory").queryName(qn)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(qn)
+  }
+
+  /** Tumbling 1-hour windows per event_type with a watermark; complete
+    * mode so the bounded replay emits every window (append would hold
+    * back windows past the final watermark — a replay artifact, not a
+    * semantic difference). */
+  val st01Tumbling: Q = Q(
+    "st01_stream_tumbling",
+    s"""SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start, event_type,
+       |  COUNT(*) AS n, ${Det.sqlSum("value")} AS sum_value
+       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    val agg = replayedEvents(s, d)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_value"))
+    runToTable(s, agg, "complete")
+      .select(col("window.start").as("win_start"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy("win_start", "event_type")
+  }
+
+  /** Sliding 2-hour windows advancing hourly — each event lands in two
+    * windows; the oracle unnests the two window starts per row. */
+  val st02Sliding: Q = Q(
+    "st02_stream_sliding",
+    s"""SELECT win_start, COUNT(*) AS n, ${Det.sqlSum("value")} AS sum_value
+       |FROM (SELECT unnest([time_bucket(INTERVAL '1 hour', ts),
+       |                     time_bucket(INTERVAL '1 hour', ts) - INTERVAL '1 hour']) AS win_start,
+       |             value
+       |      FROM events)
+       |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val agg = replayedEvents(s, d)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "2 hours", "1 hour"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_value"))
+    runToTable(s, agg, "complete")
+      .select(col("window.start").as("win_start"), col("n"), col("sum_value"))
+      .orderBy("win_start")
+  }
+
+  /** Gap-based session windows (5-minute inactivity) per user: the
+    * streaming session_window state machine vs the classic batch
+    * lag/cumsum sessionization — same strict-gap semantics (a gap of
+    * exactly 5 minutes starts a new session on both paths). */
+  val st03Session: Q = Q(
+    "st03_stream_session",
+    """WITH flags AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |          OR ts - lag(ts) OVER w >= INTERVAL '5 minutes' THEN 1 ELSE 0 END AS new_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |sess AS (
+      |  SELECT user_id, ts,
+      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM flags)
+      |SELECT user_id, MIN(ts) AS session_start,
+      |  MAX(ts) + INTERVAL '5 minutes' AS session_end, COUNT(*) AS n
+      |FROM sess GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin) { (s, d) =>
+    val agg = replayedEvents(s, d)
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    runToTable(s, agg, "complete")
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n"))
+      .orderBy("user_id", "session_start")
+  }
+
+  /** Streaming dedup: dropDuplicatesWithinWatermark on (user_id,
+    * event_type) — first occurrence flows through, later ones are
+    * suppressed by the state store. The watermark (40 days) exceeds the
+    * replay's span, so no state eviction: emitted rows == distinct pairs,
+    * which is the batch COUNT(DISTINCT) oracle. */
+  val st04Dedup: Q = Q(
+    "st04_stream_dedup",
+    """SELECT event_type, COUNT(DISTINCT user_id) AS n_unique
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+    val deduped = replayedEvents(s, d)
+      .withWatermark("ts", "40 days")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+    runToTable(s, deduped, "append")
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_unique"))
+      .orderBy("event_type")
+  }
+
+  val all: Seq[Q] = Seq(st01Tumbling, st02Sliding, st03Session, st04Dedup)
+}
