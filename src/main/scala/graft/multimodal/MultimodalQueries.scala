@@ -1,3 +1,137 @@
 package graft.multimodal
-import graft.Q
-object MultimodalQueries { val all: Seq[Q] = Seq() }
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (LLM north star): image/audio/video payloads
+  * as opaque BINARY columns with typed metadata, plus the decode /
+  * feature-extract / resize / frame-sample stages a training-data
+  * pipeline runs over them.
+  *
+  * The actual codec work is STUBBED — this container has no image/audio
+  * libraries, so `decode` derives dimensions deterministically from the
+  * payload (documented at each site). Everything around the stub is real:
+  * the binary schema, the per-partition batch processing shape
+  * (mapPartitions over an iterator — where a production impl would hand
+  * each batch to a native decoder), the metadata structs, and the
+  * frame-sampling explode. Payloads are synthesized from `documents.text`
+  * so the fixtures stay driver-generated.
+  */
+object MultimodalQueries {
+
+  private def docs(s: SparkSession, d: String): DataFrame = Tables.t(s, d, "documents")
+
+  /** The synthetic asset table: binary payload + modality tag. */
+  private def assets(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(
+      col("doc_id").as("asset_id"),
+      when(col("doc_id") % 3 === 0, "image")
+        .when(col("doc_id") % 3 === 1, "audio")
+        .otherwise("video").as("kind"),
+      col("text").cast("binary").as("payload"),
+      col("n_chars"))
+
+  /** Binary asset catalog: payload sizes and content digests per modality.
+    * length() on BINARY is byte length (== octet_length in DuckDB). */
+  val m01AssetCatalog: Q = Q(
+    "m01_asset_catalog",
+    """SELECT kind, COUNT(*) AS n_assets,
+      |  CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+      |  MIN(md5(text)) AS min_digest
+      |FROM (SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |             WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+      |             text
+      |      FROM documents)
+      |GROUP BY kind ORDER BY kind""".stripMargin) { (s, d) =>
+    assets(s, d)
+      .withColumn("digest", md5(col("payload")))
+      .groupBy("kind")
+      .agg(
+        count(lit(1)).as("n_assets"),
+        sum(length(col("payload"))).cast("long").as("total_bytes"),
+        min(col("digest")).as("min_digest"))
+      .orderBy("kind")
+  }
+
+  /** Decode stub → typed metadata struct. A real pipeline would parse the
+    * container header here; the stub derives width/height from the first
+    * 4 md5 hex digits of the payload (deterministic, engine-portable).
+    * The metadata travels as a nested struct — the schema a downstream
+    * trainer would consume. */
+  val m02DecodeMeta: Q = Q(
+    "m02_decode_meta",
+    """SELECT asset_id,
+      |  struct_pack(width := w, height := h, channels := 3) AS meta
+      |FROM (SELECT doc_id AS asset_id,
+      |        64 + ('0x' || substr(md5(text), 1, 4))::BIGINT % 1857 AS w,
+      |        64 + ('0x' || substr(md5(text), 5, 4))::BIGINT % 1017 AS h
+      |      FROM documents)
+      |ORDER BY asset_id""".stripMargin) { (s, d) =>
+    val w = lit(64L) + conv(substring(md5(col("payload")), 1, 4), 16, 10).cast("long") % 1857
+    val h = lit(64L) + conv(substring(md5(col("payload")), 5, 4), 16, 10).cast("long") % 1017
+    assets(s, d)
+      .select(col("asset_id"),
+        struct(w.as("width"), h.as("height"), lit(3).as("channels")).as("meta"))
+      .orderBy("asset_id")
+  }
+
+  /** Resize planning through the real batch-processing shape: mapPartitions
+    * over the binary payloads — the seam where a production decoder (JNI /
+    * native lib) consumes one partition-batch at a time. The "decode" in
+    * the lambda is the same deterministic stub as m02 (md5 via MessageDigest
+    * — byte-identical to the SQL md5); the resize math (fit longest side to
+    * 224, floor) is exact integer arithmetic on both engines. */
+  val m03ResizeBatch: Q = Q(
+    "m03_resize_batch",
+    """SELECT asset_id, w, h,
+      |  CASE WHEN w >= h THEN 224 ELSE (w * 224) // h END AS out_w,
+      |  CASE WHEN w >= h THEN (h * 224) // w ELSE 224 END AS out_h
+      |FROM (SELECT doc_id AS asset_id,
+      |        64 + ('0x' || substr(md5(text), 1, 4))::BIGINT % 1857 AS w,
+      |        64 + ('0x' || substr(md5(text), 5, 4))::BIGINT % 1017 AS h
+      |      FROM documents)
+      |ORDER BY asset_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    assets(s, d)
+      .select(col("asset_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        // one MessageDigest per partition — the per-batch setup cost a real
+        // decoder would amortize the same way
+        val digest = java.security.MessageDigest.getInstance("MD5")
+        batch.map { case (id, payload) =>
+          digest.reset()
+          val hex = digest.digest(payload).map("%02x".format(_)).mkString
+          val w = 64L + java.lang.Long.parseLong(hex.substring(0, 4), 16) % 1857
+          val h = 64L + java.lang.Long.parseLong(hex.substring(4, 8), 16) % 1017
+          val (ow, oh) = if (w >= h) (224L, h * 224 / w) else (w * 224 / h, 224L)
+          (id, w, h, ow, oh)
+        }
+      }
+      .toDF("asset_id", "w", "h", "out_w", "out_h")
+      .orderBy("asset_id")
+  }
+
+  /** Frame sampling for the video assets: fake frame count from payload
+    * size, sample every 30th frame, one row per sampled frame with a
+    * per-frame fingerprint — the classic explode fan-out a video pipeline
+    * feeds to batched frame decoding. */
+  val m04FrameSample: Q = Q(
+    "m04_frame_sample",
+    """SELECT asset_id, frame_idx, md5(text || ':' || frame_idx) AS frame_fp
+      |FROM (SELECT doc_id AS asset_id, text,
+      |        unnest(range(0, 30 + n_chars % 300, 30)) AS frame_idx
+      |      FROM documents WHERE doc_id % 3 = 2)
+      |ORDER BY asset_id, frame_idx""".stripMargin) { (s, d) =>
+    docs(s, d)
+      .filter(col("doc_id") % 3 === 2)
+      .select(col("doc_id").as("asset_id"), col("text"),
+        explode(sequence(lit(0L), lit(29L) + col("n_chars") % 300, lit(30L))).as("frame_idx"))
+      .select(col("asset_id"), col("frame_idx"),
+        md5(concat(col("text"), lit(":"), col("frame_idx").cast("string"))).as("frame_fp"))
+      .orderBy("asset_id", "frame_idx")
+  }
+
+  val all: Seq[Q] = Seq(m01AssetCatalog, m02DecodeMeta, m03ResizeBatch, m04FrameSample)
+}
