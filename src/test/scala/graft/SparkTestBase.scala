@@ -1,0 +1,24 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One shared local session for the whole forked test JVM (a per-suite
+  * session would pay ~5 s of context startup each). Config mirrors the
+  * Verify/Bench harness: UTC, small shuffle width, nanos-as-long for the
+  * events table. */
+object SparkTestBase {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  /** Smoke-tier data — correctness semantics don't need volume. */
+  val sfDir = "/root/testdata/sf0.001"
+}

@@ -1,0 +1,68 @@
+package graft.dedup
+
+import graft.{SparkTestBase, Tables}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The near-dup machinery against ground truth: the prefix-filtered exact
+  * join must equal brute force, and MinHash must both find the planted
+  * high-similarity pairs and estimate their similarity sanely. */
+class DedupSpec extends AnyFunSuite {
+  private lazy val s = SparkTestBase.spark
+  private val d = SparkTestBase.sfDir
+
+  /** Brute-force all-pairs exact Jaccard >= theta over 3-gram shingles. */
+  private def bruteForce(theta: Double) = {
+    val toks = split(col("text"), " ")
+    val sh = Tables.t(s, d, "documents")
+      .select(col("doc_id"), sort_array(array_distinct(transform(
+        sequence(lit(1), greatest(size(toks) - 2, lit(0))),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))))
+        .as("sh"))
+      .filter(size(col("sh")) > 0)
+    val inter = size(array_intersect(col("a.sh"), col("b.sh"))).cast("long")
+    val jac = inter / (size(col("a.sh")).cast("long") + size(col("b.sh")).cast("long") - inter)
+    sh.as("a").crossJoin(sh.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"), jac.as("jac"))
+      .filter(col("jac") >= theta)
+  }
+
+  test("prefix-filtered Jaccard join is lossless: equals brute-force all-pairs") {
+    val pruned = DedupQueries.d05NgramJaccard.fn(s, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val brute = bruteForce(0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pruned == brute)
+    assert(brute.nonEmpty, "the corpus plants near-dup pairs; an empty set means the shingling broke")
+  }
+
+  test("MinHash LSH finds every planted pair with true Jaccard >= 0.9") {
+    val truth = bruteForce(0.9).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = DedupQueries.d03MinHashLsh.fn(s, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty)
+    assert(truth.subsetOf(found),
+      s"missed planted pairs: ${truth -- found} (32-perm signatures collide on >=0.9 with overwhelming probability)")
+  }
+
+  test("MinHash similarity estimate tracks exact Jaccard on reported pairs") {
+    val exact = bruteForce(0.0).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val est = DedupQueries.d03MinHashLsh.fn(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+    assert(est.nonEmpty)
+    est.foreach { case (pair, e) =>
+      val j = exact.getOrElse(pair, 0.0)
+      assert(math.abs(e - j) <= 0.3,
+        s"pair $pair: estimate $e vs exact $j — 32 permutations bound the error well under 0.3")
+    }
+  }
+
+  test("exact dedup keeps one representative per text group") {
+    val out = DedupQueries.d01ExactDedup.fn(s, d)
+    val total = Tables.t(s, d, "documents").count()
+    assert(out.agg(sum(col("group_size"))).collect().head.getLong(0) == total)
+    assert(out.select("keep_id").distinct().count() == out.count())
+  }
+}
