@@ -14,6 +14,7 @@ object SparkEntry {
   def catalog: Seq[Q] = {
     val all =
       relational.RelationalQueries.all ++
+        functions.UdfQueries.all ++
         scalar.ScalarFunctionQueries.all ++
         ingest.IngestQueries.all ++
         dedup.DedupQueries.all ++

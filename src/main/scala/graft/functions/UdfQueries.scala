@@ -1,0 +1,79 @@
+package graft.functions
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** The UD* extension surface (SURVEY §2.2 last row): a typed Aggregator
+  * UDAF, a scalar UDF, and a typed-Dataset flatMap (the UDTF/Generator
+  * shape). These exist to prove the extension points work end-to-end —
+  * the engine's own operators deliberately avoid them (built-ins are
+  * codegen'd; a scalar UDF boxes every row), and each entry's oracle is
+  * plain SQL so the custom code is verified against the relational
+  * semantics it reimplements.
+  */
+object UdfQueries {
+
+  /** Typed UDAF: sum of squares. Buffer and result are exact Longs, so
+    * merge order can't change the answer (partial aggregation stays
+    * parallel, like any built-in). */
+  private object SumSq extends Aggregator[Long, Long, Long] {
+    def zero: Long = 0L
+    def reduce(b: Long, a: Long): Long = b + a * a
+    def merge(b1: Long, b2: Long): Long = b1 + b2
+    def finish(r: Long): Long = r
+    def bufferEncoder: org.apache.spark.sql.Encoder[Long] = Encoders.scalaLong
+    def outputEncoder: org.apache.spark.sql.Encoder[Long] = Encoders.scalaLong
+  }
+
+  val u01Udaf: Q = Q(
+    "u01_udaf_sumsq",
+    """SELECT l_returnflag, COUNT(*) AS n,
+      |  CAST(SUM(l_linenumber * l_linenumber) AS BIGINT) AS sumsq
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    val sumsq = udaf(SumSq, Encoders.scalaLong)
+    Tables.t(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sumsq(col("l_linenumber").cast("long")).as("sumsq"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Scalar UDF: slugify. The same transform is expressible with built-in
+    * lower+replace (which is what the oracle uses) — the entry verifies
+    * the UDF execution path, not a new capability. */
+  val u02ScalarUdf: Q = Q(
+    "u02_scalar_udf",
+    """SELECT p_partkey, replace(lower(p_name), ' ', '-') AS slug
+      |FROM part WHERE p_partkey <= 80 ORDER BY p_partkey""".stripMargin) { (s, d) =>
+    val slugify = udf((name: String) =>
+      if (name == null) null else name.toLowerCase.replace(' ', '-'))
+    Tables.t(s, d, "part")
+      .filter(col("p_partkey") <= 80)
+      .select(col("p_partkey"), slugify(col("p_name")).as("slug"))
+      .orderBy("p_partkey")
+  }
+
+  /** UDTF shape: a typed-Dataset flatMap fanning each row out to many
+    * (the Generator contract), then a relational agg on top. */
+  val u03TypedFlatMap: Q = Q(
+    "u03_typed_flatmap",
+    """SELECT tok, COUNT(*) AS n
+      |FROM (SELECT unnest(string_split(text, ' ')) AS tok
+      |      FROM documents WHERE lang = 'en')
+      |GROUP BY tok ORDER BY n DESC, tok LIMIT 20""".stripMargin) { (s, d) =>
+    import s.implicits._
+    Tables.t(s, d, "documents")
+      .filter(col("lang") === "en")
+      .select(col("text")).as[String]
+      .flatMap(_.split(' '))
+      .toDF("tok")
+      .groupBy("tok")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok"))
+      .limit(20)
+  }
+
+  val all: Seq[Q] = Seq(u01Udaf, u02ScalarUdf, u03TypedFlatMap)
+}

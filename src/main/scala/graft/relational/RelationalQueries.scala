@@ -615,11 +615,46 @@ object RelationalQueries {
       .orderBy("l_returnflag")
   }
 
+  /** As-of join (SURVEY §2.2, deferred until now): each purchase matched
+    * to the user's most recent click at-or-before it. Spark has no ASOF
+    * operator; the scalable formulation is the union trick — tag both
+    * sides, sort per user by (ts, side) so a click at the exact purchase
+    * timestamp sorts first (inclusive >= semantics), and carry the last
+    * non-null click time forward with a running last(ignoreNulls) frame.
+    * One shuffle on user_id, every partition independent — no point
+    * lookup per row, no range join blowup. Oracle: DuckDB's native
+    * ASOF LEFT JOIN. Gap is compared in exact integer microseconds. */
+  val q29AsofJoin: Q = Q(
+    "q29_asof_join",
+    """WITH purchases AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+      |     clicks AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+      |SELECT p.event_id, p.user_id, p.ts, c.ts AS click_ts,
+      |  epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+      |FROM purchases p ASOF LEFT JOIN clicks c
+      |  ON p.user_id = c.user_id AND p.ts >= c.ts
+      |ORDER BY p.event_id""".stripMargin) { (s, d) =>
+    val ev = Tables.t(s, d, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), lit(0).as("side"),
+        lit(null).cast("long").as("event_id"), col("ts").as("click_src"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(1).as("side"),
+        col("event_id"), lit(null).cast("timestamp").as("click_src"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(purchases)
+      .withColumn("click_ts", last(col("click_src"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("event_id"), col("user_id"), col("ts"), col("click_ts"),
+        (unix_micros(col("ts")) - unix_micros(col("click_ts"))).as("gap_us"))
+      .orderBy("event_id")
+  }
+
   val all: Seq[Q] = Seq(
     q01ScanProject, q02Predicates, q03AggBasic, q04AggDistinct, q05Rollup,
     q06Cube, q07JoinBroadcast, q08JoinMultiway, q09JoinOuter, q10JoinFull,
     q11SemiJoin, q12AntiJoin, q13CrossJoin, q14RangeJoin, q15WindowRank,
     q16WindowFrames, q17LagLead, q18Ntile, q19TopKGlobal, q20TopKPerGroup,
     q21SetOps, q22UnionDistinct, q23ScalarSubquery, q24CorrelatedSubquery,
-    q25Having, q26CaseWhen, q27GroupingSets, q28ApproxDistinct)
+    q25Having, q26CaseWhen, q27GroupingSets, q28ApproxDistinct, q29AsofJoin)
 }
