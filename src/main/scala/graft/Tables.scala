@@ -29,6 +29,29 @@ object Tables {
   }
 }
 
+/** Temp-parquet stage materialization.
+  *
+  * Two reasons a stage gets written out instead of staying lazy:
+  *  1. Self-joins: both sides of a bucket self-join would otherwise
+  *     recompute the full upstream pipeline (signatures, shingles) —
+  *     materializing evaluates it once and both sides scan the result.
+  *  2. Catalyst's projection collapse: chained selects merge, and an
+  *     expensive array expression referenced k times in the next
+  *     projection gets INLINED k times (e.g. a 64-bit signature loop
+  *     re-evaluating its vote aggregate per bit). A parquet boundary pins
+  *     the column as data.
+  * At cluster scale this is the standard "checkpoint the expensive
+  * narrow stage" pattern; the write is columnar and the cost is measured
+  * inside the query (no hidden caching across bench runs).
+  */
+object Stage {
+  def materialize(spark: SparkSession, df: DataFrame, tag: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory(s"graft_stage_${tag}_").toString
+    df.write.mode("overwrite").parquet(dir)
+    spark.read.parquet(dir)
+  }
+}
+
 /** Cross-engine-deterministic numeric helpers.
   *
   * Floating-point SUM is order-dependent, and Spark's partial/final

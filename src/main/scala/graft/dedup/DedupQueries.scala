@@ -1,6 +1,6 @@
 package graft.dedup
 
-import graft.{Q, Tables}
+import graft.{Q, Stage, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -74,11 +74,18 @@ object DedupQueries {
     val P = 32 // permutations
     val B = 8  // bands
     val R = 4  // rows per band
-    val withSig = docs(s, d)
-      .select(col("doc_id"), shingles.as("sh"))
-      .filter(size(col("sh")) > 0)
-      .withColumn("sig", array((0 until P).map(p =>
+    // Shingles materialize first: the 32 per-permutation array_min
+    // transforms each reference the shingle column, and projection
+    // collapse would inline the shingling 32x per doc. The signature
+    // stage materializes too so the band self-join computes it once.
+    val shingled = Stage.materialize(s,
+      docs(s, d).select(col("doc_id"), shingles.as("sh")).filter(size(col("sh")) > 0),
+      "d03sh")
+    val withSig = Stage.materialize(s,
+      shingled.withColumn("sig", array((0 until P).map(p =>
         array_min(transform(col("sh"), x => xxhash64(lit(p), x)))): _*))
+        .select("doc_id", "sig"),
+      "d03sig")
     val bandKeys = array((0 until B).map(b =>
       xxhash64((0 until R).map(r => element_at(col("sig"), b * R + r + 1)): _*)): _*)
     // The signature rides along through the band explode so candidate
@@ -118,9 +125,14 @@ object DedupQueries {
       """aggregate(
         |  transform(sequence(0, 63), j -> IF(element_at(votes, j + 1) > 0, shiftleft(1L, j), 0L)),
         |  0L, (acc, x) -> acc | x)""".stripMargin)
-    val withSim = docs(s, d)
-      .select(col("doc_id"), votes.as("votes"))
-      .select(col("doc_id"), simhash.as("sim"))
+    // The vote aggregate MUST materialize before the per-bit packing:
+    // projection collapse would otherwise inline the whole O(tokens*64)
+    // aggregate into each of the 64 bit lambdas (O(tokens*64^2) per doc —
+    // observed 250+ s at sf0.1, ~2 s materialized).
+    val votesDf = Stage.materialize(s,
+      docs(s, d).select(col("doc_id"), votes.as("votes")), "d04votes")
+    val withSim = Stage.materialize(s,
+      votesDf.select(col("doc_id"), simhash.as("sim")), "d04sim")
     val blocks = withSim.select(col("doc_id"), col("sim"),
       posexplode(array((0 until 4).map(b =>
         shiftrightunsigned(col("sim"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
@@ -158,21 +170,38 @@ object DedupQueries {
       |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.6
       |ORDER BY i, j""".stripMargin) { (s, d) =>
     val theta = 0.6
-    val sh = docs(s, d)
-      .select(col("doc_id"), shingles.as("s"))
-      .filter(size(col("s")) > 0)
-    // prefix length |s| - ceil(θ|s|) + 1 over the canonical sort order
-    val prefix = sh.select(col("doc_id"), col("s"),
-      explode(slice(col("s"), lit(1),
-        (size(col("s")) - ceil(size(col("s")) * theta) + 1).cast("int"))).as("ptok"))
-    val inter = size(array_intersect(col("s_i"), col("s_j"))).cast("long")
-    val jac = inter / (size(col("s_i")).cast("long") + size(col("s_j")).cast("long") - inter)
-    prefix.as("a")
+    val sh = Stage.materialize(s,
+      docs(s, d).select(col("doc_id"), shingles.as("s")).filter(size(col("s")) > 0),
+      "d05sh")
+    // PPJoin proper: the prefix order must be a corpus-wide total order,
+    // and the right one is ASCENDING DOCUMENT FREQUENCY — prefixes then
+    // hold each doc's rarest shingles, so the candidate join's buckets
+    // stay tiny. (Lexicographic order is equally lossless but pathological
+    // on a shared-vocabulary corpus: every prefix holds the same
+    // alphabetically-small shingles and the join degenerates toward
+    // all-pairs — observed 31 s vs 4 s at sf0.1.) Ties break on the
+    // shingle string, so the order is total and shared by both join sides.
+    val dfCounts = sh.select(explode(col("s")).as("shingle"))
+      .groupBy("shingle").agg(count(lit(1)).as("df"))
+    val ranked = sh.select(col("doc_id"), explode(col("s")).as("shingle"))
+      .join(dfCounts, "shingle")
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("df"), col("shingle")))).as("ordered"))
+    val prefix = ranked.select(col("doc_id"),
+      explode(slice(transform(col("ordered"), o => o.getField("shingle")), lit(1),
+        (size(col("ordered")) - ceil(size(col("ordered")) * theta) + 1).cast("int"))).as("ptok"))
+    // Candidates travel as bare id pairs; the shingle arrays join back in
+    // only for the surviving pairs' exact verification.
+    val cand = prefix.as("a")
       .join(prefix.as("b"),
         col("a.ptok") === col("b.ptok") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
-        col("a.s").as("s_i"), col("b.s").as("s_j"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
       .dropDuplicates("i", "j")
+    val inter = size(array_intersect(col("s_i"), col("s_j"))).cast("long")
+    val jac = inter / (size(col("s_i")).cast("long") + size(col("s_j")).cast("long") - inter)
+    cand
+      .join(sh.select(col("doc_id").as("i"), col("s").as("s_i")), Seq("i"))
+      .join(sh.select(col("doc_id").as("j"), col("s").as("s_j")), Seq("j"))
       .select(col("i"), col("j"), jac.as("jac"))
       .filter(col("jac") >= theta)
       .orderBy("i", "j")

@@ -411,13 +411,12 @@ object RelationalQueries {
     // count collect and the final join read identical bytes. At scale this
     // is one extra (2-column) write+scan, the price of a deterministic
     // global numbering.
-    val staged = cust(s, d)
-      .select(col("c_acctbal"), col("c_custkey"))
-      .repartitionByRange(col("c_acctbal"), col("c_custkey"))
-      .withColumn("pid", spark_partition_id())
-    val tmp = java.nio.file.Files.createTempDirectory("graft_q18_stage1_").toString
-    staged.write.mode("overwrite").parquet(tmp)
-    val sorted = s.read.parquet(tmp)
+    val sorted = graft.Stage.materialize(s,
+      cust(s, d)
+        .select(col("c_acctbal"), col("c_custkey"))
+        .repartitionByRange(col("c_acctbal"), col("c_custkey"))
+        .withColumn("pid", spark_partition_id()),
+      "q18range")
     val counts = sorted.groupBy("pid").agg(count(lit(1)).as("cnt"))
       .orderBy("pid").collect()
     val n = counts.map(_.getLong(1)).sum

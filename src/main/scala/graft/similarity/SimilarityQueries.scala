@@ -1,6 +1,6 @@
 package graft.similarity
 
-import graft.{Q, Tables}
+import graft.{Q, Stage, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -105,20 +105,34 @@ object SimilarityQueries {
     * exact cosine >= 0.4. Bucket join — never all-pairs. */
   val v04EmbeddingNearDup: Q = Q.noOracle("v04_embedding_neardup") { (s, d) =>
     val ps = planes(4)
-    val e = emb(s, d)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("bucket", bucketOf(col("v"), ps))
-    val probed = e.select(col("vec_id"), col("v"),
+    // Buckets AND norms materialize once (Stage): the self-join would
+    // otherwise evaluate the 4 plane dots per side, and pre-computed norms
+    // reduce pair verification to a single dot product.
+    val e = Stage.materialize(s,
+      emb(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("bucket", bucketOf(col("v"), ps))
+        .withColumn("nrm", sqrt(dot(col("v"), col("v")))),
+      "v04buckets")
+    // Candidates are generated as bare id pairs — carrying the 64-double
+    // vectors through the bucket join's quadratic fan-out was the dominant
+    // cost (3 GB of shuffle at sf0.1); the vectors join back in on vec_id
+    // only for the deduped survivors.
+    val probed = e.select(col("vec_id"),
       explode(array(
         col("bucket"),
         col("bucket").bitwiseXOR(1), col("bucket").bitwiseXOR(2),
         col("bucket").bitwiseXOR(4), col("bucket").bitwiseXOR(8))).as("pb"))
-    probed.as("a")
+    val cand = probed.as("a")
       .join(probed.as("b"), col("a.pb") === col("b.pb") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
-        col("a.v").as("vi"), col("b.v").as("vj"))
+      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"))
       .dropDuplicates("i", "j")
-      .select(col("i"), col("j"), cosine(col("vi"), col("vj")).as("cos_sim"))
+    val cos = least(greatest(
+      dot(col("vi"), col("vj")) / (col("ni") * col("nj")), lit(-1.0)), lit(1.0))
+    cand
+      .join(e.select(col("vec_id").as("i"), col("v").as("vi"), col("nrm").as("ni")), Seq("i"))
+      .join(e.select(col("vec_id").as("j"), col("v").as("vj"), col("nrm").as("nj")), Seq("j"))
+      .select(col("i"), col("j"), cos.as("cos_sim"))
       .filter(col("cos_sim") >= 0.4)
       .orderBy("i", "j")
   }
