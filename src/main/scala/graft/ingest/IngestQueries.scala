@@ -191,8 +191,29 @@ object IngestQueries {
       .orderBy("category")
   }
 
+  /** O1/O8 via the custom DataSource V2 article source: the watermark
+    * predicate pushes into the scan, which walks pages newest-first and
+    * terminates the whole read at the first stale row — later pages are
+    * never parsed (asserted in ArticleSourceSpec). The residual filter
+    * uses the raw ISO string comparison (lexicographic == chronological
+    * for this fixed format) plus a parse-null guard, both stated
+    * identically in the oracle. */
+  val i10V2SourceScan: Q = Q(
+    "i10_v2_source_scan",
+    s"""SELECT id, CAST(page AS INT) AS page FROM $pagesSql
+       |WHERE published_at > '2025-06-01T12:00:00Z'
+       |  AND try_cast(published_at AS TIMESTAMP) IS NOT NULL
+       |ORDER BY id""".stripMargin) { (s, _) =>
+    s.read.format("graft.sources.ArticleSourceProvider")
+      .option("path", s"$F/articles").load()
+      .filter(col("published_at") > lit("2025-06-01T12:00:00Z")
+        && try_to_timestamp(col("published_at")).isNotNull)
+      .select("id", "page")
+      .orderBy("id")
+  }
+
   val all: Seq[Q] = Seq(
     i01PageScan, i02TimestampParse, i03WatermarkFilter, i04RunningMax,
     i05PartitionedSink, i06BackfillCursor, i07DailyCounts,
-    i08JsonlPermissive, i09CsvScan)
+    i08JsonlPermissive, i09CsvScan, i10V2SourceScan)
 }
