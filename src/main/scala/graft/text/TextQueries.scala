@@ -47,11 +47,17 @@ object TextQueries {
       |  FROM (SELECT string_split(text, ' ') AS toks FROM documents)
       |  WHERE len(toks) >= 3)
       |GROUP BY ngram ORDER BY n DESC, ngram LIMIT 40""".stripMargin) { (s, d) =>
+    // Tokens materialize first: the gram lambda holds three element_at
+    // references, and projection collapse would inline the split() into
+    // each — re-tokenizing every doc ~3x per gram (graft.Stage scaladoc).
+    val toksDf = graft.Stage.materialize(s,
+      docs(s, d).select(split(col("text"), " ").as("toks")).filter(size(col("toks")) >= 3),
+      "t02toks")
+    val t = col("toks")
     val grams = transform(
-      sequence(lit(1), size(toks) - 2),
-      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))
-    docs(s, d)
-      .filter(size(toks) >= 3)
+      sequence(lit(1), size(t) - 2),
+      i => concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)))
+    toksDf
       .select(explode(grams).as("ngram"))
       .groupBy("ngram")
       .agg(count(lit(1)).as("n"))
