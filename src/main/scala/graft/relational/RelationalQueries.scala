@@ -601,16 +601,17 @@ object RelationalQueries {
         |ORDER BY rflag, lstatus, g_rflag, g_lstatus""".stripMargin)
   }
 
-  /** HLL++ approximate distinct (SURVEY §2.2 aggregation row). No oracle:
-    * DuckDB's approx_count_distinct uses a different sketch, so values can't
-    * hash-match; the driver's rows>0 smoke applies. The companion exact
-    * counts are asserted equal-within-5% in AggregationSpec. */
+  /** HLL++ approximate distinct (SURVEY §2.2 aggregation row) at 2%
+    * relative standard deviation (the precision knob a 100 TB pipeline
+    * tunes instead of paying exact-distinct's double shuffle). No oracle:
+    * DuckDB's sketch differs, so values can't hash-match; the driver's
+    * rows>0 smoke applies and AggregationSpec asserts within-5%-of-exact. */
   val q28ApproxDistinct: Q = Q.noOracle("q28_approx_distinct") { (s, d) =>
     li(s, d)
       .groupBy("l_returnflag")
       .agg(
-        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-        approx_count_distinct(col("l_partkey")).as("approx_parts"))
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
       .orderBy("l_returnflag")
   }
 
@@ -649,11 +650,80 @@ object RelationalQueries {
       .orderBy("event_id")
   }
 
+  /** Null-safe equality (<=> / IS NOT DISTINCT FROM) vs three-valued `=`:
+    * derived nullable columns make the distinction observable — 'P' rows
+    * compare equal on both, 'O'/'F' rows are NULL-vs-value (ns_eq false,
+    * plain = unknown). */
+  val q30NullSafeEq: Q = Q(
+    "q30_nullsafe_eq",
+    """WITH t AS (SELECT NULLIF(o_orderstatus, 'O') AS a, NULLIF(o_orderstatus, 'F') AS b
+      |           FROM orders)
+      |SELECT a IS NOT DISTINCT FROM b AS ns_eq,
+      |  COUNT(*) AS n, COUNT(CASE WHEN a = b THEN 1 END) AS n_plain_eq
+      |FROM t GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    ord(s, d)
+      .select(
+        nullif(col("o_orderstatus"), lit("O")).as("a"),
+        nullif(col("o_orderstatus"), lit("F")).as("b"))
+      .groupBy((col("a") <=> col("b")).as("ns_eq"))
+      .agg(count(lit(1)).as("n"),
+        count(when(col("a") === col("b"), 1)).as("n_plain_eq"))
+      .orderBy("ns_eq")
+  }
+
+  /** Salted two-stage aggregation — the skew pattern from the brief: a
+    * 5-value group key would hand each final reducer 1/5 of 100 TB, so
+    * stage 1 fans each key across 16 salt buckets (80 parallel partials)
+    * and stage 2 combines the 80 tiny partial rows. Partials stay exact
+    * DECIMAL so the two-stage double sum is bit-identical to Det.dsum's
+    * single-stage result. */
+  val q31SaltedAgg: Q = Q(
+    "q31_salted_agg",
+    s"""SELECT event_type, COUNT(*) AS n, ${Det.sqlSum("value")} AS sum_value
+       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+    Tables.t(s, d, "events")
+      .groupBy(col("event_type"), pmod(xxhash64(col("event_id")), lit(16)).as("salt"))
+      .agg(count(lit(1)).as("pn"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(28, 8))).as("psum"))
+      .groupBy("event_type")
+      .agg(sum(col("pn")).as("n"), sum(col("psum")).cast("double").as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  /** Bucketed co-located join: both fact tables land bucketed (and
+    * sorted) on the join key, so the merge-hinted join needs NO exchange
+    * and NO sort — the 100 TB co-location strategy. BucketedJoinSpec
+    * asserts the plan is shuffle-free; results checked against the plain
+    * join oracle. Bucket tables are written per invocation (the write is
+    * part of the measured cost — at scale it's amortized across every
+    * downstream join). */
+  val q32BucketedJoin: Q = Q(
+    "q32_bucketed_join",
+    """SELECT c_mktsegment, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,8))) AS DOUBLE) AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+    val tag = java.util.UUID.randomUUID.toString.replace("-", "")
+    val dir = java.nio.file.Files.createTempDirectory(s"graft_bucketed_$tag")
+    val (to, tc) = (s"graft_ord_$tag", s"graft_cust_$tag")
+    ord(s, d).write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .option("path", dir.resolve("orders").toString).saveAsTable(to)
+    cust(s, d).write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .option("path", dir.resolve("customer").toString).saveAsTable(tc)
+    s.table(to).hint("merge")
+      .join(s.table(tc).hint("merge"), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"), Det.dsum(col("o_totalprice")).as("revenue"))
+      .orderBy("c_mktsegment")
+  }
+
   val all: Seq[Q] = Seq(
     q01ScanProject, q02Predicates, q03AggBasic, q04AggDistinct, q05Rollup,
     q06Cube, q07JoinBroadcast, q08JoinMultiway, q09JoinOuter, q10JoinFull,
     q11SemiJoin, q12AntiJoin, q13CrossJoin, q14RangeJoin, q15WindowRank,
     q16WindowFrames, q17LagLead, q18Ntile, q19TopKGlobal, q20TopKPerGroup,
     q21SetOps, q22UnionDistinct, q23ScalarSubquery, q24CorrelatedSubquery,
-    q25Having, q26CaseWhen, q27GroupingSets, q28ApproxDistinct, q29AsofJoin)
+    q25Having, q26CaseWhen, q27GroupingSets, q28ApproxDistinct, q29AsofJoin,
+    q30NullSafeEq, q31SaltedAgg, q32BucketedJoin)
 }

@@ -138,5 +138,36 @@ object StreamingQueries {
       .orderBy("event_type")
   }
 
-  val all: Seq[Q] = Seq(st01Tumbling, st02Sliding, st03Session, st04Dedup)
+  /** Arbitrary stateful processing: flatMapGroupsWithState maintaining a
+    * per-user (count, max-event-time) state machine — the generalized
+    * form of the reference's watermark-cursor state (O9/O13/O14). Each
+    * micro-batch emits the updated state; the sink is folded to the final
+    * value per user, which the batch oracle reproduces as COUNT/MAX. */
+  val st05Stateful: Q = Q(
+    "st05_stream_stateful",
+    """SELECT user_id, COUNT(*) AS n_events, MAX(ts) AS last_ts
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val typed = replayedEvents(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .as[(Long, Long)]
+    val updated = typed
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, evs: Iterator[(Long, Long)], state: GroupState[(Long, Long)]) =>
+          val batch = evs.toSeq
+          val (n0, m0) = state.getOption.getOrElse((0L, Long.MinValue))
+          val next = (n0 + batch.size, math.max(m0, batch.map(_._2).max))
+          state.update(next)
+          Iterator.single((uid, next._1, next._2))
+      }
+    runToTable(s, updated.toDF("user_id", "n_events", "ts_us"), "append")
+      .groupBy("user_id")
+      .agg(max(col("n_events")).as("n_events"),
+        timestamp_micros(max(col("ts_us"))).as("last_ts"))
+      .orderBy("user_id")
+  }
+
+  val all: Seq[Q] = Seq(st01Tumbling, st02Sliding, st03Session, st04Dedup, st05Stateful)
 }
