@@ -22,12 +22,14 @@ object Explain {
     spark.sparkContext.setLogLevel("WARN")
     val q = SparkEntry.catalog.find(_.name == name)
       .getOrElse(sys.error(s"no catalog entry named $name"))
+    // Timer wraps fn too: queries with eager stage materialization do real
+    // work before the sink write, same as Bench measures it.
+    val t0 = System.nanoTime()
     val df = q.fn(spark, sfDir)
     df.explain("formatted")
     if (run) {
-      val t0 = System.nanoTime()
       df.write.format("noop").mode("overwrite").save()
-      println(f"[explain] $name ran in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      println(f"[explain] $name ran in ${(System.nanoTime() - t0) / 1e9}%.2f s (incl. fn-time + explain)")
     }
     spark.stop()
   }

@@ -33,6 +33,23 @@ object DedupQueries {
     sequence(lit(1), greatest(size(toks) - 2, lit(0))),
     i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))))
 
+  /** Materialized (doc_id, sh) shingle table, built in two pinned stages:
+    * tokens first, then shingles from the STORED token array. Without the
+    * intermediate stage, projection collapse inlines split(text) into each
+    * of the three element_at references — re-tokenizing every doc ~3x per
+    * shingle (graft.Stage scaladoc). */
+  private def shingledDocs(s: SparkSession, d: String, tag: String): DataFrame = {
+    val toksDf = Stage.materialize(s,
+      docs(s, d).select(col("doc_id"), toks.as("toks")), s"${tag}toks")
+    val t = col("toks")
+    val sh = sort_array(array_distinct(transform(
+      sequence(lit(1), greatest(size(t) - 2, lit(0))),
+      i => concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)))))
+    Stage.materialize(s,
+      toksDf.select(col("doc_id"), sh.as("sh")).filter(size(col("sh")) > 0),
+      s"${tag}sh")
+  }
+
   /** Exact dedup with deterministic representative: min doc_id per text
     * group. (dropDuplicates keeps an arbitrary row — fine in production,
     * not hash-comparable; min-id is the reproducible equivalent.) */
@@ -74,13 +91,11 @@ object DedupQueries {
     val P = 32 // permutations
     val B = 8  // bands
     val R = 4  // rows per band
-    // Shingles materialize first: the 32 per-permutation array_min
-    // transforms each reference the shingle column, and projection
+    // Shingles materialize first (see shingledDocs): the 32 per-permutation
+    // array_min transforms each reference the shingle column, and projection
     // collapse would inline the shingling 32x per doc. The signature
     // stage materializes too so the band self-join computes it once.
-    val shingled = Stage.materialize(s,
-      docs(s, d).select(col("doc_id"), shingles.as("sh")).filter(size(col("sh")) > 0),
-      "d03sh")
+    val shingled = shingledDocs(s, d, "d03")
     val withSig = Stage.materialize(s,
       shingled.withColumn("sig", array((0 until P).map(p =>
         array_min(transform(col("sh"), x => xxhash64(lit(p), x)))): _*))
@@ -170,9 +185,7 @@ object DedupQueries {
       |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.6
       |ORDER BY i, j""".stripMargin) { (s, d) =>
     val theta = 0.6
-    val sh = Stage.materialize(s,
-      docs(s, d).select(col("doc_id"), shingles.as("s")).filter(size(col("s")) > 0),
-      "d05sh")
+    val sh = shingledDocs(s, d, "d05").withColumnRenamed("sh", "s")
     // PPJoin proper: the prefix order must be a corpus-wide total order,
     // and the right one is ASCENDING DOCUMENT FREQUENCY — prefixes then
     // hold each doc's rarest shingles, so the candidate join's buckets
