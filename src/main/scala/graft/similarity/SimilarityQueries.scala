@@ -137,5 +137,27 @@ object SimilarityQueries {
       .orderBy("i", "j")
   }
 
-  val all: Seq[Q] = Seq(v01CosineTopK, v02DotTopK, v03AnnLshBucket, v04EmbeddingNearDup)
+  /** v01 through the native codegen'd CosineSim Catalyst expression
+    * (graft.functions.CosineSim) instead of interpreted higher-order
+    * functions — same bit-exact numerics, compiled loop. Same oracle
+    * shape as v01 (different probe so both entries stay meaningful). */
+  val v05CosineTopKNative: Q = Q(
+    "v05_cosine_topk_native",
+    """WITH p AS (SELECT embedding::DOUBLE[] AS pv FROM embeddings WHERE vec_id = 42)
+      |SELECT vec_id, list_cosine_similarity(embedding::DOUBLE[], pv) AS cos_sim
+      |FROM embeddings, p
+      |ORDER BY cos_sim DESC, vec_id LIMIT 20""".stripMargin) { (s, d) =>
+    graft.functions.CosineSim.register(s)
+    val e = emb(s, d)
+    val probe = e.filter(col("vec_id") === 42)
+      .select(col("embedding").cast("array<double>").as("pv"))
+    e.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"), expr("graft_cosine_sim(v, pv)").as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(20)
+  }
+
+  val all: Seq[Q] = Seq(v01CosineTopK, v02DotTopK, v03AnnLshBucket,
+    v04EmbeddingNearDup, v05CosineTopKNative)
 }
