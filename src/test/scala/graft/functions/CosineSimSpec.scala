@@ -41,7 +41,10 @@ class CosineSimSpec extends AnyFunSuite {
       .toDF("id", "a", "b")
       .select(col("id"), expr("graft_cosine_sim(a, b)").as("c"))
       .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
-    assert(df(1L) == 1.0)
+    // (1*1 + 2*2) / (sqrt(5)*sqrt(5)) — sqrt(5)^2 lands one ulp above 5,
+    // so the exact IEEE result is just below 1; the clamp bounds, it does
+    // not round (identical to the SQL formulation's behavior)
+    assert(df(1L) == 5.0 / (math.sqrt(5.0) * math.sqrt(5.0)))
     assert(df(2L) == null)
     assert(df(3L).asInstanceOf[Double].isNaN, "0/0 — same as the SQL formulation")
   }
