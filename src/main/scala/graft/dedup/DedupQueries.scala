@@ -201,13 +201,19 @@ object DedupQueries {
       .groupBy("doc_id")
       .agg(array_sort(collect_list(struct(col("df"), col("shingle")))).as("ordered"))
     val prefix = ranked.select(col("doc_id"),
+      size(col("ordered")).as("sz"),
       explode(slice(transform(col("ordered"), o => o.getField("shingle")), lit(1),
         (size(col("ordered")) - ceil(size(col("ordered")) * theta) + 1).cast("int"))).as("ptok"))
     // Candidates travel as bare id pairs; the shingle arrays join back in
-    // only for the surviving pairs' exact verification.
+    // only for the surviving pairs' exact verification. The PPJoin length
+    // bound rides in the join condition: jaccard >= θ forces
+    // θ|a| <= |b| <= |a|/θ, so mismatched sizes never leave the bucket —
+    // also provably lossless.
     val cand = prefix.as("a")
       .join(prefix.as("b"),
-        col("a.ptok") === col("b.ptok") && col("a.doc_id") < col("b.doc_id"))
+        col("a.ptok") === col("b.ptok") && col("a.doc_id") < col("b.doc_id")
+          && col("b.sz") >= ceil(col("a.sz") * theta)
+          && col("b.sz") <= floor(col("a.sz") / theta))
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
       .dropDuplicates("i", "j")
     val inter = size(array_intersect(col("s_i"), col("s_j"))).cast("long")

@@ -169,5 +169,35 @@ object StreamingQueries {
       .orderBy("user_id")
   }
 
-  val all: Seq[Q] = Seq(st01Tumbling, st02Sliding, st03Session, st04Dedup, st05Stateful)
+  /** Checkpointed streaming file sink (SURVEY §2.2 sinks row; the
+    * streaming upgrade of O12+O13): the stream lands as parquet files
+    * under a sink dir with a checkpointLocation recording offsets/commits
+    * atomically — the effectively-once replacement for the reference's
+    * non-atomic blob-then-watermark pair. The query then reads the sink
+    * FILES back (not the in-memory batch), like i05 does for batch. */
+  val st06FileSink: Q = Q(
+    "st06_stream_file_sink",
+    s"""SELECT event_type, COUNT(*) AS n, ${Det.sqlSum("value")} AS sum_value
+       |FROM events WHERE value >= 100
+       |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+    val base = java.nio.file.Files.createTempDirectory("graft_st06_")
+    val (out, ckpt) = (base.resolve("out").toString, base.resolve("ckpt").toString)
+    val q = replayedEvents(s, d)
+      .filter(col("value") >= 100)
+      .select("event_id", "ts", "event_type", "value")
+      .writeStream
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(out)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  val all: Seq[Q] = Seq(st01Tumbling, st02Sliding, st03Session, st04Dedup,
+    st05Stateful, st06FileSink)
 }
