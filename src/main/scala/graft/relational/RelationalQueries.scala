@@ -718,6 +718,50 @@ object RelationalQueries {
       .orderBy("c_mktsegment")
   }
 
+  /** Pivot (explicit value list keeps the output schema static — the
+    * only sane form at scale; an inferred pivot scans twice). Oracle via
+    * conditional aggregation, which is exactly what Spark compiles a
+    * pivot into. */
+  val q33Pivot: Q = Q(
+    "q33_pivot",
+    """SELECT o_orderpriority,
+      |  COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS f_cnt,
+      |  COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS o_cnt,
+      |  COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS p_cnt
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    ord(s, d)
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(col("o_orderpriority"),
+        coalesce(col("F"), lit(0L)).as("f_cnt"),
+        coalesce(col("O"), lit(0L)).as("o_cnt"),
+        coalesce(col("P"), lit(0L)).as("p_cnt"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** RANGE frame (value-based window bounds, vs q16's ROWS frames):
+    * running sum over all orders within 500 price units below the
+    * current row — peers enter the frame by VALUE, so ties share a
+    * result. Decimal accumulate keeps the sums exact. */
+  val q34WindowRangeFrame: Q = Q(
+    "q34_window_range_frame",
+    """SELECT o_orderkey, o_custkey, o_totalprice,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,8)))
+      |       OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+      |             RANGE BETWEEN 500 PRECEDING AND CURRENT ROW) AS DOUBLE) AS near_sum
+      |FROM orders WHERE o_custkey <= 30
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice"))
+      .rangeBetween(-500, Window.currentRow)
+    ord(s, d)
+      .filter(col("o_custkey") <= 30)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        sum(col("o_totalprice").cast("decimal(28,8)")).over(w)
+          .cast("double").as("near_sum"))
+      .orderBy("o_orderkey")
+  }
+
   val all: Seq[Q] = Seq(
     q01ScanProject, q02Predicates, q03AggBasic, q04AggDistinct, q05Rollup,
     q06Cube, q07JoinBroadcast, q08JoinMultiway, q09JoinOuter, q10JoinFull,
@@ -725,5 +769,5 @@ object RelationalQueries {
     q16WindowFrames, q17LagLead, q18Ntile, q19TopKGlobal, q20TopKPerGroup,
     q21SetOps, q22UnionDistinct, q23ScalarSubquery, q24CorrelatedSubquery,
     q25Having, q26CaseWhen, q27GroupingSets, q28ApproxDistinct, q29AsofJoin,
-    q30NullSafeEq, q31SaltedAgg, q32BucketedJoin)
+    q30NullSafeEq, q31SaltedAgg, q32BucketedJoin, q33Pivot, q34WindowRangeFrame)
 }
