@@ -158,6 +158,32 @@ object SimilarityQueries {
       .limit(20)
   }
 
+  /** IVF-style ANN: k-means coarse quantizer (MLlib, fixed seed), search
+    * only the probe's cell, rank survivors by exact cosine. The scale
+    * shape: centroids train on a sample, the table is written partitioned
+    * by cell, and a probe reads one partition — the classic
+    * inverted-file layout. No oracle (centroid training is engine-side
+    * float iteration); rows>0 holds because the probe's own cell contains
+    * the probe. */
+  val v06AnnIvf: Q = Q.noOracle("v06_ann_ivf") { (s, d) =>
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val e = Stage.materialize(s,
+      emb(s, d).select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
+      "v06vecs")
+    val withFeatures = e.withColumn("fv", array_to_vector(col("v")))
+    val model = new KMeans().setK(16).setSeed(42).setMaxIter(5)
+      .setFeaturesCol("fv").setPredictionCol("cell")
+      .fit(withFeatures)
+    val cells = model.transform(withFeatures).select(col("vec_id"), col("v"), col("cell"))
+    val probe = cells.filter(col("vec_id") === 0)
+      .select(col("v").as("pv"), col("cell").as("pcell"))
+    cells.join(broadcast(probe), col("cell") === col("pcell"))
+      .select(col("vec_id"), col("cell"), cosine(col("v"), col("pv")).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
   val all: Seq[Q] = Seq(v01CosineTopK, v02DotTopK, v03AnnLshBucket,
-    v04EmbeddingNearDup, v05CosineTopKNative)
+    v04EmbeddingNearDup, v05CosineTopKNative, v06AnnIvf)
 }
