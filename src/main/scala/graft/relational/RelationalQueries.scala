@@ -671,12 +671,15 @@ object RelationalQueries {
       .orderBy("ns_eq")
   }
 
-  /** Salted two-stage aggregation — the skew pattern from the brief: a
-    * 5-value group key would hand each final reducer 1/5 of 100 TB, so
-    * stage 1 fans each key across 16 salt buckets (80 parallel partials)
-    * and stage 2 combines the 80 tiny partial rows. Partials stay exact
-    * DECIMAL so the two-stage double sum is bit-identical to Det.dsum's
-    * single-stage result. */
+  /** Salted two-stage aggregation. Honest framing: for algebraic aggs
+    * (sum/count) Spark's map-side partial aggregation already collapses
+    * each partition to one row per key before the shuffle, so a plain
+    * groupBy is NOT skew-bound — the salt pattern earns its keep on
+    * holistic aggregates (collect_list, exact distinct) and skewed JOIN
+    * keys, where per-key state must co-locate. This entry verifies the
+    * mechanics: salt fans each key across 16 buckets, stage 2 combines
+    * 80 partials, and DECIMAL partials keep the two-stage double sum
+    * bit-identical to Det.dsum's single-stage result. */
   val q31SaltedAgg: Q = Q(
     "q31_salted_agg",
     s"""SELECT event_type, COUNT(*) AS n, ${Det.sqlSum("value")} AS sum_value

@@ -19,7 +19,15 @@ import org.apache.spark.sql.streaming.Trigger
   * copy of events.parquet so the file-stream source sees exactly one
   * table. At production scale the same plans run unchanged against a
   * directory that keeps growing — AvailableNow becomes a real trigger and
-  * the memory sink becomes a partitioned parquet/Kafka sink.
+  * the memory sink becomes a partitioned parquet/Kafka sink (st06 shows
+  * that shape with a checkpointLocation).
+  *
+  * Mode note: the windowed aggregations run in COMPLETE mode here so a
+  * bounded replay emits every window — correct for verification, but
+  * complete mode retains all window state forever. A production deploy of
+  * these exact plans switches to append/update, where the declared
+  * watermark bounds state by evicting windows older than max(event time)
+  * - delay; nothing else in the plan changes.
   */
 object StreamingQueries {
 

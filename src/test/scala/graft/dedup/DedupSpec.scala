@@ -59,6 +59,18 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("SimHash 16-bit blocking recovers >=90% of planted near-dup pairs") {
+    val truth = bruteForce(0.9).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = DedupQueries.d04SimHash.fn(s, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty)
+    val recall = (truth & found).size.toDouble / truth.size
+    // Deterministic given fixed data+hashes. Pigeonhole only guarantees a
+    // shared block at hamming <= 3; higher distances are probabilistic, so
+    // recall is high but not 1.0 — that bound is the documented tradeoff.
+    assert(recall >= 0.9, s"recall $recall: missed ${truth -- found}")
+  }
+
   test("exact dedup keeps one representative per text group") {
     val out = DedupQueries.d01ExactDedup.fn(s, d)
     val total = Tables.t(s, d, "documents").count()
