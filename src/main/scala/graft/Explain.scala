@@ -23,7 +23,11 @@ object Explain {
     val q = SparkEntry.catalog.find(_.name == name)
       .getOrElse(sys.error(s"no catalog entry named $name"))
     // Timer wraps fn too: queries with eager stage materialization do real
-    // work before the sink write, same as Bench measures it.
+    // work before the sink write, same as Bench measures it. --warm runs a
+    // full untimed pass first so JVM/codegen warmup doesn't pollute the
+    // number (mirrors Bench's warmup pass).
+    if (args.contains("--warm"))
+      q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
     val t0 = System.nanoTime()
     val df = q.fn(spark, sfDir)
     df.explain("formatted")

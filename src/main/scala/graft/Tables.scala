@@ -45,10 +45,18 @@ object Tables {
   * inside the query (no hidden caching across bench runs).
   */
 object Stage {
+  /** Materialize, then re-spread the read across all cores. Spark sizes
+    * scan partitions by BYTES (maxPartitionBytes + openCostInBytes file
+    * coalescing), which is right for IO-bound scans and wrong for the
+    * compute-bound stages that follow these: a few-MB signature table
+    * collapses to 1-2 partitions and the expensive downstream map runs
+    * on one task of 32. The explicit repartition costs a tiny shuffle
+    * and buys full parallelism — the cluster-scale equivalent is tuning
+    * maxPartitionBytes for compute-heavy columns. */
   def materialize(spark: SparkSession, df: DataFrame, tag: String): DataFrame = {
     val dir = java.nio.file.Files.createTempDirectory(s"graft_stage_${tag}_").toString
     df.write.mode("overwrite").parquet(dir)
-    spark.read.parquet(dir)
+    spark.read.parquet(dir).repartition(spark.sparkContext.defaultParallelism)
   }
 }
 

@@ -144,8 +144,11 @@ object DedupQueries {
     // projection collapse would otherwise inline the whole O(tokens*64)
     // aggregate into each of the 64 bit lambdas (O(tokens*64^2) per doc —
     // observed 250+ s at sf0.1, ~2 s materialized).
+    // (repartition first: the raw docs scan is a single few-MB partition,
+    // and the vote aggregate is compute-bound — Stage scaladoc)
     val votesDf = Stage.materialize(s,
-      docs(s, d).select(col("doc_id"), votes.as("votes")), "d04votes")
+      docs(s, d).repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), votes.as("votes")), "d04votes")
     val withSim = Stage.materialize(s,
       votesDf.select(col("doc_id"), simhash.as("sim")), "d04sim")
     val blocks = withSim.select(col("doc_id"), col("sim"),

@@ -109,7 +109,7 @@ object SimilarityQueries {
     // otherwise evaluate the 4 plane dots per side, and pre-computed norms
     // reduce pair verification to a single dot product.
     val e = Stage.materialize(s,
-      emb(s, d)
+      emb(s, d).repartition(s.sparkContext.defaultParallelism)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
         .withColumn("bucket", bucketOf(col("v"), ps))
         .withColumn("nrm", sqrt(dot(col("v"), col("v")))),
@@ -169,7 +169,8 @@ object SimilarityQueries {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val e = Stage.materialize(s,
-      emb(s, d).select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
+      emb(s, d).repartition(s.sparkContext.defaultParallelism)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
       "v06vecs")
     val withFeatures = e.withColumn("fv", array_to_vector(col("v")))
     val model = new KMeans().setK(16).setSeed(42).setMaxIter(5)
