@@ -108,13 +108,22 @@ object ArticlePipeline {
   def nextWatermark(kept: DataFrame): DataFrame =
     kept.agg(max(col("ts")).as("new_watermark"), count(lit(1)).as("n_new"))
 
-  /** O14: backfill cursor with the reference's `max(1, page)` floor
-    * (fetch_articles_backfill.py:42). */
+  /** O14: backfill cursor with the reference's `max(1, page)` floor, and
+    * the missing-checkpoint default of page 1 — a first-ever run has no
+    * blob and must start from the beginning
+    * (fetch_articles_backfill.py:36-44: absent blob → default, `:42`:
+    * floor). */
   def loadBackfillCursor(spark: SparkSession): DataFrame =
-    spark.read
+    loadBackfillCursorFrom(spark, s"$fixturesDir/checkpoints/backfill_page.json")
+
+  def loadBackfillCursorFrom(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    if (!new java.io.File(path).exists()) Seq(1L).toDF("cursor")
+    else spark.read
       .schema(StructType(Seq(StructField("page", LongType))))
-      .json(s"$fixturesDir/checkpoints/backfill_page.json")
-      .select(greatest(col("page"), lit(1L)).as("cursor"))
+      .json(path)
+      .select(greatest(coalesce(col("page"), lit(1L)), lit(1L)).as("cursor"))
+  }
 
   /** O11: admit only maxPages pages starting at the cursor — the bounded
     * micro-batch that kept the reference inside its 10-minute window. */

@@ -57,6 +57,21 @@ class IngestPipelineSpec extends AnyFunSuite {
     assert(cursor == 1L)
   }
 
+  test("missing cursor checkpoint defaults to page 1 (first-ever run)") {
+    val cursor = ArticlePipeline
+      .loadBackfillCursorFrom(s, "/tmp/graft_no_such_checkpoint.json")
+      .collect().head.getLong(0)
+    assert(cursor == 1L)
+  }
+
+  test("null page in the checkpoint blob also floors to 1") {
+    val p = java.nio.file.Files.createTempFile("graft_cursor_", ".json")
+    java.nio.file.Files.writeString(p, """{"page": null}""")
+    val cursor = ArticlePipeline.loadBackfillCursorFrom(s, p.toString)
+      .collect().head.getLong(0)
+    assert(cursor == 1L)
+  }
+
   test("bounded micro-batch admits exactly maxPages pages from the cursor") {
     val pages = ArticlePipeline.boundedPages(
       ArticlePipeline.readPages(s), ArticlePipeline.loadBackfillCursor(s), 3)
