@@ -765,6 +765,21 @@ object RelationalQueries {
       .orderBy("o_orderkey")
   }
 
+  /** Explicit null ordering on a nullable sort key — the cross-engine
+    * trap (Spark defaults NULLS FIRST asc, DuckDB NULLS LAST) that the
+    * catalog otherwise designs away; stated explicitly on both sides it
+    * compares exactly. Secondary key keeps the order total. */
+  val q35NullOrdering: Q = Q(
+    "q35_null_ordering",
+    """SELECT o_orderkey, NULLIF(o_orderstatus, 'P') AS st
+      |FROM orders WHERE o_orderkey <= 200
+      |ORDER BY st DESC NULLS LAST, o_orderkey""".stripMargin) { (s, d) =>
+    ord(s, d)
+      .filter(col("o_orderkey") <= 200)
+      .select(col("o_orderkey"), nullif(col("o_orderstatus"), lit("P")).as("st"))
+      .orderBy(col("st").desc_nulls_last, col("o_orderkey"))
+  }
+
   val all: Seq[Q] = Seq(
     q01ScanProject, q02Predicates, q03AggBasic, q04AggDistinct, q05Rollup,
     q06Cube, q07JoinBroadcast, q08JoinMultiway, q09JoinOuter, q10JoinFull,
@@ -772,5 +787,6 @@ object RelationalQueries {
     q16WindowFrames, q17LagLead, q18Ntile, q19TopKGlobal, q20TopKPerGroup,
     q21SetOps, q22UnionDistinct, q23ScalarSubquery, q24CorrelatedSubquery,
     q25Having, q26CaseWhen, q27GroupingSets, q28ApproxDistinct, q29AsofJoin,
-    q30NullSafeEq, q31SaltedAgg, q32BucketedJoin, q33Pivot, q34WindowRangeFrame)
+    q30NullSafeEq, q31SaltedAgg, q32BucketedJoin, q33Pivot, q34WindowRangeFrame,
+    q35NullOrdering)
 }

@@ -214,7 +214,24 @@ object ScalarFunctionQueries {
       .orderBy("o_orderkey")
   }
 
+  /** to_json serialization (the write side of the JSON kit). The oracle
+    * constructs the exact serialization with string concat — engine JSON
+    * writers differ on whitespace/field-order conventions, so parity is
+    * pinned to Spark's compact field-ordered form rather than trusting
+    * two serializers to agree. */
+  val s10ToJson: Q = Q(
+    "s10_to_json",
+    """SELECT event_id,
+      |  '{"id":' || event_id || ',"type":"' || event_type || '"}' AS j
+      |FROM events WHERE event_id < 100 ORDER BY event_id""".stripMargin) { (s, d) =>
+    ev(s, d)
+      .filter(col("event_id") < 100)
+      .select(col("event_id"),
+        to_json(struct(col("event_id").as("id"), col("event_type").as("type"))).as("j"))
+      .orderBy("event_id")
+  }
+
   val all: Seq[Q] = Seq(
     s01StringBasics, s02Regexp, s03Levenshtein, s04ArrayFns, s05MapFns,
-    s06Json, s07JsonStruct, s08DateTime, s09Math)
+    s06Json, s07JsonStruct, s08DateTime, s09Math, s10ToJson)
 }
