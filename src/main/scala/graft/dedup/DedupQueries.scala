@@ -197,6 +197,10 @@ object DedupQueries {
     // alphabetically-small shingles and the join degenerates toward
     // all-pairs — observed 31 s vs 4 s at sf0.1.) Ties break on the
     // shingle string, so the order is total and shared by both join sides.
+    // Residual cost note: this corpus draws from ~30 words, so even the
+    // rarest shingles repeat and ~193k of 12.5M possible pairs survive the
+    // prefix+length prune at sf0.1 (65x) — real corpora have heavy-tailed
+    // vocabularies and prune orders of magnitude harder.
     val dfCounts = sh.select(explode(col("s")).as("shingle"))
       .groupBy("shingle").agg(count(lit(1)).as("df"))
     val ranked = sh.select(col("doc_id"), explode(col("s")).as("shingle"))

@@ -102,7 +102,14 @@ object SimilarityQueries {
     * vector lands in its own bucket plus the 4 one-bit-flip neighbors, so
     * a pair survives if their buckets differ by <= 1 plane disagreement
     * (doubling recall at ~5x candidate cost); candidates verify with
-    * exact cosine >= 0.4. Bucket join — never all-pairs. */
+    * exact cosine >= 0.4. Bucket join — never all-pairs.
+    *
+    * Threshold note: 0.4 is deliberately low because this synthetic
+    * corpus' max pairwise cosine is ~0.51 (random vectors; nothing is
+    * planted). Sign-LSH discriminates weakly at such angles (plane
+    * agreement p = 1 - θ/π ≈ 0.63), which is what drives the candidate
+    * volume here; at a true near-dup threshold (0.9 ⇒ p ≈ 0.86) the same
+    * construction prunes orders of magnitude harder. */
   val v04EmbeddingNearDup: Q = Q.noOracle("v04_embedding_neardup") { (s, d) =>
     val ps = planes(4)
     // Buckets AND norms materialize once (Stage): the self-join would
