@@ -133,5 +133,42 @@ object MultimodalQueries {
       .orderBy("asset_id", "frame_idx")
   }
 
-  val all: Seq[Q] = Seq(m01AssetCatalog, m02DecodeMeta, m03ResizeBatch, m04FrameSample)
+  /** Heterogeneous typed metadata: each modality gets its own struct
+    * (image: dims, audio: sample-rate/duration, video: dims+frames) with
+    * NULL for the other modalities' fields — the union-schema shape a
+    * mixed-modality training table actually has. Values derive from the
+    * same md5 stub as m02. */
+  val m05TypedMetaByKind: Q = Q(
+    "m05_typed_meta_by_kind",
+    """SELECT asset_id, kind,
+      |  CASE WHEN kind = 'image' THEN struct_pack(width := w, height := h) END AS image_meta,
+      |  CASE WHEN kind = 'audio' THEN struct_pack(
+      |    sample_rate := 8000 + (w * 4), duration_ms := h * 100) END AS audio_meta,
+      |  CASE WHEN kind = 'video' THEN struct_pack(
+      |    width := w, height := h, n_frames := 30 + n_chars % 300) END AS video_meta
+      |FROM (SELECT doc_id AS asset_id, n_chars,
+      |        CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |             WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+      |        64 + ('0x' || substr(md5(text), 1, 4))::BIGINT % 1857 AS w,
+      |        64 + ('0x' || substr(md5(text), 5, 4))::BIGINT % 1017 AS h
+      |      FROM documents)
+      |ORDER BY asset_id""".stripMargin) { (s, d) =>
+    val w = lit(64L) + conv(substring(md5(col("payload")), 1, 4), 16, 10).cast("long") % 1857
+    val h = lit(64L) + conv(substring(md5(col("payload")), 5, 4), 16, 10).cast("long") % 1017
+    assets(s, d)
+      .select(col("asset_id"), col("kind"), col("n_chars"), w.as("w"), h.as("h"))
+      .select(col("asset_id"), col("kind"),
+        when(col("kind") === "image",
+          struct(col("w").as("width"), col("h").as("height"))).as("image_meta"),
+        when(col("kind") === "audio",
+          struct((lit(8000L) + col("w") * 4).as("sample_rate"),
+            (col("h") * 100).as("duration_ms"))).as("audio_meta"),
+        when(col("kind") === "video",
+          struct(col("w").as("width"), col("h").as("height"),
+            (lit(30L) + col("n_chars") % 300).as("n_frames"))).as("video_meta"))
+      .orderBy("asset_id")
+  }
+
+  val all: Seq[Q] = Seq(m01AssetCatalog, m02DecodeMeta, m03ResizeBatch,
+    m04FrameSample, m05TypedMetaByKind)
 }
