@@ -780,6 +780,45 @@ object RelationalQueries {
       .orderBy(col("st").desc_nulls_last, col("o_orderkey"))
   }
 
+  /** Distribution + value window functions: percent_rank/cume_dist
+    * (exact int/int divisions — IEEE-identical across engines under the
+    * total order) and first/last/nth_value with an explicit full frame
+    * (last_value over the default frame is the current row — the classic
+    * trap; the full frame makes it the true partition extremum).
+    *
+    * Scale note: unlike top-k (q15/q20), distribution functions emit a
+    * value for EVERY row from full-partition knowledge, so the local-prune
+    * rewrite doesn't apply. With a low-cardinality key at 100 TB the q18
+    * scheme generalizes instead: range-partition within each key, collect
+    * per-(key, pid) counts, and compute rank-1 over n-1 from broadcast
+    * offsets — all parallel. Kept as the direct window here since the
+    * catalog already demonstrates that machinery on q18. */
+  val q36WindowDistribution: Q = Q(
+    "q36_window_distribution",
+    """SELECT c_mktsegment, c_custkey,
+      |  percent_rank() OVER w AS pr,
+      |  cume_dist() OVER w AS cd,
+      |  first_value(c_custkey) OVER wf AS first_k,
+      |  last_value(c_custkey) OVER wf AS last_k,
+      |  nth_value(c_custkey, 3) OVER wf AS third_k
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey),
+      |  wf AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY c_mktsegment, c_custkey""".stripMargin) { (s, d) =>
+    val order = Seq(col("c_acctbal").desc, col("c_custkey"))
+    val w = Window.partitionBy(col("c_mktsegment")).orderBy(order: _*)
+    val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cust(s, d)
+      .select(col("c_mktsegment"), col("c_custkey"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"),
+        first(col("c_custkey")).over(wf).as("first_k"),
+        last(col("c_custkey")).over(wf).as("last_k"),
+        nth_value(col("c_custkey"), 3).over(wf).as("third_k"))
+      .orderBy("c_mktsegment", "c_custkey")
+  }
+
   val all: Seq[Q] = Seq(
     q01ScanProject, q02Predicates, q03AggBasic, q04AggDistinct, q05Rollup,
     q06Cube, q07JoinBroadcast, q08JoinMultiway, q09JoinOuter, q10JoinFull,
@@ -788,5 +827,5 @@ object RelationalQueries {
     q21SetOps, q22UnionDistinct, q23ScalarSubquery, q24CorrelatedSubquery,
     q25Having, q26CaseWhen, q27GroupingSets, q28ApproxDistinct, q29AsofJoin,
     q30NullSafeEq, q31SaltedAgg, q32BucketedJoin, q33Pivot, q34WindowRangeFrame,
-    q35NullOrdering)
+    q35NullOrdering, q36WindowDistribution)
 }
