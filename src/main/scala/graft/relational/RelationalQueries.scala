@@ -819,6 +819,56 @@ object RelationalQueries {
       .orderBy("c_mktsegment", "c_custkey")
   }
 
+  /** Statistical aggregates with cross-engine-exact numerics: built-in
+    * stddev/corr use engine-specific update formulas (Welford vs naive)
+    * that differ in float ulps, so both sides compute from exact decimal
+    * power sums — sqrt((S2 - S1^2/n)/(n-1)) and the matching corr
+    * formula are then bit-identical, and partial aggregation stays
+    * parallel (the power sums are plain decimal sums).
+    *
+    * Column choice is deliberate: the DECIMAL(28,8) sums must convert to
+    * double EXACTLY (scaled value < 2^53) or the two engines' last-ulp
+    * rounding of a 17+-digit decimal can differ (observed on
+    * extendedprice^2 sums). quantity and discount/tax sums stay well
+    * inside the exact range at every SF used here. */
+  val q37StatsExact: Q = Q(
+    "q37_stats_exact",
+    s"""SELECT l_returnflag, COUNT(*) AS n,
+       |  sqrt((${Det.sqlSum("l_quantity * l_quantity")}
+       |         - ${Det.sqlSum("l_quantity")} * ${Det.sqlSum("l_quantity")} / COUNT(*))
+       |       / (COUNT(*) - 1)) AS sd_qty,
+       |  (${Det.sqlSum("l_discount * l_tax")}
+       |     - ${Det.sqlSum("l_discount")} * ${Det.sqlSum("l_tax")} / COUNT(*))
+       |  / sqrt((${Det.sqlSum("l_discount * l_discount")}
+       |           - ${Det.sqlSum("l_discount")} * ${Det.sqlSum("l_discount")} / COUNT(*))
+       |         * (${Det.sqlSum("l_tax * l_tax")}
+       |           - ${Det.sqlSum("l_tax")} * ${Det.sqlSum("l_tax")} / COUNT(*))) AS corr_dt
+       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    val q = col("l_quantity")
+    val x = col("l_discount")
+    val y = col("l_tax")
+    val n = count(lit(1))
+    val (sq, sqq) = (Det.dsum(q), Det.dsum(q * q))
+    val (sx, sy) = (Det.dsum(x), Det.dsum(y))
+    val (sxx, syy, sxy) = (Det.dsum(x * x), Det.dsum(y * y), Det.dsum(x * y))
+    li(s, d)
+      .groupBy("l_returnflag")
+      .agg(n.as("n"),
+        sqrt((sqq - sq * sq / n) / (n - 1)).as("sd_qty"),
+        ((sxy - sx * sy / n) / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))).as("corr_dt"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Seeded Bernoulli sampling — deterministic within Spark (fixed seed)
+    * but engine-specific, so no SQL oracle; the rows>0 smoke applies and
+    * the sample fraction is sanity-visible in the output. */
+  val q38Sample: Q = Q.noOracle("q38_sample") { (s, d) =>
+    val sampled = ord(s, d).sample(withReplacement = false, 0.1, seed = 42)
+    sampled.agg(
+      count(lit(1)).as("n_sampled"),
+      Det.dsum(col("o_totalprice")).as("sampled_revenue"))
+  }
+
   val all: Seq[Q] = Seq(
     q01ScanProject, q02Predicates, q03AggBasic, q04AggDistinct, q05Rollup,
     q06Cube, q07JoinBroadcast, q08JoinMultiway, q09JoinOuter, q10JoinFull,
@@ -827,5 +877,5 @@ object RelationalQueries {
     q21SetOps, q22UnionDistinct, q23ScalarSubquery, q24CorrelatedSubquery,
     q25Having, q26CaseWhen, q27GroupingSets, q28ApproxDistinct, q29AsofJoin,
     q30NullSafeEq, q31SaltedAgg, q32BucketedJoin, q33Pivot, q34WindowRangeFrame,
-    q35NullOrdering, q36WindowDistribution)
+    q35NullOrdering, q36WindowDistribution, q37StatsExact, q38Sample)
 }
