@@ -192,6 +192,31 @@ object SimilarityQueries {
       .limit(10)
   }
 
+  /** The ANN scale path made physical: the embedding table is WRITTEN
+    * partitioned by LSH bucket, and the probe lookup reads back with a
+    * bucket predicate — Spark plans a partition-PRUNED scan (one
+    * directory of 64 touched; PartitionFilters in the plan, asserted in
+    * SimilaritySpec). This is the layout v03 only talks about: at 100 TB
+    * the lookup cost is the probe's cell, not the table. */
+  val v07AnnPartitionPruned: Q = Q.noOracle("v07_ann_partition_pruned") { (s, d) =>
+    val ps = planes(6)
+    val dir = java.nio.file.Files.createTempDirectory("graft_v07_cells_").toString
+    emb(s, d).repartition(s.sparkContext.defaultParallelism)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("bucket", bucketOf(col("v"), ps))
+      .write.mode("overwrite").partitionBy("bucket").parquet(dir)
+    val cells = s.read.parquet(dir)
+    val probe = cells.filter(col("vec_id") === 0)
+      .select(col("v").as("pv"), col("bucket").as("pbucket")).collect().head
+    // (partition-column type is inferred from the dir name — compare via
+    // lit of whatever it came back as, not an assumed long)
+    cells.filter(col("bucket") === lit(probe.get(1)))
+      .select(col("vec_id"), col("bucket"),
+        cosine(col("v"), array(probe.getSeq[Double](0).map(lit): _*)).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
   val all: Seq[Q] = Seq(v01CosineTopK, v02DotTopK, v03AnnLshBucket,
-    v04EmbeddingNearDup, v05CosineTopKNative, v06AnnIvf)
+    v04EmbeddingNearDup, v05CosineTopKNative, v06AnnIvf, v07AnnPartitionPruned)
 }

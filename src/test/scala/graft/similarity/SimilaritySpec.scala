@@ -23,6 +23,17 @@ class SimilaritySpec extends AnyFunSuite {
     assert(bucket.head.getDouble(2) == 1.0)
   }
 
+  test("partitioned ANN lookup plans a partition-PRUNED scan") {
+    val df = SimilarityQueries.v07AnnPartitionPruned.fn(s, d)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      s"expected a bucket partition filter on the scan:\n$plan")
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.head.getLong(0) == 0L && rows.head.getDouble(2) == 1.0)
+    assert(rows.map(r => r.get(1).toString).distinct.length == 1,
+      "only the probe's cell is read")
+  }
+
   test("near-dup pair mining reports only pairs above threshold, i < j") {
     val pairs = SimilarityQueries.v04EmbeddingNearDup.fn(s, d).collect()
     pairs.foreach { r =>
