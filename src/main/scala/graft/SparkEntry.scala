@@ -21,7 +21,8 @@ object SparkEntry {
         similarity.SimilarityQueries.all ++
         text.TextQueries.all ++
         multimodal.MultimodalQueries.all ++
-        streaming.StreamingQueries.all
+        streaming.StreamingQueries.all ++
+        pipeline.PipelineQueries.all
     // A duplicate name would silently drop a Map entry (and its oracle),
     // shrinking coverage unnoticed — fail fast instead.
     val dups = all.groupBy(_.name).filter(_._2.size > 1).keys

@@ -1,0 +1,50 @@
+package graft.pipeline
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Capstone: the LLM training-data pipeline composed end-to-end from the
+  * catalog's building blocks — quality filtering (TextQueries' t04
+  * criteria), exact dedup with deterministic representative (DedupQueries'
+  * d01), and an embedding-coverage join — in ONE declarative plan that
+  * Catalyst optimizes as a whole (filters push to the scans, the dedup
+  * agg and the join pipeline into each other; no materialization
+  * boundaries needed because nothing here is self-joined).
+  */
+object PipelineQueries {
+
+  val p01TrainingPipeline: Q = Q(
+    "p01_training_pipeline",
+    """WITH scored AS (
+      |  SELECT doc_id, lang, text,
+      |    len(string_split(text, ' ')) AS n_tokens,
+      |    len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' ')) AS ttr
+      |  FROM documents),
+      |kept AS (
+      |  SELECT * FROM scored
+      |  WHERE n_tokens BETWEEN 10 AND 1000 AND ttr > 0.2),
+      |deduped AS (
+      |  SELECT MIN(doc_id) AS doc_id, MIN(lang) AS lang FROM kept GROUP BY text)
+      |SELECT d.lang, COUNT(*) AS n_docs,
+      |  COUNT(e.vec_id) AS n_with_embedding
+      |FROM deduped d LEFT JOIN embeddings e ON d.doc_id = e.vec_id
+      |GROUP BY d.lang ORDER BY d.lang""".stripMargin) { (s, d) =>
+    val toks = split(col("text"), " ")
+    val nTok = size(toks).cast("long")
+    val ttr = size(array_distinct(toks)).cast("long") / nTok
+    val kept = Tables.t(s, d, "documents")
+      .select(col("doc_id"), col("lang"), col("text"), nTok.as("n_tokens"), ttr.as("ttr"))
+      .filter(col("n_tokens").between(10, 1000) && col("ttr") > 0.2)
+    val deduped = kept
+      .groupBy("text")
+      .agg(min(col("doc_id")).as("doc_id"), min(col("lang")).as("lang"))
+    deduped
+      .join(Tables.t(s, d, "embeddings").select(col("vec_id")),
+        col("doc_id") === col("vec_id"), "left")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), count(col("vec_id")).as("n_with_embedding"))
+      .orderBy("lang")
+  }
+
+  val all: Seq[Q] = Seq(p01TrainingPipeline)
+}
