@@ -82,14 +82,18 @@ object ScalarFunctionQueries {
 
   /** Array higher-order functions over tokenized text: transform, filter,
     * sort, slice, size. distinct-then-sort keeps order deterministic on
-    * both engines (DuckDB list_distinct order is unspecified). */
+    * both engines (DuckDB list_distinct order is unspecified). The array
+    * outputs are serialized to '|'-joined strings on BOTH engines — the
+    * comparison harness can't sort raw list columns (s10's pinned-
+    * serialization pattern); the arrays themselves are still the thing
+    * computed, serialization is the last projection. */
   val s04ArrayFns: Q = Q(
     "s04_array_fns",
     """SELECT doc_id,
       |  len(string_split(text, ' ')) AS n_tokens,
       |  len(list_filter(string_split(text, ' '), t -> length(t) > 4)) AS n_long,
-      |  list_slice(list_sort(list_distinct(string_split(text, ' '))), 1, 5) AS first5,
-      |  list_transform(list_slice(list_sort(list_distinct(string_split(text, ' '))), 1, 3), t -> upper(t)) AS up3
+      |  array_to_string(list_slice(list_sort(list_distinct(string_split(text, ' '))), 1, 5), '|') AS first5,
+      |  array_to_string(list_transform(list_slice(list_sort(list_distinct(string_split(text, ' '))), 1, 3), t -> upper(t)), '|') AS up3
       |FROM documents WHERE doc_id < 100
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
     val toks = split(col("text"), " ")
@@ -99,8 +103,8 @@ object ScalarFunctionQueries {
       .select(col("doc_id"),
         size(toks).cast("long").as("n_tokens"),
         size(filter(toks, t => length(t) > 4)).cast("long").as("n_long"),
-        slice(dsort, 1, 5).as("first5"),
-        transform(slice(dsort, 1, 3), t => upper(t)).as("up3"))
+        concat_ws("|", slice(dsort, 1, 5)).as("first5"),
+        concat_ws("|", transform(slice(dsort, 1, 3), t => upper(t))).as("up3"))
       .orderBy("doc_id")
   }
 
