@@ -4,6 +4,7 @@ import java.util
 import scala.collection.mutable
 import scala.jdk.CollectionConverters._
 
+import com.fasterxml.jackson.core.JsonProcessingException
 import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
@@ -23,15 +24,33 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Usage: spark.read.format("graft.sources.ArticleSourceProvider")
   *          .option("path", dir).load()
+  * Reader options (SURVEY §2.1 O2/O3, fetch_articles.py:13-15,62-76,112):
+  *  - maxRetries  (default 3): attempts per page read; transient I/O
+  *    failures back off exponentially between attempts; exhaustion
+  *    degrades to an empty page (the reference logs "Aborting fetch" and
+  *    returns []), which in incremental mode stops the scan.
+  *  - retryBaseMs (default 1000): backoff sleep is retryBaseMs·2^attempt,
+  *    the reference's time.sleep(2**attempt) with a test-tunable unit.
+  *  - throttleMs  (default 0): pause between successive page reads inside
+  *    one partition — the reference's SLEEP_DELAY rate limit. Only
+  *    meaningful for the sequential incremental walk (the API-facing
+  *    mode); backfill partitions hold a single chunk each.
+  * A malformed page body (JSON parse error) is NOT retried — the
+  * reference breaks out immediately on JSONDecodeError (fetch_articles
+  * .py:73-76) — and likewise degrades to an empty page.
   *
   * Planning strategy mirrors the two reference modes:
-  *  - no watermark filter pushed (backfill): one InputPartition PER PAGE —
-  *    pages scan in parallel, like any file source;
+  *  - no watermark filter pushed (backfill): one InputPartition PER PAGE
+  *    CHUNK — chunks scan in parallel, like any file source;
   *  - watermark filter pushed (incremental): ONE partition walking pages
   *    in ascending page order, stopping the whole scan at the first stale
   *    parsed row. The feed order is the reference's contract; sequential
   *    consumption is inherent to early termination, and the row volume in
   *    this mode is the small "new since watermark" delta by construction.
+  *
+  * A page dir may hold several chunk files (the reference appends a new
+  * `page=N_<timestamp>.json` blob per run, fetch_articles.py:127) — all
+  * are read, in (page, file-name) order.
   *
   * The pushed filter stays a residual (Spark re-applies it), so the stop
   * is purely an optimization — malformed rows pass through to the engine,
@@ -56,17 +75,45 @@ object ArticleSource {
     * later pages rather than reading-then-filtering them. */
   val pagesParsed = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** Test seam for O2: invoked with (filePath, attempt) before each
+    * physical page read. Tests install a closure that throws IOException
+    * for the first k attempts to simulate transient storage failures; the
+    * retry/backoff machinery under test is the real reader code. No-op in
+    * production; static, so local-mode (shared-JVM) tests only. */
+  @volatile var readFault: (String, Int) => Unit = (_, _) => ()
+
   def parseIso(v: String): Option[java.time.Instant] =
     try Some(java.time.Instant.parse(v)) catch { case _: Exception => None }
 
-  /** Sorted page dirs (page=N) under the source path, ascending N. */
+  /** All page chunk files under the source path, ordered by (page N
+    * ascending, file name ascending). Each `page=N` dir may hold several
+    * chunk files — successive incremental batches in the reference's
+    * layout — and all of them are data. */
   def pageFiles(path: String): Seq[(Int, java.io.File)] = {
     val base = new java.io.File(path)
-    base.listFiles().toSeq
+    val entries = Option(base.listFiles()).getOrElse(
+      throw new IllegalArgumentException(
+        s"article source path is not a readable directory: $path"))
+    entries.toSeq
       .filter(f => f.isDirectory && f.getName.startsWith("page="))
-      .map(f => f.getName.stripPrefix("page=").toInt -> f.listFiles().head)
-      .sortBy(_._1)
+      .flatMap { dir =>
+        val page = dir.getName.stripPrefix("page=").toInt
+        Option(dir.listFiles()).getOrElse(Array.empty[java.io.File]).toSeq
+          .filter(_.isFile).sortBy(_.getName).map(page -> _)
+      }
+      .sortBy { case (p, f) => (p, f.getName) }
   }
+}
+
+/** Retry/throttle knobs threaded from reader options to each partition
+  * reader (serialized to executors). */
+case class ArticleReadConf(maxRetries: Int, retryBaseMs: Long, throttleMs: Long)
+
+object ArticleReadConf {
+  def from(options: CaseInsensitiveStringMap): ArticleReadConf = ArticleReadConf(
+    maxRetries = options.getInt("maxRetries", 3),
+    retryBaseMs = options.getLong("retryBaseMs", 1000L),
+    throttleMs = options.getLong("throttleMs", 0L))
 }
 
 class ArticleTable(path: String) extends Table with SupportsRead {
@@ -75,10 +122,11 @@ class ArticleTable(path: String) extends Table with SupportsRead {
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ArticleScanBuilder(path)
+    new ArticleScanBuilder(path, ArticleReadConf.from(options))
 }
 
-class ArticleScanBuilder(path: String) extends ScanBuilder with SupportsPushDownFilters {
+class ArticleScanBuilder(path: String, conf: ArticleReadConf)
+    extends ScanBuilder with SupportsPushDownFilters {
   private var watermark: Option[String] = None
   private var pushed: Array[Filter] = Array.empty
 
@@ -94,10 +142,11 @@ class ArticleScanBuilder(path: String) extends ScanBuilder with SupportsPushDown
     filters
   }
   override def pushedFilters(): Array[Filter] = pushed
-  override def build(): Scan = new ArticleScan(path, watermark)
+  override def build(): Scan = new ArticleScan(path, watermark, conf)
 }
 
-class ArticleScan(path: String, watermark: Option[String]) extends Scan with Batch {
+class ArticleScan(path: String, watermark: Option[String], conf: ArticleReadConf)
+    extends Scan with Batch {
   override def readSchema(): StructType = ArticleSource.schema
   override def toBatch: Batch = this
   override def description(): String =
@@ -111,31 +160,75 @@ class ArticleScan(path: String, watermark: Option[String]) extends Scan with Bat
     }
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new ArticleReaderFactory(watermark)
+    new ArticleReaderFactory(watermark, conf)
 }
 
 case class ArticlePartition(pages: Seq[(Int, String)]) extends InputPartition
 
-class ArticleReaderFactory(watermark: Option[String]) extends PartitionReaderFactory {
+class ArticleReaderFactory(watermark: Option[String], conf: ArticleReadConf)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new ArticleReader(partition.asInstanceOf[ArticlePartition], watermark)
+    new ArticleReader(partition.asInstanceOf[ArticlePartition], watermark, conf)
 }
 
-class ArticleReader(partition: ArticlePartition, watermark: Option[String])
-    extends PartitionReader[InternalRow] {
+class ArticleReader(partition: ArticlePartition, watermark: Option[String],
+    conf: ArticleReadConf) extends PartitionReader[InternalRow] {
 
   private val wmInstant = watermark.flatMap(ArticleSource.parseIso)
   private val pageQueue = mutable.Queue(partition.pages: _*)
   private var rows: Iterator[InternalRow] = Iterator.empty
   private var stopped = false
+  private var firstLoad = true
   private var current: InternalRow = _
+  private val mapper = new ObjectMapper()
+
+  /** O2: bounded-retry page read with exponential backoff. Transient I/O
+    * errors retry up to maxRetries with retryBaseMs·2^attempt sleeps
+    * (fetch_articles.py:62-72); a JSON parse error aborts immediately
+    * without retry (:73-76). Exhaustion returns None — the reference's
+    * `return []` — which the caller treats as an empty page (and so, in
+    * incremental mode, a scan stop). */
+  private def readPageWithRetry(file: String): Option[com.fasterxml.jackson.databind.JsonNode] = {
+    var attempt = 1
+    while (attempt <= conf.maxRetries) {
+      try {
+        ArticleSource.readFault(file, attempt)
+        return Some(mapper.readTree(new java.io.File(file)))
+      } catch {
+        case e: JsonProcessingException =>
+          System.err.println(s"[articles] failed to parse JSON body of $file: ${e.getMessage}")
+          return None
+        case e: java.io.IOException =>
+          System.err.println(s"[articles] page read failed (attempt $attempt): ${e.getMessage}")
+          if (attempt == conf.maxRetries) {
+            System.err.println(s"[articles] max retries reached for $file; aborting fetch")
+            return None
+          }
+          Thread.sleep(conf.retryBaseMs * (1L << attempt))
+          attempt += 1
+      }
+    }
+    None
+  }
 
   private def loadNextPage(): Boolean = {
     if (stopped || pageQueue.isEmpty) return false
+    // O3: rate limit between successive page reads in one partition —
+    // the reference sleeps SLEEP_DELAY between page fetches (:112).
+    if (!firstLoad && conf.throttleMs > 0) Thread.sleep(conf.throttleMs)
+    firstLoad = false
     val (page, file) = pageQueue.dequeue()
     ArticleSource.pagesParsed.incrementAndGet()
-    val mapper = new ObjectMapper()
-    val arr = mapper.readTree(new java.io.File(file))
+    val arrOpt = readPageWithRetry(file)
+    if (arrOpt.isEmpty) {
+      // Reference semantics: a page that can't be fetched is an empty
+      // page; the incremental collect loop breaks on it (:90-91). The
+      // rows gathered so far still commit (partial-progress save).
+      if (wmInstant.isDefined) stopped = true
+      rows = Iterator.empty
+      return true
+    }
+    val arr = arrOpt.get
     val buf = mutable.ArrayBuffer.empty[InternalRow]
     val it = arr.elements().asScala
     var pageStopped = false

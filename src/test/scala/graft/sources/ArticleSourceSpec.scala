@@ -43,6 +43,89 @@ class ArticleSourceSpec extends AnyFunSuite {
       "watermarkStop=2025-06-01T12:00:00Z"))
   }
 
+  // ---- O2/O3: retry, backoff, exhaustion, throttle, multi-chunk pages ----
+
+  private def withFault[A](fault: (String, Int) => Unit)(body: => A): A =
+    try { ArticleSource.readFault = fault; body }
+    finally ArticleSource.readFault = (_, _) => ()
+
+  private def fastRead = s.read.format("graft.sources.ArticleSourceProvider")
+    .option("path", path).option("retryBaseMs", "1")
+
+  test("O2: transient read failures retry with backoff and then succeed") {
+    val attempts = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    val n = withFault { (file, attempt) =>
+      attempts.merge(file, 1, (a, b) => a + b)
+      // every file fails twice, succeeds on the 3rd (== default maxRetries) attempt
+      if (attempt < 3) throw new java.io.IOException(s"transient fault $attempt")
+    } { fastRead.load().count() }
+    assert(n == 28, "all rows arrive despite two transient failures per page")
+    assert(attempts.values().toArray.forall(_ == Integer.valueOf(3)),
+      "each page file took exactly 3 attempts")
+  }
+
+  test("O2: retry exhaustion degrades a backfill chunk to an empty page") {
+    val rows = withFault { (file, _) =>
+      if (file.contains("page=2")) throw new java.io.IOException("hard down")
+    } { fastRead.load().select("page").collect().map(_.getInt(0)) }
+    assert(!rows.contains(2), "the permanently-failing page yields no rows")
+    assert(rows.length == 21, "the other pages' 28-7 rows still commit (partial progress)")
+  }
+
+  test("O2: retry exhaustion in incremental mode stops the scan like an empty page") {
+    ArticleSource.pagesParsed.set(0)
+    val pages = withFault { (file, _) =>
+      if (file.contains("page=3")) throw new java.io.IOException("hard down")
+    } {
+      fastRead.load()
+        .filter(col("published_at") > lit("2020-01-01T00:00:00Z"))
+        .select("page").collect().map(_.getInt(0)).toSet
+    }
+    assert(pages == Set(1, 2), "rows before the dead page commit; nothing after it")
+    assert(ArticleSource.pagesParsed.get == 3, "pages 4-6 never attempted after the abort")
+  }
+
+  test("O2: a JSON parse error aborts the page immediately without retry") {
+    val dir = java.nio.file.Files.createTempDirectory("articles_bad").toFile
+    val p1 = new java.io.File(dir, "page=1"); p1.mkdirs()
+    java.nio.file.Files.writeString(p1.toPath.resolve("articles.json"), "{not json[")
+    val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val n = withFault { (_, _) => attempts.incrementAndGet(); () } {
+      s.read.format("graft.sources.ArticleSourceProvider")
+        .option("path", dir.getPath).option("retryBaseMs", "1").load().count()
+    }
+    assert(n == 0)
+    assert(attempts.get == 1, "parse errors are not retried (reference breaks immediately)")
+  }
+
+  test("O3: throttleMs paces successive page reads in the incremental walk") {
+    val t0 = System.nanoTime()
+    fastRead.option("throttleMs", "40").load()
+      .filter(col("published_at") > lit("2025-06-01T12:00:00Z")).count()
+    val elapsedMs = (System.nanoTime() - t0) / 1000000
+    // incremental walk parses pages 1-4 → 3 inter-page sleeps of 40 ms
+    assert(elapsedMs >= 120, s"expected >=3 throttle sleeps, elapsed ${elapsedMs}ms")
+  }
+
+  test("multi-chunk page dirs: every appended blob is read, in name order") {
+    val dir = java.nio.file.Files.createTempDirectory("articles_multi").toFile
+    val p1 = new java.io.File(dir, "page=1"); p1.mkdirs()
+    java.nio.file.Files.writeString(p1.toPath.resolve("page=1_20250601T000000Z.json"),
+      """[{"id": 1, "published_at": "2025-06-01T00:00:00Z", "title": "a"}]""")
+    java.nio.file.Files.writeString(p1.toPath.resolve("page=1_20250602T000000Z.json"),
+      """[{"id": 2, "published_at": "2025-06-02T00:00:00Z", "title": "b"}]""")
+    val df = s.read.format("graft.sources.ArticleSourceProvider")
+      .option("path", dir.getPath).load()
+    assert(df.select("id").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    assert(df.rdd.getNumPartitions == 2, "backfill plans one partition per chunk file")
+  }
+
+  test("pageFiles fails loudly on a missing source path") {
+    intercept[IllegalArgumentException] {
+      ArticleSource.pageFiles("/root/repo/fixtures/does_not_exist")
+    }
+  }
+
   test("V2 rows match the built-in multiLine JSON reader") {
     val builtin = s.read
       .schema(graft.ingest.ArticlePipeline.articleSchema)
