@@ -35,8 +35,12 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
-    SparkEntry.catalog.foreach(runOnce) // warmup pass (JIT + codegen cache)
-    val results = SparkEntry.catalog.map(q => q.name -> runOnce(q))
+    // Optional args narrow the run to named queries (dev aid; the driver
+    // passes none and measures the full catalog).
+    val catalog = if (args.isEmpty) SparkEntry.catalog
+      else SparkEntry.catalog.filter(q => args.contains(q.name))
+    catalog.foreach(runOnce) // warmup pass (JIT + codegen cache)
+    val results = catalog.map(q => q.name -> runOnce(q))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
