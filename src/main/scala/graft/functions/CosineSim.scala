@@ -93,6 +93,9 @@ object CosineSim {
 /** SparkSessionExtensions entry point:
   * --conf spark.sql.extensions=graft.functions.GraftExtensions */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("graft_cosine_sim"), CosineSim.info, CosineSim.builder))
+    ext.injectFunction((FunctionIdentifier("graft_posexplode_ngrams"),
+      PosExplodeNgrams.info, PosExplodeNgrams.builder))
+  }
 }

@@ -1,0 +1,68 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Generator}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** True Catalyst Generator (the explode-family extension point, SURVEY
+  * §2.2 UD* row): `graft_posexplode_ngrams(text, n)` fans each document
+  * out to one row per word n-gram with its 0-based position — the
+  * tokenize-then-posexplode idiom as ONE native table-generating
+  * function. Unlike u03's typed flatMap (which leaves the relational
+  * layer for a Dataset lambda), this stays a relational Generate node:
+  * Catalyst prunes columns through it, and the per-row fan-out never
+  * materializes an intermediate array column.
+  *
+  * eval-mode only (CodegenFallback), like most built-in generators'
+  * slow path; the Generate operator itself pipelines inside the stage.
+  */
+case class PosExplodeNgrams(child: Expression, nExpr: Expression)
+    extends Expression with Generator with CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(child, nExpr)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (child.dataType, nExpr.dataType) match {
+      case (StringType, IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case (t1, t2) => TypeCheckResult.TypeCheckFailure(
+        s"graft_posexplode_ngrams expects (string, int), got ($t1, $t2)")
+    }
+
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("pos", IntegerType, nullable = false),
+    StructField("ngram", StringType)))
+
+  override def prettyName: String = "graft_posexplode_ngrams"
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val text = child.eval(input)
+    val nVal = nExpr.eval(input)
+    if (text == null || nVal == null) return Iterator.empty
+    val n = nVal.asInstanceOf[Int]
+    if (n <= 0) return Iterator.empty
+    val toks = text.asInstanceOf[UTF8String].toString.split(' ')
+    if (toks.length < n) Iterator.empty
+    else (0 to toks.length - n).iterator.map { i =>
+      InternalRow(i, UTF8String.fromString(toks.slice(i, i + n).mkString(" ")))
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): PosExplodeNgrams =
+    copy(child = newChildren(0), nExpr = newChildren(1))
+}
+
+object PosExplodeNgrams {
+  val info = new ExpressionInfo(classOf[PosExplodeNgrams].getName, "graft_posexplode_ngrams")
+  val builder: Seq[Expression] => Expression = exprs => PosExplodeNgrams(exprs.head, exprs(1))
+
+  /** Session-scoped registration (harness sessions are built without the
+    * extensions conf; production deploys use [[GraftExtensions]]). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction("graft_posexplode_ngrams", builder, "built-in")
+}

@@ -102,7 +102,7 @@ object IngestQueries {
       ArticlePipeline.keepParsed(ArticlePipeline.readPages(s)),
       ArticlePipeline.loadWatermark(s))
       .drop("wm")
-    val out = java.nio.file.Files.createTempDirectory("graft_i05_sink_").toString
+    val out = graft.TempDirs.newTempDir("graft_i05_sink_")
     ArticlePipeline.writeDatePartitioned(kept, out)
     s.read
       .schema(ArticlePipeline.articleSchema.add("ts", org.apache.spark.sql.types.TimestampType))
@@ -212,8 +212,41 @@ object IngestQueries {
       .orderBy("id")
   }
 
+  /** Corrupt-record RETENTION (VERDICT r3 missing #5): the production
+    * half of PERMISSIVE that i08 leaves out — quarantine the raw bad
+    * line via columnNameOfCorruptRecord instead of just null-filling,
+    * the columnar analog of the reference logging the offending payload
+    * before skipping it (fetch_articles.py:98-100). The oracle reads the
+    * same file as raw lines (delim='' = whole-line CSV) and quarantines
+    * exactly the lines that fail json_valid. */
+  val i11CorruptRetention: Q = Q(
+    "i11_corrupt_retention",
+    s"""SELECT COUNT(*) AS n_total,
+       |  COUNT(CASE WHEN json_valid(line)
+       |        AND json_extract(line, '$$.id') IS NOT NULL THEN 1 END) AS n_valid,
+       |  COUNT(CASE WHEN NOT json_valid(line) THEN 1 END) AS n_quarantined,
+       |  MIN(CASE WHEN NOT json_valid(line) THEN line END) AS sample_raw
+       |FROM read_csv('$F/articles_jsonl/articles.jsonl', delim='', header=false,
+       |  quote='', columns={'line':'VARCHAR'})""".stripMargin) { (s, _) =>
+    val schema = org.apache.spark.sql.types.StructType(
+      ArticlePipeline.articleSchema.fields :+
+        org.apache.spark.sql.types.StructField("_corrupt_record",
+          org.apache.spark.sql.types.StringType))
+    s.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(s"$F/articles_jsonl/articles.jsonl")
+      // n_valid also keeps a data column referenced — Spark (correctly)
+      // refuses a scan whose only projected column is the corrupt record
+      .agg(
+        count(lit(1)).as("n_total"),
+        count(col("id")).as("n_valid"),
+        count(col("_corrupt_record")).as("n_quarantined"),
+        min(col("_corrupt_record")).as("sample_raw"))
+  }
+
   val all: Seq[Q] = Seq(
     i01PageScan, i02TimestampParse, i03WatermarkFilter, i04RunningMax,
     i05PartitionedSink, i06BackfillCursor, i07DailyCounts,
-    i08JsonlPermissive, i09CsvScan, i10V2SourceScan)
+    i08JsonlPermissive, i09CsvScan, i10V2SourceScan, i11CorruptRetention)
 }

