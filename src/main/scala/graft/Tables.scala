@@ -22,10 +22,37 @@ object Tables {
     // long is converted here. Integer `div` keeps full precision (a double
     // round-trip would lose sub-second bits at 2^63-scale epochs); the data
     // carries no sub-microsecond component, so the truncation is exact.
-    df.schema.fields.find(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType) match {
-      case Some(_) => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case None => df
-    }
+    // Scoped to the EVENTS table by name: the nanos unit is a fact about
+    // that one table's writer, and a future table with a genuine long
+    // epoch-seconds `ts` column must not be silently rescaled.
+    val isNanosTs = name == "events" &&
+      df.schema.fields.exists(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType)
+    if (isNanosTs) df.withColumn("ts", timestamp_micros(expr("ts div 1000"))) else df
+  }
+}
+
+/** Registry of per-invocation temp artifacts (stage parquet, sink
+  * fixtures, bucket-table dirs), deleted on JVM exit. Queries create
+  * these per call; without cleanup a long session (Bench warmup + N
+  * measured catalog runs) accumulates unbounded /tmp garbage
+  * (ADVICE r3). Registration, not eager deletion, because the artifacts
+  * must outlive the lazy DataFrames that scan them.
+  */
+object TempDirs {
+  private val dirs = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  Runtime.getRuntime.addShutdownHook(new Thread(() => dirs.forEach(delete(_))))
+
+  /** Register a directory for deletion at JVM shutdown; returns it. */
+  def register(dir: String): String = { dirs.add(dir); dir }
+
+  def newTempDir(prefix: String): String =
+    register(java.nio.file.Files.createTempDirectory(prefix).toString)
+
+  private def delete(root: String): Unit = {
+    import java.nio.file._
+    try Files.walk(Paths.get(root)).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => { try Files.deleteIfExists(p) catch { case _: Exception => () } })
+    catch { case _: Exception => () }
   }
 }
 
@@ -54,7 +81,7 @@ object Stage {
     * and buys full parallelism — the cluster-scale equivalent is tuning
     * maxPartitionBytes for compute-heavy columns. */
   def materialize(spark: SparkSession, df: DataFrame, tag: String): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory(s"graft_stage_${tag}_").toString
+    val dir = TempDirs.newTempDir(s"graft_stage_${tag}_")
     df.write.mode("overwrite").parquet(dir)
     spark.read.parquet(dir).repartition(spark.sparkContext.defaultParallelism)
   }

@@ -22,6 +22,9 @@ import org.apache.spark.sql.functions._
   */
 object RelationalQueries {
 
+  /** One session-stable home for q32's bucket tables (see q32 hygiene note). */
+  private lazy val q32Dir: String = graft.TempDirs.newTempDir("graft_bucketed_")
+
   private def li(s: SparkSession, d: String) = Tables.t(s, d, "lineitem")
   private def ord(s: SparkSession, d: String) = Tables.t(s, d, "orders")
   private def cust(s: SparkSession, d: String) = Tables.t(s, d, "customer")
@@ -707,12 +710,14 @@ object RelationalQueries {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
-    val tag = java.util.UUID.randomUUID.toString.replace("-", "")
-    val dir = java.nio.file.Files.createTempDirectory(s"graft_bucketed_$tag")
-    val (to, tc) = (s"graft_ord_$tag", s"graft_cust_$tag")
-    ord(s, d).write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+    // Fixed table names + overwrite keep repeated invocations bounded:
+    // one metastore entry and one dir per table for the whole session
+    // (ADVICE r3 hygiene), deleted on JVM exit via TempDirs.
+    val dir = java.nio.file.Paths.get(q32Dir)
+    val (to, tc) = ("graft_q32_orders", "graft_q32_customer")
+    ord(s, d).write.mode("overwrite").bucketBy(8, "o_custkey").sortBy("o_custkey")
       .option("path", dir.resolve("orders").toString).saveAsTable(to)
-    cust(s, d).write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+    cust(s, d).write.mode("overwrite").bucketBy(8, "c_custkey").sortBy("c_custkey")
       .option("path", dir.resolve("customer").toString).saveAsTable(tc)
     s.table(to).hint("merge")
       .join(s.table(tc).hint("merge"), col("o_custkey") === col("c_custkey"))

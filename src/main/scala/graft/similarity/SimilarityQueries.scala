@@ -180,9 +180,13 @@ object SimilarityQueries {
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
       "v06vecs")
     val withFeatures = e.withColumn("fv", array_to_vector(col("v")))
+    // centroids train on a fixed-seed SAMPLE, not the full table — at
+    // 100 TB the quantizer only needs a statistical sketch of the space,
+    // and the sample keeps the k-means iterations O(sample) while the
+    // assignment pass below stays the only full scan
     val model = new KMeans().setK(16).setSeed(42).setMaxIter(5)
       .setFeaturesCol("fv").setPredictionCol("cell")
-      .fit(withFeatures)
+      .fit(withFeatures.sample(withReplacement = false, 0.25, seed = 42))
     val cells = model.transform(withFeatures).select(col("vec_id"), col("v"), col("cell"))
     val probe = cells.filter(col("vec_id") === 0)
       .select(col("v").as("pv"), col("cell").as("pcell"))
@@ -200,7 +204,7 @@ object SimilarityQueries {
     * the lookup cost is the probe's cell, not the table. */
   val v07AnnPartitionPruned: Q = Q.noOracle("v07_ann_partition_pruned") { (s, d) =>
     val ps = planes(6)
-    val dir = java.nio.file.Files.createTempDirectory("graft_v07_cells_").toString
+    val dir = graft.TempDirs.newTempDir("graft_v07_cells_")
     emb(s, d).repartition(s.sparkContext.defaultParallelism)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("bucket", bucketOf(col("v"), ps))

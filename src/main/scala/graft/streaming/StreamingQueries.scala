@@ -35,7 +35,7 @@ object StreamingQueries {
     * under the session's nanosAsLong conf, converted exactly like the
     * batch reader in Tables). */
   private def replayedEvents(s: SparkSession, d: String): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_stream_events_")
+    val dir = java.nio.file.Paths.get(graft.TempDirs.newTempDir("graft_stream_events_"))
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$d/events.parquet"), dir.resolve("events.parquet"))
     val raw = s.read.parquet(s"$d/events.parquet").schema
@@ -188,7 +188,7 @@ object StreamingQueries {
     s"""SELECT event_type, COUNT(*) AS n, ${Det.sqlSum("value")} AS sum_value
        |FROM events WHERE value >= 100
        |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
-    val base = java.nio.file.Files.createTempDirectory("graft_st06_")
+    val base = java.nio.file.Paths.get(graft.TempDirs.newTempDir("graft_st06_"))
     val (out, ckpt) = (base.resolve("out").toString, base.resolve("ckpt").toString)
     val q = replayedEvents(s, d)
       .filter(col("value") >= 100)
