@@ -22,7 +22,8 @@ object SparkEntry {
         text.TextQueries.all ++
         multimodal.MultimodalQueries.all ++
         streaming.StreamingQueries.all ++
-        pipeline.PipelineQueries.all
+        pipeline.PipelineQueries.all ++
+        observability.ObservabilityQueries.all
     // A duplicate name would silently drop a Map entry (and its oracle),
     // shrinking coverage unnoticed — fail fast instead.
     val dups = all.groupBy(_.name).filter(_._2.size > 1).keys
