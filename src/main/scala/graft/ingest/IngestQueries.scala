@@ -245,8 +245,33 @@ object IngestQueries {
         min(col("_corrupt_record")).as("sample_raw"))
   }
 
+  /** Schema evolution on read: batch 1 lands without o_orderpriority,
+    * batch 2 (a later producer version) adds it; mergeSchema unions the
+    * file schemas and null-fills the old batch — the standard long-lived-
+    * table upgrade path (at scale: explicit schema + mergeSchema only on
+    * the migration read, since footer-merging every file is a cost). The
+    * oracle reconstructs the same union from the source table. */
+  val i12SchemaEvolution: Q = Q(
+    "i12_schema_evolution",
+    """SELECT o_orderkey, o_totalprice,
+      |  CASE WHEN o_orderkey > 100 THEN o_orderpriority END AS o_orderpriority
+      |FROM orders WHERE o_orderkey <= 200 ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val dir = graft.TempDirs.newTempDir("graft_i12_evo_")
+    val o = graft.Tables.t(s, d, "orders")
+    o.filter(col("o_orderkey") <= 100)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .write.mode("overwrite").parquet(s"$dir/b1")
+    o.filter(col("o_orderkey") > 100 && col("o_orderkey") <= 200)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      .write.mode("overwrite").parquet(s"$dir/b2")
+    s.read.option("mergeSchema", "true").parquet(s"$dir/*")
+      .select("o_orderkey", "o_totalprice", "o_orderpriority")
+      .orderBy("o_orderkey")
+  }
+
   val all: Seq[Q] = Seq(
     i01PageScan, i02TimestampParse, i03WatermarkFilter, i04RunningMax,
     i05PartitionedSink, i06BackfillCursor, i07DailyCounts,
-    i08JsonlPermissive, i09CsvScan, i10V2SourceScan, i11CorruptRetention)
+    i08JsonlPermissive, i09CsvScan, i10V2SourceScan, i11CorruptRetention,
+    i12SchemaEvolution)
 }

@@ -874,6 +874,29 @@ object RelationalQueries {
       Det.dsum(col("o_totalprice")).as("sampled_revenue"))
   }
 
+  /** Exact interpolated percentiles (median/p75/p90) per group. Both
+    * engines sort the group and interpolate (1-f)·lower + f·upper at
+    * rank (n-1)·p in double — bit-identical, verified across all groups.
+    * Scale note: exact percentile is a per-group sort; at 100 TB the
+    * right tool is the approx_percentile sketch (mergeable partials, one
+    * pass — same pattern as q28's HLL), with this exact form reserved
+    * for small/medium groups. */
+  val q39Percentiles: Q = Q(
+    "q39_percentiles",
+    """SELECT o_orderpriority,
+      |  quantile_cont(o_totalprice, 0.5) AS p50,
+      |  quantile_cont(o_totalprice, 0.75) AS p75,
+      |  quantile_cont(o_totalprice, 0.9) AS p90
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    ord(s, d)
+      .groupBy("o_orderpriority")
+      .agg(
+        percentile(col("o_totalprice"), lit(0.5)).as("p50"),
+        percentile(col("o_totalprice"), lit(0.75)).as("p75"),
+        percentile(col("o_totalprice"), lit(0.9)).as("p90"))
+      .orderBy("o_orderpriority")
+  }
+
   val all: Seq[Q] = Seq(
     q01ScanProject, q02Predicates, q03AggBasic, q04AggDistinct, q05Rollup,
     q06Cube, q07JoinBroadcast, q08JoinMultiway, q09JoinOuter, q10JoinFull,
@@ -882,5 +905,6 @@ object RelationalQueries {
     q21SetOps, q22UnionDistinct, q23ScalarSubquery, q24CorrelatedSubquery,
     q25Having, q26CaseWhen, q27GroupingSets, q28ApproxDistinct, q29AsofJoin,
     q30NullSafeEq, q31SaltedAgg, q32BucketedJoin, q33Pivot, q34WindowRangeFrame,
-    q35NullOrdering, q36WindowDistribution, q37StatsExact, q38Sample)
+    q35NullOrdering, q36WindowDistribution, q37StatsExact, q38Sample,
+    q39Percentiles)
 }

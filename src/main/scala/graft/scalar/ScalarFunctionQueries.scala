@@ -277,7 +277,33 @@ object ScalarFunctionQueries {
       .orderBy("event_id")
   }
 
+  /** Conditional / argument aggregates: count_if, bool_or/bool_and,
+    * max_by/min_by (DuckDB arg_max/arg_min). max_by ties are
+    * nondeterministic on BOTH engines — here the ordering key
+    * (o_totalprice within priority group) is tie-free at every shipped
+    * SF (checked 0.001/0.01/0.1), so the argmax is well-defined. */
+  val s12ConditionalAgg: Q = Q(
+    "s12_conditional_agg",
+    """SELECT o_orderpriority,
+      |  CAST(count_if(o_totalprice > 300000) AS BIGINT) AS n_big,
+      |  bool_or(o_totalprice > 500000) AS any_huge,
+      |  bool_and(o_totalprice > 0) AS all_positive,
+      |  arg_max(o_orderkey, o_totalprice) AS top_order,
+      |  arg_min(o_orderkey, o_totalprice) AS bottom_order
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    ord(s, d)
+      .groupBy("o_orderpriority")
+      .agg(
+        count_if(col("o_totalprice") > 300000).as("n_big"),
+        bool_or(col("o_totalprice") > 500000).as("any_huge"),
+        bool_and(col("o_totalprice") > 0).as("all_positive"),
+        max_by(col("o_orderkey"), col("o_totalprice")).as("top_order"),
+        min_by(col("o_orderkey"), col("o_totalprice")).as("bottom_order"))
+      .orderBy("o_orderpriority")
+  }
+
   val all: Seq[Q] = Seq(
     s01StringBasics, s02Regexp, s03Levenshtein, s04ArrayFns, s05MapFns,
-    s06Json, s07JsonStruct, s08DateTime, s09Math, s10ToJson, s11MapKit)
+    s06Json, s07JsonStruct, s08DateTime, s09Math, s10ToJson, s11MapKit,
+    s12ConditionalAgg)
 }

@@ -206,6 +206,39 @@ object StreamingQueries {
       .orderBy("event_type")
   }
 
+  /** Stream-stream interval join (the last big Structured Streaming
+    * operator class): views joined to same-user purchases landing within
+    * the following hour — the classic streaming attribution shape. Both
+    * sides carry watermarks and the join condition carries the time
+    * range, so the state store can evict rows once the other side's
+    * watermark passes (at 100 TB/day the state held is one hour of one
+    * side, not the stream). Inner join emits matches as they occur;
+    * the bounded replay therefore yields exactly the batch join, which
+    * is the oracle. */
+  val st07StreamJoin: Q = Q(
+    "st07_stream_stream_join",
+    """SELECT v.user_id, COUNT(*) AS n_pairs
+      |FROM (SELECT user_id, ts FROM events WHERE event_type = 'view') v
+      |JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+      |  ON v.user_id = p.user_id
+      | AND p.ts >= v.ts AND p.ts < v.ts + INTERVAL 1 HOUR
+      |GROUP BY v.user_id ORDER BY v.user_id""".stripMargin) { (s, d) =>
+    val views = replayedEvents(s, d)
+      .filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+      .withWatermark("v_ts", "1 hour")
+    val purchases = replayedEvents(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = views.join(purchases,
+      expr("v_user = p_user AND p_ts >= v_ts AND p_ts < v_ts + INTERVAL 1 HOUR"))
+    runToTable(s, joined, "append")
+      .groupBy(col("v_user").as("user_id"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("user_id")
+  }
+
   val all: Seq[Q] = Seq(st01Tumbling, st02Sliding, st03Session, st04Dedup,
-    st05Stateful, st06FileSink)
+    st05Stateful, st06FileSink, st07StreamJoin)
 }
