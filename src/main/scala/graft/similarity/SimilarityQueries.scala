@@ -44,6 +44,20 @@ object SimilarityQueries {
       when(dot(v, array(p.map(lit).toSeq: _*)) > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** DuckDB-side replica of [[bucketOf]]: the planes are seeded
+    * CONSTANTS, so the oracle can state the identical sign-LSH
+    * arithmetic with the plane vectors inlined as literals.
+    * Double.toString emits the shortest exact round-trip decimal and
+    * DuckDB parses to the nearest double — the same bit pattern — and
+    * list_dot_product is the same sequential fold as the engine's
+    * aggregate/zip_with, so bucket ids agree exactly (this is what
+    * upgrades v03/v04/v07 from rows-only smoke to full hash-checked
+    * entries). */
+  private def bucketSql(ps: Seq[Array[Double]], v: String): String =
+    "CAST(" + ps.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN list_dot_product($v, [${p.mkString(", ")}]) > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("\n      + ") + " AS BIGINT)"
+
   /** Brute-force cosine top-20 against the vec_id=0 probe. */
   val v01CosineTopK: Q = Q(
     "v01_cosine_topk",
@@ -82,10 +96,18 @@ object SimilarityQueries {
   /** ANN point lookup: 6-plane sign-LSH buckets (64 cells); only the
     * probe's bucket is scanned, then exact cosine ranks the survivors.
     * At scale the table would be written bucketed/partitioned on `bucket`
-    * so the lookup is a partition-pruned scan, not a full pass. No SQL
-    * oracle (hash planes are engine-side); rows>0 is guaranteed because
-    * the probe's own bucket contains at least the probe. */
-  val v03AnnLshBucket: Q = Q.noOracle("v03_ann_lsh_bucket") { (s, d) =>
+    * so the lookup is a partition-pruned scan, not a full pass. Fully
+    * oracle-checked: the seeded planes inline as literals ([[bucketSql]])
+    * so DuckDB computes identical buckets and the identical survivor
+    * ranking. */
+  val v03AnnLshBucket: Q = Q(
+    "v03_ann_lsh_bucket",
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |b AS (SELECT vec_id, v, ${bucketSql(planes(6), "v")} AS bucket FROM e),
+       |p AS (SELECT v AS pv, bucket AS pbucket FROM b WHERE vec_id = 0)
+       |SELECT vec_id, bucket, list_cosine_similarity(v, pv) AS cos_sim
+       |FROM b, p WHERE bucket = pbucket
+       |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin) { (s, d) =>
     val ps = planes(6)
     val e = emb(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -109,8 +131,24 @@ object SimilarityQueries {
     * planted). Sign-LSH discriminates weakly at such angles (plane
     * agreement p = 1 - θ/π ≈ 0.63), which is what drives the candidate
     * volume here; at a true near-dup threshold (0.9 ⇒ p ≈ 0.86) the same
-    * construction prunes orders of magnitude harder. */
-  val v04EmbeddingNearDup: Q = Q.noOracle("v04_embedding_neardup") { (s, d) =>
+    * construction prunes orders of magnitude harder.
+    *
+    * Oracle: with BOTH sides probing their 1-bit flips, a pair shares a
+    * probe bucket iff xor(B_a, B_b) ∈ {0} ∪ {single flips} ∪ {flip_i ^
+    * flip_j} — i.e. hamming(B_a, B_b) <= 2 over the 4 bits. DuckDB
+    * restates exactly that criterion (all-pairs is fine at oracle SF)
+    * with the literal planes, so the candidate SET — not just the
+    * verified scores — is checked. */
+  val v04EmbeddingNearDup: Q = Q(
+    "v04_embedding_neardup",
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |b AS (SELECT vec_id, v, ${bucketSql(planes(4), "v")} AS bucket FROM e)
+       |SELECT a.vec_id AS i, b2.vec_id AS j,
+       |  list_cosine_similarity(a.v, b2.v) AS cos_sim
+       |FROM b a JOIN b b2 ON a.vec_id < b2.vec_id
+       |WHERE bit_count(xor(a.bucket, b2.bucket)) <= 2
+       |  AND list_cosine_similarity(a.v, b2.v) >= 0.4
+       |ORDER BY i, j""".stripMargin) { (s, d) =>
     val ps = planes(4)
     // Buckets AND norms materialize once (Stage): the self-join would
     // otherwise evaluate the 4 plane dots per side, and pre-computed norms
@@ -201,8 +239,18 @@ object SimilarityQueries {
     * bucket predicate — Spark plans a partition-PRUNED scan (one
     * directory of 64 touched; PartitionFilters in the plan, asserted in
     * SimilaritySpec). This is the layout v03 only talks about: at 100 TB
-    * the lookup cost is the probe's cell, not the table. */
-  val v07AnnPartitionPruned: Q = Q.noOracle("v07_ann_partition_pruned") { (s, d) =>
+    * the lookup cost is the probe's cell, not the table. Same literal-
+    * planes oracle as v03 (the physical layout must not change a single
+    * value); bucket comes back as INT from partition-dir inference. */
+  val v07AnnPartitionPruned: Q = Q(
+    "v07_ann_partition_pruned",
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |b AS (SELECT vec_id, v, ${bucketSql(planes(6), "v")} AS bucket FROM e),
+       |p AS (SELECT v AS pv, bucket AS pbucket FROM b WHERE vec_id = 0)
+       |SELECT vec_id, CAST(bucket AS INT) AS bucket,
+       |  list_cosine_similarity(v, pv) AS cos_sim
+       |FROM b, p WHERE bucket = pbucket
+       |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin) { (s, d) =>
     val ps = planes(6)
     val dir = graft.TempDirs.newTempDir("graft_v07_cells_")
     emb(s, d).repartition(s.sparkContext.defaultParallelism)
