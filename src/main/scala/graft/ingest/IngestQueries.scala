@@ -269,9 +269,35 @@ object IngestQueries {
       .orderBy("o_orderkey")
   }
 
+  /** The article source as a STREAMING V2 source (O1 long-term + O13/O14):
+    * page cursor = streaming Offset, committed atomically by the
+    * checkpoint log; Trigger.AvailableNow drains all pages as
+    * micro-batches of per-page partitions. The oracle is the full batch
+    * page scan folded to per-page stats — streaming and batch reads of
+    * the same feed must agree exactly. Checkpoint-restart semantics
+    * (second run reads zero new rows) are proven in ArticleSourceSpec. */
+  val i13StreamingSource: Q = Q(
+    "i13_streaming_source",
+    s"""SELECT CAST(page AS INT) AS page, COUNT(*) AS n,
+       |  MIN(id) AS min_id, MAX(id) AS max_id
+       |FROM $pagesSql
+       |GROUP BY page ORDER BY page""".stripMargin) { (s, _) =>
+    val qn = s"graft_i13_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+    val q = s.readStream.format("graft.sources.ArticleSourceProvider")
+      .option("path", s"$F/articles").load()
+      .writeStream.format("memory").queryName(qn)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(qn)
+      .groupBy("page")
+      .agg(count(lit(1)).as("n"), min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+      .orderBy("page")
+  }
+
   val all: Seq[Q] = Seq(
     i01PageScan, i02TimestampParse, i03WatermarkFilter, i04RunningMax,
     i05PartitionedSink, i06BackfillCursor, i07DailyCounts,
     i08JsonlPermissive, i09CsvScan, i10V2SourceScan, i11CorruptRetention,
-    i12SchemaEvolution)
+    i12SchemaEvolution, i13StreamingSource)
 }

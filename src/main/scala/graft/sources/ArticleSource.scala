@@ -120,7 +120,7 @@ class ArticleTable(path: String) extends Table with SupportsRead {
   override def name(): String = s"articles($path)"
   override def schema(): StructType = ArticleSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ArticleScanBuilder(path, ArticleReadConf.from(options))
 }
@@ -149,6 +149,8 @@ class ArticleScan(path: String, watermark: Option[String], conf: ArticleReadConf
     extends Scan with Batch {
   override def readSchema(): StructType = ArticleSource.schema
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String) =
+    new ArticleMicroBatchStream(path, conf)
   override def description(): String =
     s"ArticleScan(watermarkStop=${watermark.getOrElse("none")})"
 
@@ -161,6 +163,47 @@ class ArticleScan(path: String, watermark: Option[String], conf: ArticleReadConf
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new ArticleReaderFactory(watermark, conf)
+}
+
+/** The reference pipeline's TRUE Spark-native form (SURVEY §2.1 O1 "long
+  * term" + O13/O14): a streaming V2 source whose Offset IS the page
+  * cursor. Structured Streaming's checkpoint log commits the offset
+  * atomically with the sink — the effectively-once upgrade over the
+  * reference's save-blob-then-save-cursor pair (fetch_articles_backfill
+  * .py:102-111, non-atomic). A restart with the same checkpoint resumes
+  * AFTER the last committed page and an unchanged feed yields zero new
+  * rows — the reference's incremental-run contract, proven in
+  * ArticleSourceSpec.
+  *
+  * Each micro-batch covers the pages in (start, end]; per-page input
+  * partitions parallelize within the batch like the backfill scan. */
+class ArticleMicroBatchStream(path: String, conf: ArticleReadConf)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private case class PageOffset(page: Int) extends Offset {
+    override def json(): String = page.toString
+  }
+
+  private def maxPage: Int =
+    (0 +: ArticleSource.pageFiles(path).map(_._1)).max
+
+  override def initialOffset(): Offset = PageOffset(0)
+  override def latestOffset(): Offset = PageOffset(maxPage)
+  override def deserializeOffset(json: String): Offset = PageOffset(json.trim.toInt)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[PageOffset].page
+    val e = end.asInstanceOf[PageOffset].page
+    ArticleSource.pageFiles(path)
+      .filter { case (p, _) => p > s && p <= e }
+      .map { case (p, f) => ArticlePartition(Seq((p, f.getPath))) }
+      .toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ArticleReaderFactory(None, conf)
 }
 
 case class ArticlePartition(pages: Seq[(Int, String)]) extends InputPartition

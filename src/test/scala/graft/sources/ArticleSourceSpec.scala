@@ -126,6 +126,25 @@ class ArticleSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("O13/O14 streaming: page-cursor offset commits atomically; restart reads nothing new") {
+    val base = java.nio.file.Files.createTempDirectory("articles_ckpt")
+    val (out, ckpt) = (base.resolve("out").toString, base.resolve("ckpt").toString)
+    def runOnce(): Long = {
+      val q = s.readStream.format("graft.sources.ArticleSourceProvider")
+        .option("path", path).load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(out).count()
+    }
+    assert(runOnce() == 28, "first run drains every page into the sink")
+    assert(runOnce() == 28,
+      "second run with the same checkpoint resumes past the committed cursor: zero new rows")
+  }
+
   test("V2 rows match the built-in multiLine JSON reader") {
     val builtin = s.read
       .schema(graft.ingest.ArticlePipeline.articleSchema)
