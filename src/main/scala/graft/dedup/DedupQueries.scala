@@ -253,5 +253,36 @@ object DedupQueries {
       .orderBy("i", "j")
   }
 
-  val all: Seq[Q] = Seq(d01ExactDedup, d02HashDedup, d03MinHashLsh, d04SimHash, d05NgramJaccard)
+  /** Engine-portable MinHash (the oracle-checked complement to d03):
+    * permutation hashes derive from md5 — shared bit-for-bit by both
+    * engines — so the full signature computation (min over per-seed
+    * hashes of the distinct token set) verifies EXACTLY against DuckDB,
+    * not just statistically. d03 keeps xxhash64 for the production path
+    * (one 64-bit mix vs a full md5 per token·perm); this entry pins the
+    * minhash MATH itself cross-engine. 8 perms over distinct word
+    * tokens; per-token cost is a scan-local map, no shuffle. */
+  val d06MinHashPortable: Q = Q(
+    "d06_minhash_portable",
+    {
+      val mins = (0 until 8).map(i =>
+        s"  list_min(list_transform(toks, t -> ('0x' || substr(md5('$i:' || t), 1, 8))::BIGINT)) AS m$i")
+        .mkString(",\n")
+      s"""SELECT doc_id,
+         |$mins
+         |FROM (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+         |      FROM documents WHERE doc_id < 100)
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+    val toksDistinct = array_distinct(toks)
+    val minCols = (0 until 8).map(i =>
+      array_min(transform(toksDistinct, t =>
+        conv(substring(md5(concat(lit(s"$i:"), t)), 1, 8), 16, 10).cast("long"))).as(s"m$i"))
+    docs(s, d)
+      .filter(col("doc_id") < 100)
+      .select(col("doc_id") +: minCols: _*)
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(d01ExactDedup, d02HashDedup, d03MinHashLsh, d04SimHash,
+    d05NgramJaccard, d06MinHashPortable)
 }

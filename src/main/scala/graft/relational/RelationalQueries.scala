@@ -897,6 +897,34 @@ object RelationalQueries {
       .orderBy("o_orderpriority")
   }
 
+  /** Bag-semantics set ops (the ALL variants q21/q22 don't cover):
+    * intersectAll/exceptAll preserve MULTIPLICITY — min(m_A, m_B) and
+    * max(0, m_A − m_B) copies per key — which the per-key counts make
+    * visible and the oracle restates with INTERSECT ALL / EXCEPT ALL.
+    * The full outer join stitches both results into one deterministic
+    * output (0-filled where a key only appears on one side). */
+  val q40SetOpsAll: Q = Q(
+    "q40_set_ops_all",
+    """WITH a AS (SELECT l_suppkey AS k FROM lineitem WHERE l_quantity < 10),
+      |b AS (SELECT l_suppkey AS k FROM lineitem WHERE l_discount > 0.05),
+      |ia AS (SELECT k, COUNT(*) AS n_inter FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b) GROUP BY k),
+      |ea AS (SELECT k, COUNT(*) AS n_except FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b) GROUP BY k)
+      |SELECT COALESCE(ia.k, ea.k) AS k,
+      |  COALESCE(n_inter, 0) AS n_inter, COALESCE(n_except, 0) AS n_except
+      |FROM ia FULL JOIN ea ON ia.k = ea.k
+      |ORDER BY k""".stripMargin) { (s, d) =>
+    val li = Tables.t(s, d, "lineitem")
+    val a = li.filter(col("l_quantity") < 10).select(col("l_suppkey").as("k"))
+    val b = li.filter(col("l_discount") > 0.05).select(col("l_suppkey").as("k"))
+    val ia = a.intersectAll(b).groupBy("k").agg(count(lit(1)).as("n_inter"))
+    val ea = a.exceptAll(b).groupBy("k").agg(count(lit(1)).as("n_except"))
+    ia.join(ea, Seq("k"), "full")
+      .select(col("k"),
+        coalesce(col("n_inter"), lit(0L)).as("n_inter"),
+        coalesce(col("n_except"), lit(0L)).as("n_except"))
+      .orderBy("k")
+  }
+
   val all: Seq[Q] = Seq(
     q01ScanProject, q02Predicates, q03AggBasic, q04AggDistinct, q05Rollup,
     q06Cube, q07JoinBroadcast, q08JoinMultiway, q09JoinOuter, q10JoinFull,
@@ -906,5 +934,5 @@ object RelationalQueries {
     q25Having, q26CaseWhen, q27GroupingSets, q28ApproxDistinct, q29AsofJoin,
     q30NullSafeEq, q31SaltedAgg, q32BucketedJoin, q33Pivot, q34WindowRangeFrame,
     q35NullOrdering, q36WindowDistribution, q37StatsExact, q38Sample,
-    q39Percentiles)
+    q39Percentiles, q40SetOpsAll)
 }

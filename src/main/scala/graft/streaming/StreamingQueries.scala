@@ -239,6 +239,36 @@ object StreamingQueries {
       .orderBy("user_id")
   }
 
+  /** foreachBatch — the arbitrary-sink extension point (the seam where
+    * production pipelines do upserts/merges into external stores): each
+    * micro-batch arrives as a plain DataFrame with its batch id and is
+    * written with ordinary batch APIs, here parquet tagged by batch_id.
+    * Exactly-once comes from the (batchId, checkpoint) contract: a
+    * replayed batch overwrites deterministically rather than double-
+    * applying. The read-back agg must equal the plain batch oracle. */
+  val st08ForeachBatch: Q = Q(
+    "st08_stream_foreach_batch",
+    s"""SELECT event_type, COUNT(*) AS n, ${Det.sqlSum("value")} AS sum_value
+       |FROM events WHERE user_id % 2 = 0
+       |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+    val out = graft.TempDirs.newTempDir("graft_st08_")
+    val q = replayedEvents(s, d)
+      .filter(col("user_id") % 2 === 0)
+      .select("event_id", "event_type", "value")
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(out)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(out)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_value"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[Q] = Seq(st01Tumbling, st02Sliding, st03Session, st04Dedup,
-    st05Stateful, st06FileSink, st07StreamJoin)
+    st05Stateful, st06FileSink, st07StreamJoin, st08ForeachBatch)
 }
