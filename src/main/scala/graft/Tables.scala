@@ -106,8 +106,18 @@ object Det {
   def davg(c: Column): Column =
     (sum(c.cast(DecimalType(28, 8))).cast(DoubleType) / count(c)).cast(DoubleType)
 
-  /** The matching DuckDB SQL fragments. */
-  def sqlSum(e: String): String = s"CAST(SUM(CAST($e AS DECIMAL(28,8))) AS DOUBLE)"
+  /** The matching DuckDB SQL fragments.
+    *
+    * The decimal→double cast goes THROUGH VARCHAR on the DuckDB side:
+    * DuckDB's direct DECIMAL→DOUBLE converts the int128 to double and
+    * divides by 10^scale — two roundings — which drifts 1 ulp from the
+    * correctly-rounded value once the scaled sum exceeds 2^53 (observed
+    * at sf0.1: q07 revenue 7556118302.97 exact → .969999 direct).
+    * Spark's BigDecimal→double rounds correctly; so does DuckDB's
+    * VARCHAR→DOUBLE parse of the exact decimal digits, restoring
+    * bit-equality at every scale. */
+  def sqlSum(e: String): String =
+    s"CAST(CAST(SUM(CAST($e AS DECIMAL(28,8))) AS VARCHAR) AS DOUBLE)"
   def sqlAvg(e: String): String =
-    s"CAST(CAST(SUM(CAST($e AS DECIMAL(28,8))) AS DOUBLE) / COUNT($e) AS DOUBLE)"
+    s"CAST(CAST(CAST(SUM(CAST($e AS DECIMAL(28,8))) AS VARCHAR) AS DOUBLE) / COUNT($e) AS DOUBLE)"
 }

@@ -161,7 +161,7 @@ object RelationalQueries {
   val q07JoinBroadcast: Q = Q(
     "q07_join_broadcast",
     """SELECT c_mktsegment, COUNT(*) AS n_orders,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,8))) AS DOUBLE) AS revenue
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,8))) AS VARCHAR) AS DOUBLE) AS revenue
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
@@ -203,7 +203,7 @@ object RelationalQueries {
   val q09JoinOuter: Q = Q(
     "q09_join_left_outer",
     """SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
-      |  CAST(SUM(CAST(COALESCE(o_totalprice,0) AS DECIMAL(28,8))) AS DOUBLE) AS spend
+      |  CAST(CAST(SUM(CAST(COALESCE(o_totalprice,0) AS DECIMAL(28,8))) AS VARCHAR) AS DOUBLE) AS spend
       |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
       |GROUP BY c_custkey
       |ORDER BY c_custkey""".stripMargin) { (s, d) =>
@@ -281,7 +281,7 @@ object RelationalQueries {
     "q14_join_range",
     """WITH bands(band, lo, hi) AS (VALUES ('low', 0.0, 2000.0), ('mid', 2000.0, 4000.0), ('high', 4000.0, 1e18))
       |SELECT band, COUNT(*) AS n,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,8))) AS DOUBLE) AS total
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,8))) AS VARCHAR) AS DOUBLE) AS total
       |FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
       |GROUP BY band
       |ORDER BY band""".stripMargin) { (s, d) =>
@@ -340,12 +340,12 @@ object RelationalQueries {
   val q16WindowFrames: Q = Q(
     "q16_window_frames",
     """SELECT l_suppkey, l_orderkey, l_linenumber,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,8)))
+      |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(28,8)))
       |       OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
-      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,8)))
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS running_qty,
+      |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(28,8)))
       |       OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
-      |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS window3_qty
+      |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS window3_qty
       |FROM lineitem
       |WHERE l_suppkey <= 3
       |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
@@ -537,7 +537,7 @@ object RelationalQueries {
     "q24_subquery_correlated",
     """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
       |WHERE o_totalprice > 2 * (
-      |  SELECT CAST(CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(28,8))) AS DOUBLE) / COUNT(o2.o_totalprice) AS DOUBLE)
+      |  SELECT CAST(CAST(CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(28,8))) AS VARCHAR) AS DOUBLE) / COUNT(o2.o_totalprice) AS DOUBLE)
       |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
       |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
     val o = ord(s, d)
@@ -706,7 +706,7 @@ object RelationalQueries {
   val q32BucketedJoin: Q = Q(
     "q32_bucketed_join",
     """SELECT c_mktsegment, COUNT(*) AS n_orders,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,8))) AS DOUBLE) AS revenue
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,8))) AS VARCHAR) AS DOUBLE) AS revenue
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
@@ -755,9 +755,9 @@ object RelationalQueries {
   val q34WindowRangeFrame: Q = Q(
     "q34_window_range_frame",
     """SELECT o_orderkey, o_custkey, o_totalprice,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,8)))
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,8)))
       |       OVER (PARTITION BY o_custkey ORDER BY o_totalprice
-      |             RANGE BETWEEN 500 PRECEDING AND CURRENT ROW) AS DOUBLE) AS near_sum
+      |             RANGE BETWEEN 500 PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS near_sum
       |FROM orders WHERE o_custkey <= 30
       |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
     val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice"))

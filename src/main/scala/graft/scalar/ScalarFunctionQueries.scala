@@ -136,7 +136,7 @@ object ScalarFunctionQueries {
   val s06Json: Q = Q(
     "s06_json_extract",
     """SELECT k_bucket, COUNT(*) AS n,
-      |  CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS sum_value
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(28,8))) AS VARCHAR) AS DOUBLE) AS sum_value
       |FROM (SELECT CAST(json_extract_string(props, '$.k') AS INT) // 10 AS k_bucket, value
       |      FROM events WHERE props IS NOT NULL)
       |GROUP BY k_bucket ORDER BY k_bucket""".stripMargin) { (s, d) =>
