@@ -223,11 +223,16 @@ object StreamingQueries {
       |  ON v.user_id = p.user_id
       | AND p.ts >= v.ts AND p.ts < v.ts + INTERVAL 1 HOUR
       |GROUP BY v.user_id ORDER BY v.user_id""".stripMargin) { (s, d) =>
-    val views = replayedEvents(s, d)
+    // one replayed source, filtered into both sides (stream SELF-join):
+    // halves the source scans/fixture copies vs two independent replays
+    // (measured ~1 s at sf0.1) — the state-store machinery is the
+    // irreducible cost, not the scans
+    val src = replayedEvents(s, d)
+    val views = src
       .filter(col("event_type") === "view")
       .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
       .withWatermark("v_ts", "1 hour")
-    val purchases = replayedEvents(s, d)
+    val purchases = src
       .filter(col("event_type") === "purchase")
       .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
       .withWatermark("p_ts", "1 hour")
