@@ -925,6 +925,28 @@ object RelationalQueries {
       .orderBy("k")
   }
 
+  /** Unpivot/melt — the inverse reshaping of q33's pivot: wide metric
+    * columns become (metric, value) rows. Spark's unpivot and DuckDB's
+    * UNPIVOT both emit one row per (id, metric); column order of the
+    * value list fixes nothing — the ORDER BY pins the comparison. */
+  val q41Unpivot: Q = Q(
+    "q41_unpivot",
+    """SELECT l_orderkey, metric, value
+      |FROM (SELECT l_orderkey, l_quantity, l_discount, l_tax
+      |      FROM lineitem WHERE l_orderkey <= 200 AND l_linenumber = 1)
+      |UNPIVOT (value FOR metric IN (l_quantity, l_discount, l_tax))
+      |ORDER BY l_orderkey, metric, value""".stripMargin) { (s, d) =>
+    li(s, d)
+      .filter(col("l_orderkey") <= 200 && col("l_linenumber") === 1)
+      .unpivot(
+        Array(col("l_orderkey")),
+        Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+        "metric", "value")
+      // (l_orderkey, l_linenumber) is NOT unique in the fixture data, so
+      // value joins the sort to keep tie order engine-independent
+      .orderBy("l_orderkey", "metric", "value")
+  }
+
   val all: Seq[Q] = Seq(
     q01ScanProject, q02Predicates, q03AggBasic, q04AggDistinct, q05Rollup,
     q06Cube, q07JoinBroadcast, q08JoinMultiway, q09JoinOuter, q10JoinFull,
@@ -934,5 +956,5 @@ object RelationalQueries {
     q25Having, q26CaseWhen, q27GroupingSets, q28ApproxDistinct, q29AsofJoin,
     q30NullSafeEq, q31SaltedAgg, q32BucketedJoin, q33Pivot, q34WindowRangeFrame,
     q35NullOrdering, q36WindowDistribution, q37StatsExact, q38Sample,
-    q39Percentiles, q40SetOpsAll)
+    q39Percentiles, q40SetOpsAll, q41Unpivot)
 }

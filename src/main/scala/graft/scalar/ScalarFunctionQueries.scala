@@ -302,8 +302,29 @@ object ScalarFunctionQueries {
       .orderBy("o_orderpriority")
   }
 
+  /** Collection aggregate: collect_set → sort_array → serialize, the
+    * deterministic form of list aggregation (raw collect_list order is
+    * partition-dependent on BOTH engines; distinct+sort pins it). The
+    * value>=300 filter (a thin upper tail of the distribution) keeps the per-group sets sparse so the output is
+    * non-trivial. */
+  val s13ArrayAgg: Q = Q(
+    "s13_array_agg",
+    """SELECT event_type,
+      |  COUNT(*) AS n,
+      |  array_to_string(list_sort(list(DISTINCT user_id % 97)), '|') AS user_res
+      |FROM events WHERE value >= 300
+      |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+    ev(s, d)
+      .filter(col("value") >= 300)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        concat_ws("|", sort_array(collect_set(col("user_id") % 97))).as("user_res"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[Q] = Seq(
     s01StringBasics, s02Regexp, s03Levenshtein, s04ArrayFns, s05MapFns,
     s06Json, s07JsonStruct, s08DateTime, s09Math, s10ToJson, s11MapKit,
-    s12ConditionalAgg)
+    s12ConditionalAgg, s13ArrayAgg)
 }
