@@ -17,11 +17,15 @@ class PlanLintSpec extends AnyFunSuite {
   private lazy val s = SparkTestBase.spark
   private val d = SparkTestBase.sfDir
 
-  private def flatten(p: SparkPlan): Seq[SparkPlan] =
-    p +: (p.children ++ p.subqueries).flatMap {
-      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
-      case c => flatten(c)
-    }
+  private def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+    // AdaptiveSparkPlanExec and QueryStageExec are LEAF wrappers — they
+    // must be unwrapped wherever they appear, including as the root
+    // (which AQE is for every query; matching only children silently
+    // skipped the whole tree)
+    case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => flatten(q.plan)
+    case _ => p +: (p.children ++ p.subqueries).flatMap(flatten)
+  }
 
   test("no catalog query plans a single-partition window or a cartesian product") {
     val violations = SparkEntry.catalog.flatMap { q =>
@@ -34,5 +38,29 @@ class PlanLintSpec extends AnyFunSuite {
       }
     }
     assert(violations.isEmpty, violations.mkString("\n"))
+  }
+
+  /** Regression tripwires for the two plan properties the scale story
+    * leans on hardest: the hot relational path stays inside whole-stage
+    * codegen, and selective scans keep their pushed filters. A refactor
+    * that silently drops either (a stray UDF, a cast that blocks
+    * pushdown) fails here, not in a benchmark three rounds later. */
+  test("hot relational queries keep whole-stage codegen and scan pushdown") {
+    val hot = Seq("q01_scan_project", "q02_filter_predicates",
+      "q03_agg_pricing_summary", "q07_join_broadcast", "q08_join_multiway")
+    val noCodegen = hot.filterNot { n =>
+      val df = SparkEntry.queries(n)(s, d)
+      // collect() finalizes THIS queryExecution's AQE plan (a write would
+      // spawn its own); results are a handful of rows at the test SF
+      df.collect()
+      flatten(df.queryExecution.executedPlan).exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.WholeStageCodegenExec])
+    }
+    assert(noCodegen.isEmpty, s"no WholeStageCodegen span in: $noCodegen")
+    val noPushdown = Seq("q01_scan_project", "q02_filter_predicates").filterNot { n =>
+      val plan = SparkEntry.queries(n)(s, d).queryExecution.executedPlan.toString
+      plan.contains("PushedFilters: [") && !plan.contains("PushedFilters: []")
+    }
+    assert(noPushdown.isEmpty, s"selective scan lost PushedFilters in: $noPushdown")
   }
 }

@@ -35,4 +35,19 @@ class PosExplodeNgramsSpec extends AnyFunSuite {
     val out = gen(Seq((Some("a b c"), 2), (Some("d e"), 2)))
     assert(out == Seq((0, "a b"), (1, "b c"), (0, "d e")))
   }
+
+  test("property: agrees with the split-and-slide reference on random inputs") {
+    val rnd = new scala.util.Random(7)
+    val words = Seq("a", "bb", "ccc", "", "dd")
+    for (_ <- 1 to 25) {
+      val text = Seq.fill(rnd.nextInt(8))(words(rnd.nextInt(words.length))).mkString(" ")
+      val n = 1 + rnd.nextInt(4)
+      val expected = {
+        val toks = text.split(' ')  // same tokenizer the Generator uses
+        if (toks.length < n) Seq.empty
+        else (0 to toks.length - n).map(i => (i, toks.slice(i, i + n).mkString(" ")))
+      }
+      assert(gen(Seq((Some(text), n))) == expected, s"text='$text' n=$n")
+    }
+  }
 }
