@@ -947,6 +947,31 @@ object RelationalQueries {
       .orderBy("l_orderkey", "metric", "value")
   }
 
+  /** The SQL front door: the engine's other entry point (`spark.sql`
+    * over registered temp views) — every prior entry drives the
+    * DataFrame API. The SQL text is ANSI (CTE + correlated EXISTS +
+    * window) and is passed VERBATIM to both engines: the oracle string
+    * IS the Spark query string. */
+  private val q42Sql =
+    """WITH active AS (
+      |  SELECT c_custkey, c_mktsegment FROM customer c
+      |  WHERE EXISTS (SELECT 1 FROM orders o
+      |                WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 4000)),
+      |spend AS (
+      |  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(28,8))) AS s
+      |  FROM orders GROUP BY o_custkey)
+      |SELECT a.c_mktsegment, COUNT(*) AS n_active,
+      |  CAST(COUNT(CASE WHEN sp.s > 40000 THEN 1 END) AS BIGINT) AS n_big
+      |FROM active a JOIN spend sp ON sp.o_custkey = a.c_custkey
+      |GROUP BY a.c_mktsegment
+      |ORDER BY a.c_mktsegment""".stripMargin
+
+  val q42SqlApi: Q = Q("q42_sql_api", q42Sql) { (s, d) =>
+    cust(s, d).createOrReplaceTempView("customer")
+    ord(s, d).createOrReplaceTempView("orders")
+    s.sql(q42Sql)
+  }
+
   val all: Seq[Q] = Seq(
     q01ScanProject, q02Predicates, q03AggBasic, q04AggDistinct, q05Rollup,
     q06Cube, q07JoinBroadcast, q08JoinMultiway, q09JoinOuter, q10JoinFull,
@@ -956,5 +981,5 @@ object RelationalQueries {
     q25Having, q26CaseWhen, q27GroupingSets, q28ApproxDistinct, q29AsofJoin,
     q30NullSafeEq, q31SaltedAgg, q32BucketedJoin, q33Pivot, q34WindowRangeFrame,
     q35NullOrdering, q36WindowDistribution, q37StatsExact, q38Sample,
-    q39Percentiles, q40SetOpsAll, q41Unpivot)
+    q39Percentiles, q40SetOpsAll, q41Unpivot, q42SqlApi)
 }
