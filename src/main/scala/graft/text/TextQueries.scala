@@ -174,8 +174,10 @@ object TextQueries {
     docs(s, d)
       .select(col("doc_id"),
         size(toks).cast("long").as("n_ws"),
-        size(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0))).cast("long").as("n_words"),
-        size(regexp_extract_all(col("text"), lit("[aeiou]+|[b-df-hj-np-tv-z]+"), lit(0))).cast("long").as("n_subword"),
+        // regexp_count counts matches without materializing the match
+        // array (the oracle keeps len(regexp_extract_all) — same count)
+        regexp_count(col("text"), lit("[a-z0-9]+")).cast("long").as("n_words"),
+        regexp_count(col("text"), lit("[aeiou]+|[b-df-hj-np-tv-z]+")).cast("long").as("n_subword"),
         col("n_chars"))
       .orderBy("doc_id")
   }
