@@ -283,6 +283,132 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** Connected components over near-dup edges — the step every LSH/
+    * blocking dedup needs AFTER pair generation: candidate pairs are not
+    * transitive, so picking canonical documents requires the component
+    * (cluster) each doc belongs to, A~B and B~C pulling A,B,C together
+    * even when A~C was never emitted. Edges here come from fuzzy
+    * blocking (equal first-3-token prefix OR equal last-3-token suffix —
+    * two cheap hash-groupable keys that chain, producing genuinely
+    * non-transitive components).
+    *
+    * Spark side is iterative min-label propagation with pointer
+    * jumping: per round, every node takes the min label in its
+    * neighborhood, then labels compress one level (l(v) <- l(l(v))), so
+    * convergence is O(log diameter) rounds, not O(diameter) — the
+    * scale-critical distinction (a 100 TB web-dup graph has long
+    * chains). Each round is two shuffles on bare (id, label) longs; the
+    * documents themselves never travel. Labels materialize per round
+    * (iterative DataFrame lineage otherwise grows unboundedly — the
+    * checkpoint-per-iteration pattern). Convergence detection is exact,
+    * not heuristic: labels only ever decrease, so sum(label) is
+    * stationary iff the labeling is a fixpoint.
+    *
+    * Oracle: DuckDB recursive CTE computing min reachable id per node —
+    * feasible at verify scale (500 docs), which is exactly why the
+    * Spark side must NOT use that transitive-closure shape (its
+    * intermediate `reach` set is O(n·component) rows). */
+  val d07CcClusters: Q = Q(
+    "d07_cc_clusters",
+    """WITH RECURSIVE t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |p AS (
+      |  SELECT doc_id, array_to_string(toks[1:3], ' ') AS pre,
+      |         array_to_string(toks[-3:], ' ') AS suf FROM t),
+      |e0 AS (
+      |  SELECT a.doc_id AS u, b.doc_id AS v FROM p a
+      |    JOIN p b ON a.pre = b.pre AND a.doc_id < b.doc_id
+      |  UNION
+      |  SELECT a.doc_id, b.doc_id FROM p a
+      |    JOIN p b ON a.suf = b.suf AND a.doc_id < b.doc_id),
+      |e AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+      |reach(id, r) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.id)
+      |SELECT id AS doc_id, MIN(r) AS component
+      |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val t = docs(s, d).select(col("doc_id"), toks.as("toks"))
+    val keyed = t.select(col("doc_id"),
+      concat_ws(" ", slice(col("toks"), 1, 3)).as("pre"),
+      concat_ws(" ", slice(col("toks"), -3, 3)).as("suf"))
+    def blockEdges(k: String) = keyed.as("a")
+      .join(keyed.as("b"),
+        col(s"a.$k") === col(s"b.$k") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("u"), col("b.doc_id").as("v"))
+    val e0 = blockEdges("pre").union(blockEdges("suf")).distinct()
+    // Symmetric closure, materialized once: every round's neighbor-min
+    // join rescans this — 16 bytes/edge, the whole graph as bare ids.
+    val edges = Stage.materialize(s,
+      e0.union(e0.select(col("v").as("u"), col("u").as("v"))), "d07edges")
+    var labels = Stage.materialize(s,
+      t.select(col("doc_id").as("id"), col("doc_id").as("comp")), "d07l0")
+    var prevSum = -1L
+    var curSum = 0L
+    var round = 0
+    while (curSum != prevSum && round < 25) {
+      // (1) neighbor min: m(v) = min(l(v), min over neighbors' labels)
+      val nbrMin = edges.join(labels, edges("v") === labels("id"))
+        .groupBy(col("u").as("nid")).agg(min(col("comp")).as("ncomp"))
+      val stepped = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
+        .select(col("id"), least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+      // (2) pointer jump: l(v) <- l(l(v)) — label graph path-halving.
+      val parents = stepped.select(col("id").as("pid"), col("comp").as("pcomp"))
+      labels = Stage.materialize(s,
+        stepped.join(parents, stepped("comp") === parents("pid"))
+          .select(col("id"), col("pcomp").as("comp")), s"d07l$round")
+      prevSum = curSum
+      curSum = labels.agg(sum(col("comp"))).head.getLong(0)
+      round += 1
+    }
+    labels.select(col("id").as("doc_id"), col("comp").as("component"))
+      .orderBy("doc_id")
+  }
+
+  /** Incremental dedup of a new batch against a historical corpus — the
+    * every-day shape of a 100 TB training pipeline (yesterday's corpus
+    * is deduped; only today's delta needs checking). The historical
+    * side compresses to a broadcast Bloom filter over the 8-byte
+    * fingerprint hash (~1.2 MB per 1M keys at 1% FPP), so:
+    *  - batch rows the filter rejects are DEFINITELY new — kept with no
+    *    join and no shuffle at all (the common case);
+    *  - only the filter's positives (true dups + ~1% FP) reach the
+    *    exact anti-join, shrinking its left side from |batch| to
+    *    |hits|.
+    * The output is exact — the Bloom filter only routes; the anti-join
+    * confirms — and hash-matches the plain NOT IN oracle. (Spark's AQE
+    * InjectRuntimeFilter does this same trick inside joins; here it is
+    * explicit because the filter is worth persisting across daily runs.)
+    * Fingerprint = first-3-token prefix (canonicalization stand-in);
+    * dedup key travels as xxhash64 like d02 (collision p < 1e-13).
+    * Split is doc_id parity so it holds at every SF. */
+  val d08BloomIncremental: Q = Q(
+    "d08_bloom_incremental",
+    """WITH t AS (
+      |  SELECT doc_id, source,
+      |         array_to_string(string_split(text, ' ')[1:3], ' ') AS fp
+      |  FROM documents)
+      |SELECT doc_id, source FROM t
+      |WHERE doc_id % 2 = 1
+      |  AND fp NOT IN (SELECT fp FROM t WHERE doc_id % 2 = 0)
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val keyed = docs(s, d).select(col("doc_id"), col("source"),
+      xxhash64(concat_ws(" ", slice(toks, 1, 3))).as("h"))
+    val hist = keyed.filter(pmod(col("doc_id"), lit(2)) === 0).select("h")
+    val batch = keyed.filter(pmod(col("doc_id"), lit(2)) === 1)
+    val bf = hist.stat.bloomFilter("h", math.max(hist.count(), 1L), 0.01)
+    // Scalar closure UDF over one long — the documented seam for a
+    // driver-built sketch (same status as u01-u03); everything heavy
+    // stays in codegen'd exprs around it.
+    val mightContain = udf((x: Long) => bf.mightContain(x))
+    val definitelyNew = batch.filter(!mightContain(col("h")))
+    val confirmed = batch.filter(mightContain(col("h")))
+      .join(hist, Seq("h"), "left_anti")
+    definitelyNew.select("doc_id", "source")
+      .unionByName(confirmed.select("doc_id", "source"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(d01ExactDedup, d02HashDedup, d03MinHashLsh, d04SimHash,
-    d05NgramJaccard, d06MinHashPortable)
+    d05NgramJaccard, d06MinHashPortable, d07CcClusters, d08BloomIncremental)
 }

@@ -972,6 +972,91 @@ object RelationalQueries {
     s.sql(q42Sql)
   }
 
+  /** Gap-based batch sessionization (8 h inactivity gap) — the classic
+    * clickstream/training-data op: one shuffle on user_id, then two
+    * window passes (gap flag, running session counter) and a hash agg,
+    * all within the SAME partitioning, so Catalyst plans a single
+    * exchange for the whole query. Gap math is integer microseconds on
+    * both engines (a double epoch would drift sub-second bits).
+    * Ordering inside a user is (ts, event_id) — a total order, so the
+    * running SUM is deterministic cross-engine. At 100 TB this shape is
+    * exactly the streaming session_window's batch equivalent (st03). */
+  val q43Sessionize: Q = Q(
+    "q43_sessionize",
+    s"""WITH g AS (
+       |  SELECT user_id, event_id, ts, value,
+       |    CASE WHEN lag(ts) OVER w IS NULL
+       |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 28800000000
+       |         THEN 1 ELSE 0 END AS is_new
+       |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |sess AS (
+       |  SELECT user_id, ts, value,
+       |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |                      ROWS UNBOUNDED PRECEDING) AS session_id
+       |  FROM g)
+       |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       |  MIN(ts) AS session_start, MAX(ts) AS session_end,
+       |  COUNT(*) AS n_events, ${Det.sqlSum("value")} AS total_value
+       |FROM sess GROUP BY user_id, session_id
+       |ORDER BY user_id, session_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gapUs = unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))
+    Tables.t(s, d, "events")
+      .withColumn("is_new",
+        when(gapUs.isNull || gapUs > lit(28800000000L), 1).otherwise(0))
+      .withColumn("session_id",
+        sum(col("is_new")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        Det.dsum(col("value")).as("total_value"))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** Skewed fact-fact join left to AQE's skew-join splitter. ~90% of
+    * fact rows collapse onto one derived key (the realistic hot-key
+    * shape: null-ish/default keys dominating), and the dim side is
+    * merge-hinted so the join is sort-merge — the case where one
+    * straggler partition would otherwise gate the stage. AQE's
+    * OptimizeSkewedJoin splits the oversized partition into parallel
+    * sub-reads at runtime; SkewJoinSpec forces the thresholds down and
+    * asserts the plan actually marks the join `isSkew`. Contrast with
+    * q31 (manual salting): salting rewrites the query; AQE fixes the
+    * same pathology with zero query change — the preferred 100 TB tool
+    * when the skew is in a JOIN rather than an agg.
+    *
+    * The dim side materializes first because OptimizeSkewedJoin only
+    * matches sort-over-shuffle-stage children: deriving the dim inline
+    * leaves its final `distinct` HashAggregate between the shuffle and
+    * the sort, silently disqualifying the join from skew handling. A
+    * production dim is a stored table, which is exactly this shape. */
+  val q44SkewJoin: Q = Q(
+    "q44_skew_join",
+    s"""WITH f AS (
+       |  SELECT CASE WHEN user_id % 10 <> 0 THEN 0 ELSE user_id END AS skew_key, value
+       |  FROM events),
+       |dim AS (
+       |  SELECT DISTINCT skew_key,
+       |    CASE WHEN skew_key = 0 THEN 'hot' ELSE 'cold' END AS tier
+       |  FROM f)
+       |SELECT dim.tier, COUNT(*) AS n, ${Det.sqlSum("f.value")} AS sum_value
+       |FROM f JOIN dim ON f.skew_key = dim.skew_key
+       |GROUP BY dim.tier ORDER BY dim.tier""".stripMargin) { (s, d) =>
+    val fact = Tables.t(s, d, "events").select(
+      when(pmod(col("user_id"), lit(10)) =!= 0, lit(0L)).otherwise(col("user_id"))
+        .as("skew_key"),
+      col("value"))
+    val dim = graft.Stage.materialize(s, fact.select(col("skew_key")).distinct()
+      .withColumn("tier", when(col("skew_key") === 0, lit("hot")).otherwise(lit("cold"))),
+      "q44dim")
+    fact.join(dim.hint("merge"), "skew_key")
+      .groupBy("tier")
+      .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_value"))
+      .orderBy("tier")
+  }
+
   val all: Seq[Q] = Seq(
     q01ScanProject, q02Predicates, q03AggBasic, q04AggDistinct, q05Rollup,
     q06Cube, q07JoinBroadcast, q08JoinMultiway, q09JoinOuter, q10JoinFull,
@@ -981,5 +1066,6 @@ object RelationalQueries {
     q25Having, q26CaseWhen, q27GroupingSets, q28ApproxDistinct, q29AsofJoin,
     q30NullSafeEq, q31SaltedAgg, q32BucketedJoin, q33Pivot, q34WindowRangeFrame,
     q35NullOrdering, q36WindowDistribution, q37StatsExact, q38Sample,
-    q39Percentiles, q40SetOpsAll, q41Unpivot, q42SqlApi)
+    q39Percentiles, q40SetOpsAll, q41Unpivot, q42SqlApi, q43Sessionize,
+    q44SkewJoin)
 }

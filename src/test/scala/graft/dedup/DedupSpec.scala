@@ -77,4 +77,54 @@ class DedupSpec extends AnyFunSuite {
     assert(out.agg(sum(col("group_size"))).collect().head.getLong(0) == total)
     assert(out.select("keep_id").distinct().count() == out.count())
   }
+
+  test("d07 label propagation equals driver-side union-find on the same edges") {
+    // Independent algorithm, same edge definition: brute-force union-find
+    // over collected edges vs the distributed pointer-jumping loop.
+    val toksC = split(col("text"), " ")
+    val keyed = Tables.t(s, d, "documents").select(col("doc_id"),
+      concat_ws(" ", slice(toksC, 1, 3)).as("pre"),
+      concat_ws(" ", slice(toksC, -3, 3)).as("suf"))
+    def edges(k: String) = keyed.as("a")
+      .join(keyed.as("b"), col(s"a.$k") === col(s"b.$k") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val es = edges("pre") ++ edges("suf")
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    es.foreach { case (u, v) =>
+      val (ru, rv) = (find(u), find(v))
+      if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
+    }
+    val expected = Tables.t(s, d, "documents").select("doc_id").collect()
+      .map(_.getLong(0)).map(id => id -> find(id)).toMap
+    val got = DedupQueries.d07CcClusters.fn(s, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    assert(expected.values.toSet.size < expected.size,
+      "corpus yields no non-trivial components — edge definition broke")
+  }
+
+  test("d08 bloom routing is exact and actually prunes the anti-join side") {
+    val toksC = split(col("text"), " ")
+    val keyed = Tables.t(s, d, "documents").select(col("doc_id"), col("source"),
+      xxhash64(concat_ws(" ", slice(toksC, 1, 3))).as("h"))
+    val hist = keyed.filter(pmod(col("doc_id"), lit(2)) === 0).select("h")
+    val batch = keyed.filter(pmod(col("doc_id"), lit(2)) === 1)
+    // Exactness: bloom-routed output == plain anti-join.
+    val plain = batch.join(hist, Seq("h"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val routed = DedupQueries.d08BloomIncremental.fn(s, d)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(routed == plain)
+    // Pruning: most batch rows must bypass the join entirely (the bloom
+    // negative path) — otherwise the entry's scale story is vacuous.
+    val bf = hist.stat.bloomFilter("h", math.max(hist.count(), 1L), 0.01)
+    val hits = batch.collect().count(r => bf.mightContain(r.getLong(2)))
+    assert(hits < batch.count() / 2,
+      s"bloom passed $hits of ${batch.count()} batch rows to the anti-join")
+  }
 }
