@@ -337,12 +337,18 @@ object DedupQueries {
         col(s"a.$k") === col(s"b.$k") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("u"), col("b.doc_id").as("v"))
     val e0 = blockEdges("pre").union(blockEdges("suf")).distinct()
-    // Symmetric closure, materialized once: every round's neighbor-min
-    // join rescans this — 16 bytes/edge, the whole graph as bare ids.
-    val edges = Stage.materialize(s,
-      e0.union(e0.select(col("v").as("u"), col("u").as("v"))), "d07edges")
-    var labels = Stage.materialize(s,
-      t.select(col("doc_id").as("id"), col("doc_id").as("comp")), "d07l0")
+    // Symmetric closure, pinned once: every round's neighbor-min join
+    // rescans this — 16 bytes/edge, the whole graph as bare ids.
+    // localCheckpoint (not a parquet stage): it cuts lineage and caches
+    // executor-local blocks at a fraction of a filesystem round-trip,
+    // which matters when it runs once per ITERATION. The tradeoff is
+    // fault-tolerance — lose an executor and the blocks are gone — so a
+    // long-lived cluster job checkpoints to reliable storage every k
+    // rounds instead; the loop structure is identical.
+    val edges = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint()
+    var labels = t.select(col("doc_id").as("id"), col("doc_id").as("comp"))
+      .localCheckpoint()
     var prevSum = -1L
     var curSum = 0L
     var round = 0
@@ -353,10 +359,12 @@ object DedupQueries {
       val stepped = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
         .select(col("id"), least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
       // (2) pointer jump: l(v) <- l(l(v)) — label graph path-halving.
-      val parents = stepped.select(col("id").as("pid"), col("comp").as("pcomp"))
-      labels = Stage.materialize(s,
-        stepped.join(parents, stepped("comp") === parents("pid"))
-          .select(col("id"), col("pcomp").as("comp")), s"d07l$round")
+      // stepped pins first so the self-join computes the round once.
+      val pinned = stepped.localCheckpoint()
+      val parents = pinned.select(col("id").as("pid"), col("comp").as("pcomp"))
+      labels = pinned.join(parents, pinned("comp") === parents("pid"))
+        .select(col("id"), col("pcomp").as("comp"))
+        .localCheckpoint()
       prevSum = curSum
       curSum = labels.agg(sum(col("comp"))).head.getLong(0)
       round += 1

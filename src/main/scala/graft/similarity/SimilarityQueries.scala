@@ -1,6 +1,6 @@
 package graft.similarity
 
-import graft.{Q, Stage, Tables}
+import graft.{Det, Q, Stage, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -269,6 +269,33 @@ object SimilarityQueries {
       .limit(10)
   }
 
+  /** Exact per-label centroids — the embedding-space aggregate behind
+    * IVF training, label prototypes, and drift monitoring. One
+    * posexplode + one hash agg on (label, dim): partial aggregation
+    * combines map-side, so the shuffle carries 10 labels x 64 dims of
+    * partial sums regardless of table size — the textbook
+    * shuffle-is-O(groups) shape that survives 100 TB untouched.
+    * Output stays FLAT (label, dim_pos, centroid) — nested arrays are
+    * not oracle-comparable (round-3 lesson) and downstream consumers
+    * regroup cheaply. Floats widen to double exactly (IEEE), then the
+    * Det decimal-sum recipe makes the mean bit-identical cross-engine. */
+  val v08LabelCentroids: Q = Q(
+    "v08_label_centroids",
+    s"""SELECT label, CAST(pos AS INT) AS dim_pos,
+       |  ${Det.sqlAvg("CAST(e AS DOUBLE)")} AS centroid
+       |FROM (SELECT label, unnest(embedding) AS e,
+       |             generate_subscripts(embedding, 1) AS pos
+       |      FROM embeddings)
+       |GROUP BY label, pos
+       |ORDER BY label, dim_pos""".stripMargin) { (s, d) =>
+    emb(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "e")))
+      .groupBy(col("label"), (col("pos") + 1).cast("int").as("dim_pos"))
+      .agg(Det.davg(col("e").cast("double")).as("centroid"))
+      .orderBy("label", "dim_pos")
+  }
+
   val all: Seq[Q] = Seq(v01CosineTopK, v02DotTopK, v03AnnLshBucket,
-    v04EmbeddingNearDup, v05CosineTopKNative, v06AnnIvf, v07AnnPartitionPruned)
+    v04EmbeddingNearDup, v05CosineTopKNative, v06AnnIvf, v07AnnPartitionPruned,
+    v08LabelCentroids)
 }

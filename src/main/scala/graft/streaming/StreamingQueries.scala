@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.{Det, Q}
+import graft.{Det, Q, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -274,6 +274,34 @@ object StreamingQueries {
       .orderBy("event_type")
   }
 
+  /** Stream-static enrichment join — the canonical "enrich events with a
+    * dimension" deployment shape: the static side is read once per
+    * micro-batch and BROADCAST, so the stream side never shuffles for
+    * the join (state-free, unlike st07's stream-stream join). The dim
+    * here derives deterministically from event_type; in production it is
+    * any slowly-changing table, re-resolved every batch for free. */
+  val st09StreamStaticJoin: Q = Q(
+    "st09_stream_static_join",
+    s"""SELECT CASE WHEN event_type IN ('click', 'view') THEN 'browse'
+       |            ELSE 'action' END AS tier,
+       |  COUNT(*) AS n, ${Det.sqlSum("value")} AS sum_value
+       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val types = Tables.t(s, d, "events")
+      .select("event_type").distinct().as[String].collect().sorted
+    val dim = s.createDataFrame(types.map(t =>
+      (t, if (t == "click" || t == "view") "browse" else "action")).toSeq)
+      .toDF("event_type", "tier")
+    val agg = replayedEvents(s, d)
+      .join(broadcast(dim), "event_type")
+      .withWatermark("ts", "1 hour")
+      .groupBy("tier")
+      .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_value"))
+    runToTable(s, agg, "complete")
+      .orderBy("tier")
+  }
+
   val all: Seq[Q] = Seq(st01Tumbling, st02Sliding, st03Session, st04Dedup,
-    st05Stateful, st06FileSink, st07StreamJoin, st08ForeachBatch)
+    st05Stateful, st06FileSink, st07StreamJoin, st08ForeachBatch,
+    st09StreamStaticJoin)
 }
