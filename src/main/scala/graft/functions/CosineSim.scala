@@ -97,5 +97,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_cosine_sim"), CosineSim.info, CosineSim.builder))
     ext.injectFunction((FunctionIdentifier("graft_posexplode_ngrams"),
       PosExplodeNgrams.info, PosExplodeNgrams.builder))
+    ext.injectFunction((FunctionIdentifier("graft_bottomk"),
+      BottomKHashes.info, BottomKHashes.builder))
   }
 }

@@ -96,5 +96,31 @@ object UdfQueries {
       .orderBy("doc_id", "pos")
   }
 
-  val all: Seq[Q] = Seq(u01Udaf, u02ScalarUdf, u03TypedFlatMap, u04Generator)
+  /** Native TypedImperativeAggregate (see [[BottomKHashes]]): bottom-5
+    * KMV sketch of the per-source document-hash sets. The hash is the
+    * d06 md5 recipe (bit-identical in DuckDB), and bottom-k over a SET
+    * is order-independent, so the sketch — normally "engine-internal by
+    * nature" — verifies EXACTLY against a window-rank oracle. Output is
+    * flattened (source, pos, h) rows; nested arrays aren't
+    * oracle-comparable. */
+  val u05BottomKSketch: Q = Q(
+    "u05_bottomk_sketch",
+    """SELECT source, CAST(rn - 1 AS INT) AS pos, h FROM (
+      |  SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+      |  FROM (SELECT DISTINCT source,
+      |          ('0x' || substr(md5(text), 1, 8))::BIGINT AS h
+      |        FROM documents))
+      |WHERE rn <= 5 ORDER BY source, pos""".stripMargin) { (s, d) =>
+    BottomKHashes.register(s)
+    Tables.t(s, d, "documents")
+      .select(col("source"),
+        conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long").as("h"))
+      .groupBy("source")
+      .agg(expr("graft_bottomk(h, 5)").as("sketch"))
+      .select(col("source"), posexplode(col("sketch")).as(Seq("pos", "h")))
+      .orderBy("source", "pos")
+  }
+
+  val all: Seq[Q] = Seq(u01Udaf, u02ScalarUdf, u03TypedFlatMap, u04Generator,
+    u05BottomKSketch)
 }

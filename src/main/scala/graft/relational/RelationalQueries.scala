@@ -1057,6 +1057,47 @@ object RelationalQueries {
       .orderBy("tier")
   }
 
+  /** MERGE INTO built from primitives — the dataset-versioning op Spark
+    * parquet lacks natively (Delta/Iceberg implement exactly this
+    * underneath): updates win by key (matched → replace), unmatched
+    * updates insert, untouched base rows carry over. Base and delta here
+    * derive from orders by key arithmetic so the split holds at every
+    * SF: base drops keys %7=0, the delta re-prices keys %5=0 (some
+    * update existing rows, the %35-ish overlap re-inserts dropped ones).
+    * One anti-join shuffle on the key + a union — at 100 TB the base
+    * side prunes to only the partitions the delta touches (partition/
+    * bucket layout), which is precisely the Delta MERGE file-skipping
+    * strategy. */
+  val q45Upsert: Q = Q(
+    "q45_upsert",
+    s"""WITH base AS (
+       |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+       |  WHERE o_orderkey % 7 <> 0),
+       |upd AS (
+       |  SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice + 100.0 AS o_totalprice
+       |  FROM orders WHERE o_orderkey % 5 = 0),
+       |merged AS (
+       |  SELECT * FROM upd
+       |  UNION ALL
+       |  SELECT * FROM base
+       |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd))
+       |SELECT o_orderstatus, COUNT(*) AS n, ${Det.sqlSum("o_totalprice")} AS revenue
+       |FROM merged GROUP BY o_orderstatus
+       |ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+    val base = ord(s, d)
+      .filter(pmod(col("o_orderkey"), lit(7)) =!= 0)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val upd = ord(s, d)
+      .filter(pmod(col("o_orderkey"), lit(5)) === 0)
+      .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+        (col("o_totalprice") + 100.0).as("o_totalprice"))
+    val survivors = base.join(upd.select("o_orderkey"), Seq("o_orderkey"), "left_anti")
+    upd.unionByName(survivors)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), Det.dsum(col("o_totalprice")).as("revenue"))
+      .orderBy("o_orderstatus")
+  }
+
   val all: Seq[Q] = Seq(
     q01ScanProject, q02Predicates, q03AggBasic, q04AggDistinct, q05Rollup,
     q06Cube, q07JoinBroadcast, q08JoinMultiway, q09JoinOuter, q10JoinFull,
@@ -1067,5 +1108,5 @@ object RelationalQueries {
     q30NullSafeEq, q31SaltedAgg, q32BucketedJoin, q33Pivot, q34WindowRangeFrame,
     q35NullOrdering, q36WindowDistribution, q37StatsExact, q38Sample,
     q39Percentiles, q40SetOpsAll, q41Unpivot, q42SqlApi, q43Sessionize,
-    q44SkewJoin)
+    q44SkewJoin, q45Upsert)
 }
