@@ -256,6 +256,12 @@ object SimilarityQueries {
     emb(s, d).repartition(s.sparkContext.defaultParallelism)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("bucket", bucketOf(col("v"), ps))
+      // cluster by the partition column before partitionBy: otherwise
+      // every one of the N write tasks opens a file in each of the 64
+      // bucket dirs (N*64 tiny files — measured 2x the whole query's
+      // time at local[32]; at cluster scale it's the classic small-file
+      // explosion). One shuffle on `bucket` makes it ~one file per dir.
+      .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(dir)
     val cells = s.read.parquet(dir)
     val probe = cells.filter(col("vec_id") === 0)

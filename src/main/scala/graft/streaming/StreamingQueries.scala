@@ -45,17 +45,35 @@ object StreamingQueries {
     else df
   }
 
+  /** Stateful ops write one state-store delta file per partition per
+    * micro-batch, so on a bounded few-MB replay the per-file fixed cost
+    * dominates: 32 state partitions do 4x the IO of 8 for the same few
+    * thousand rows (~0.3-1 s per query at local[32]). Cap the stream's
+    * shuffle width while it runs and restore after. This is the
+    * test-scale analog of PRODUCTION state sizing — partition count is
+    * frozen into the checkpoint at first run, so real deployments pick
+    * it for peak state volume up front (and would size UP, not down). */
+  private def withCappedStateWidth[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = s.conf.get(key)
+    s.conf.set(key, math.min(old.toInt, 8).toString)
+    try body
+    finally s.conf.set(key, old)
+  }
+
   /** Run a streaming DataFrame to completion into a memory sink, return
     * the sink table. Query names are uniqued per invocation (bench runs
     * each fn twice in one session). */
   private def runToTable(s: SparkSession, df: DataFrame, mode: String): DataFrame = {
     val qn = s"graft_sink_${java.util.UUID.randomUUID.toString.replace("-", "")}"
-    val q = df.writeStream
-      .format("memory").queryName(qn)
-      .outputMode(mode)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withCappedStateWidth(s) {
+      val q = df.writeStream
+        .format("memory").queryName(qn)
+        .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     s.table(qn)
   }
 
@@ -190,16 +208,18 @@ object StreamingQueries {
        |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
     val base = java.nio.file.Paths.get(graft.TempDirs.newTempDir("graft_st06_"))
     val (out, ckpt) = (base.resolve("out").toString, base.resolve("ckpt").toString)
-    val q = replayedEvents(s, d)
-      .filter(col("value") >= 100)
-      .select("event_id", "ts", "event_type", "value")
-      .writeStream
-      .format("parquet")
-      .option("path", out)
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withCappedStateWidth(s) {
+      val q = replayedEvents(s, d)
+        .filter(col("value") >= 100)
+        .select("event_id", "ts", "event_type", "value")
+        .writeStream
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     s.read.parquet(out)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_value"))
@@ -257,17 +277,19 @@ object StreamingQueries {
        |FROM events WHERE user_id % 2 = 0
        |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
     val out = graft.TempDirs.newTempDir("graft_st08_")
-    val q = replayedEvents(s, d)
-      .filter(col("user_id") % 2 === 0)
-      .select("event_id", "event_type", "value")
-      .writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        batch.withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(out)
-      }
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withCappedStateWidth(s) {
+      val q = replayedEvents(s, d)
+        .filter(col("user_id") % 2 === 0)
+        .select("event_id", "event_type", "value")
+        .writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(out)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     s.read.parquet(out)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_value"))
