@@ -1,0 +1,134 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
+
+/** Whole-operator Catalyst extension (SURVEY §2.2 preference order (c):
+  * LogicalPlan + SparkStrategy + SparkPlan, registered through
+  * SparkSessionExtensions): map-side per-group top-k pruning.
+  *
+  * Spark's per-group top-k idiom — row_number() over (partition by g
+  * order by o) <= k — shuffles EVERY row to the window, then discards
+  * all but k per group. For k << rows/group that shuffle is the whole
+  * cost at 100 TB. But top-k is algebraic: the global top-k of a group
+  * is contained in the union of each partition's local top-k, so a
+  * partition-local bounded-heap prune before the exchange shrinks the
+  * shuffle from O(rows) to O(partitions x groups x k) without changing
+  * the answer. This is exactly what TakeOrderedAndProject does for
+  * GLOBAL top-k; Spark has no per-group equivalent — hence this node.
+  *
+  * Correctness requires the prune ordering to EQUAL the downstream
+  * ranking's total order (ties at the k-th slot would otherwise be cut
+  * arbitrarily); the q46 entry orders by (price DESC, key ASC) — total —
+  * on both the prune and the window.
+  */
+/** Logical marker carrying group columns + intra-group order. */
+case class LocalTopKPerGroup(
+    k: Int,
+    groupCols: Seq[Expression],
+    order: Seq[SortOrder],
+    child: LogicalPlan)
+    extends UnaryNode {
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(newChild: LogicalPlan): LocalTopKPerGroup =
+    copy(child = newChild)
+}
+
+/** Physical operator: one pass per partition, a bounded k-heap per group
+  * key. Memory is O(groups-per-partition x k) ROWS (not input size);
+  * with high-cardinality group keys the operator degrades gracefully to
+  * a pass-through-sized map — the planner should only insert it when
+  * groups << rows, which is the regime where it pays. */
+case class LocalTopKPerGroupExec(
+    k: Int,
+    groupCols: Seq[Expression],
+    order: Seq[SortOrder],
+    child: SparkPlan)
+    extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    child.outputPartitioning
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val childOutput = child.output
+    val ord = order
+    val gCols = groupCols
+    val kk = k
+    child.execute().mapPartitions({ iter =>
+      val keyProj = UnsafeProjection.create(gCols, childOutput)
+      val rowOrd = RowOrdering.create(ord, childOutput)
+      // max-heap on the PRUNE order's "worst first": peek = current k-th
+      val heapOrd = rowOrd.asInstanceOf[Ordering[InternalRow]].reverse
+      val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
+      iter.foreach { row =>
+        val key = keyProj(row)
+        var h = heaps.get(key)
+        if (h == null) {
+          h = new java.util.PriorityQueue[InternalRow](kk + 1, heapOrd)
+          heaps.put(key.copy(), h)
+        }
+        if (h.size < kk) h.add(row.copy())
+        else if (rowOrd.compare(row, h.peek()) < 0) { // row ranks before current k-th
+          h.poll(); h.add(row.copy())
+        }
+      }
+      val out = new scala.collection.mutable.ArrayBuffer[InternalRow]()
+      heaps.values.forEach(h => h.forEach(r => out += r))
+      out.iterator
+    }, preservesPartitioning = true)
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): LocalTopKPerGroupExec =
+    copy(child = newChild)
+}
+
+object LocalTopKStrategy extends org.apache.spark.sql.execution.SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case LocalTopKPerGroup(k, g, o, child) =>
+      LocalTopKPerGroupExec(k, g, o, planLater(child)) :: Nil
+    case _ => Nil
+  }
+}
+
+object LocalTopK {
+  /** Install the strategy once per session (idempotent). */
+  def register(spark: SparkSession): Unit =
+    if (!spark.experimental.extraStrategies.contains(LocalTopKStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ LocalTopKStrategy
+
+  /** Library API: prune `df` to (at most) each partition's local top-k
+    * rows per group under `order` — a lossless pre-shuffle filter for a
+    * downstream row_number/rank <= k, provided `order` is the SAME total
+    * order the ranking uses. */
+  def topKPerGroup(
+      df: org.apache.spark.sql.DataFrame,
+      k: Int,
+      groupCols: Seq[org.apache.spark.sql.Column],
+      order: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    register(spark)
+    val child = org.apache.spark.sql.GraftPlanShim.logicalPlan(df)
+    // Unresolved expressions are fine here: the analyzer resolves any
+    // node's `expressions` against its child's output generically.
+    val g = groupCols.map(org.apache.spark.sql.GraftPlanShim.expression)
+    val o = order.map(org.apache.spark.sql.GraftPlanShim.expression).map {
+      case so: SortOrder => so
+      case e => SortOrder(e, org.apache.spark.sql.catalyst.expressions.Ascending)
+    }
+    org.apache.spark.sql.GraftPlanShim.ofRows(spark, LocalTopKPerGroup(k, g, o, child))
+  }
+}
+
+/** Production registration path (same jar flag as the functions):
+  * --conf spark.sql.extensions=graft.plans.GraftPlanExtensions */
+class GraftPlanExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectPlannerStrategy(_ => LocalTopKStrategy)
+}

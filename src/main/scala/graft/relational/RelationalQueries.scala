@@ -1098,6 +1098,37 @@ object RelationalQueries {
       .orderBy("o_orderstatus")
   }
 
+  /** Per-group top-k through the custom whole-operator extension
+    * (graft.plans.LocalTopK): a LogicalPlan node + SparkStrategy +
+    * physical bounded-heap operator prune each partition to its local
+    * top-3 per priority BEFORE the shuffle, so the exchange moves
+    * O(partitions x groups x k) rows instead of every order — the
+    * per-group analog of TakeOrderedAndProject, which Spark lacks. The
+    * downstream row_number ranks the pruned survivors identically
+    * (LocalTopKSpec proves prune-then-rank == rank on a shared total
+    * order, and that the physical node is actually in the plan). */
+  val q46TopKNative: Q = Q(
+    "q46_topk_native",
+    """SELECT o_orderpriority, CAST(rn AS BIGINT) AS rn, o_orderkey, o_totalprice FROM (
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_orderpriority
+      |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders)
+      |WHERE rn <= 3 ORDER BY o_orderpriority, rn""".stripMargin) { (s, d) =>
+    val pruned = graft.plans.LocalTopK.topKPerGroup(
+      ord(s, d).select("o_orderpriority", "o_orderkey", "o_totalprice"),
+      k = 3,
+      groupCols = Seq(col("o_orderpriority")),
+      order = Seq(col("o_totalprice").desc, col("o_orderkey").asc))
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    pruned
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select("o_orderpriority", "rn", "o_orderkey", "o_totalprice")
+      .orderBy("o_orderpriority", "rn")
+  }
+
   val all: Seq[Q] = Seq(
     q01ScanProject, q02Predicates, q03AggBasic, q04AggDistinct, q05Rollup,
     q06Cube, q07JoinBroadcast, q08JoinMultiway, q09JoinOuter, q10JoinFull,
@@ -1108,5 +1139,5 @@ object RelationalQueries {
     q30NullSafeEq, q31SaltedAgg, q32BucketedJoin, q33Pivot, q34WindowRangeFrame,
     q35NullOrdering, q36WindowDistribution, q37StatsExact, q38Sample,
     q39Percentiles, q40SetOpsAll, q41Unpivot, q42SqlApi, q43Sessionize,
-    q44SkewJoin, q45Upsert)
+    q44SkewJoin, q45Upsert, q46TopKNative)
 }

@@ -1,0 +1,55 @@
+package graft.plans
+
+import graft.{SparkTestBase, Tables}
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The custom operator's contract: pruning is LOSSLESS under a shared
+  * total order, the physical node really plans, and the prune output is
+  * bounded by partitions x groups x k. */
+class LocalTopKSpec extends AnyFunSuite {
+  private lazy val s = SparkTestBase.spark
+  private val d = "/root/testdata/sf0.01"
+
+  private def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+    case q: QueryStageExec        => flatten(q.plan)
+    case other                    => other +: other.children.flatMap(flatten)
+  }
+
+  private def base = Tables.t(s, d, "orders")
+    .select("o_orderpriority", "o_orderkey", "o_totalprice")
+
+  test("prune-then-rank equals rank (lossless under shared total order)") {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    def rank(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .collect().map(r => (r.getString(0), r.getInt(3), r.getLong(1))).toSet
+    val pruned = LocalTopK.topKPerGroup(base, 5,
+      Seq(col("o_orderpriority")), Seq(col("o_totalprice").desc, col("o_orderkey").asc))
+    assert(rank(pruned) == rank(base))
+  }
+
+  test("physical LocalTopKPerGroupExec node is planned and bounds its output") {
+    val spread = base.repartition(7)
+    val pruned = LocalTopK.topKPerGroup(spread, 4,
+      Seq(col("o_orderpriority")), Seq(col("o_totalprice").desc, col("o_orderkey").asc))
+    val n = pruned.count()
+    assert(flatten(pruned.queryExecution.executedPlan)
+      .exists(_.isInstanceOf[LocalTopKPerGroupExec]))
+    val groups = 5 // o_orderpriority cardinality
+    assert(n <= 7L * groups * 4, s"prune emitted $n rows")
+    assert(n >= groups * 4, "prune ate too much — some group lost rows")
+  }
+
+  test("groups smaller than k pass through whole") {
+    import s.implicits._
+    val tiny = Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("g", "v").repartition(3)
+    val pruned = LocalTopK.topKPerGroup(tiny, 5, Seq(col("g")), Seq(col("v").asc))
+    assert(pruned.count() == 3)
+  }
+}
