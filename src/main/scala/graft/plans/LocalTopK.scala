@@ -12,15 +12,21 @@ import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
   * LogicalPlan + SparkStrategy + SparkPlan, registered through
   * SparkSessionExtensions): map-side per-group top-k pruning.
   *
-  * Spark's per-group top-k idiom — row_number() over (partition by g
-  * order by o) <= k — shuffles EVERY row to the window, then discards
-  * all but k per group. For k << rows/group that shuffle is the whole
-  * cost at 100 TB. But top-k is algebraic: the global top-k of a group
-  * is contained in the union of each partition's local top-k, so a
-  * partition-local bounded-heap prune before the exchange shrinks the
-  * shuffle from O(rows) to O(partitions x groups x k) without changing
-  * the answer. This is exactly what TakeOrderedAndProject does for
-  * GLOBAL top-k; Spark has no per-group equivalent — hence this node.
+  * Top-k is algebraic: a group's global top-k is contained in the union
+  * of each partition's local top-k, so pruning before the exchange
+  * shrinks the shuffle from O(rows) to O(partitions x groups x k)
+  * without changing the answer. Spark 3.5+ exploits this itself — the
+  * InferWindowGroupLimit rule plans a Partial WindowGroupLimitExec below
+  * the shuffle for rank-filter patterns — so the HONEST positioning of
+  * this node is (a) the extension-point demonstration, and (b) a
+  * different cost model: WindowGroupLimit's partial mode consumes a
+  * partition-local SORT (O(n log n) per partition, materialized sort
+  * buffer) while this operator keeps a bounded k-heap per group key
+  * (O(n log k), memory O(groups x k) rows, no sort) — the right trade
+  * when k is small, groups are few, and partitions are fat, which is
+  * exactly the 100 TB leaderboard/sampling shape. It is also a direct
+  * library API: no window-function pattern needed for Catalyst to
+  * recognize.
   *
   * Correctness requires the prune ordering to EQUAL the downstream
   * ranking's total order (ties at the k-th slot would otherwise be cut

@@ -1102,11 +1102,14 @@ object RelationalQueries {
     * (graft.plans.LocalTopK): a LogicalPlan node + SparkStrategy +
     * physical bounded-heap operator prune each partition to its local
     * top-3 per priority BEFORE the shuffle, so the exchange moves
-    * O(partitions x groups x k) rows instead of every order — the
-    * per-group analog of TakeOrderedAndProject, which Spark lacks. The
-    * downstream row_number ranks the pruned survivors identically
-    * (LocalTopKSpec proves prune-then-rank == rank on a shared total
-    * order, and that the physical node is actually in the plan). */
+    * O(partitions x groups x k) rows instead of every order. Spark 3.5+
+    * plans a Partial WindowGroupLimit for the bare rank-filter idiom
+    * (q20 shows it); this node differs in cost model — bounded k-heaps
+    * instead of a partition-local sort — and in being a direct library
+    * API (see LocalTopK scaladoc). The downstream row_number ranks the
+    * pruned survivors identically (LocalTopKSpec proves prune-then-rank
+    * == rank on a shared total order, and that the physical node is
+    * actually in the plan). */
   val q46TopKNative: Q = Q(
     "q46_topk_native",
     """SELECT o_orderpriority, CAST(rn AS BIGINT) AS rn, o_orderkey, o_totalprice FROM (
