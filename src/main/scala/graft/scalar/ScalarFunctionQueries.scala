@@ -323,8 +323,38 @@ object ScalarFunctionQueries {
       .orderBy("event_type")
   }
 
+  /** Formatting/padding kit — the last string-function family: lpad/
+    * rpad, translate, repeat, reverse, split_part, and printf-style
+    * templating (Spark format_string == DuckDB printf for %s/%0Nd).
+    * Pure per-row projection over the scan; zero shuffle. */
+  val s14StringKit: Q = Q(
+    "s14_string_kit",
+    """SELECT c_custkey,
+      |  lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS padded,
+      |  rpad(c_mktsegment, 12, '.') AS segpad,
+      |  translate(c_mktsegment, 'AEIOU', 'aeiou') AS segxlat,
+      |  repeat('-', CAST(c_custkey % 4 AS INT)) AS dashes,
+      |  reverse(c_name) AS rname,
+      |  split_part(c_name, '#', 2) AS custnum,
+      |  printf('%s:%07d', c_mktsegment, c_custkey) AS tag
+      |FROM customer WHERE c_custkey < 200
+      |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    Tables.t(s, d, "customer")
+      .filter(col("c_custkey") < 200)
+      .select(
+        col("c_custkey"),
+        lpad(col("c_custkey").cast("string"), 12, "0").as("padded"),
+        rpad(col("c_mktsegment"), 12, ".").as("segpad"),
+        translate(col("c_mktsegment"), "AEIOU", "aeiou").as("segxlat"),
+        expr("repeat('-', CAST(c_custkey % 4 AS INT))").as("dashes"),
+        reverse(col("c_name")).as("rname"),
+        substring_index(col("c_name"), "#", -1).as("custnum"),
+        format_string("%s:%07d", col("c_mktsegment"), col("c_custkey")).as("tag"))
+      .orderBy("c_custkey")
+  }
+
   val all: Seq[Q] = Seq(
     s01StringBasics, s02Regexp, s03Levenshtein, s04ArrayFns, s05MapFns,
     s06Json, s07JsonStruct, s08DateTime, s09Math, s10ToJson, s11MapKit,
-    s12ConditionalAgg, s13ArrayAgg)
+    s12ConditionalAgg, s13ArrayAgg, s14StringKit)
 }
