@@ -135,6 +135,8 @@ object LocalTopK {
 /** Production registration path (same jar flag as the functions):
   * --conf spark.sql.extensions=graft.plans.GraftPlanExtensions */
 class GraftPlanExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => LocalTopKStrategy)
+    ext.injectOptimizerRule(_ => RewriteHofDotProduct)
+  }
 }

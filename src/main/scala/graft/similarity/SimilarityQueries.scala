@@ -83,6 +83,11 @@ object SimilarityQueries {
       |SELECT vec_id, list_dot_product(embedding::DOUBLE[], pv) AS score
       |FROM embeddings, p
       |ORDER BY score DESC, vec_id LIMIT 20""".stripMargin) { (s, d) =>
+    // The query is WRITTEN with the interpreted HOF dot; the injected
+    // optimizer rule (graft.plans.RewriteHofDotProduct) swaps in the
+    // codegen'd native DotProduct — bit-exact, proven by this entry
+    // still hash-matching its oracle (plan asserted in HofRewriteSpec).
+    graft.plans.RewriteHofDotProduct.register(s)
     val e = emb(s, d)
     val probe = e.filter(col("vec_id") === 7)
       .select(col("embedding").cast("array<double>").as("pv"))
