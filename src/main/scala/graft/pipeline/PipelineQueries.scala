@@ -46,5 +46,52 @@ object PipelineQueries {
       .orderBy("lang")
   }
 
-  val all: Seq[Q] = Seq(p01TrainingPipeline)
+  /** Round-5 capstone: the CURATION pipeline — near-dup fingerprint
+    * dedup (d08's canonicalization key), per-source quality ranking
+    * keeping only the top 5 (q20/q46's top-k shape), and a final
+    * per-lang yield report — again ONE declarative plan. The
+    * fingerprint dedup groups on a short prefix key (not full text) and
+    * the per-source rank shuffles only survivors: at 100 TB the plan is
+    * two key-shuffles over ids+keys, with the heavy text column pruned
+    * away right after scoring (ReadSchema keeps it out of every
+    * shuffle). */
+  val p02CurationPipeline: Q = Q(
+    "p02_curation_pipeline",
+    """WITH scored AS (
+      |  SELECT doc_id, lang, source,
+      |    len(string_split(text, ' ')) AS n_tokens,
+      |    array_to_string(string_split(text, ' ')[1:3], ' ') AS fp
+      |  FROM documents),
+      |kept AS (SELECT * FROM scored WHERE n_tokens >= 10),
+      |canon AS (
+      |  SELECT fp, MIN(doc_id) AS doc_id FROM kept GROUP BY fp),
+      |survivors AS (
+      |  SELECT k.* FROM kept k JOIN canon c ON k.doc_id = c.doc_id),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY source
+      |                               ORDER BY n_tokens DESC, doc_id) AS rn
+      |  FROM survivors)
+      |SELECT lang, COUNT(*) AS n_kept, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+      |FROM ranked WHERE rn <= 5
+      |GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val toks = split(col("text"), " ")
+    val scored = Tables.t(s, d, "documents")
+      .select(col("doc_id"), col("lang"), col("source"),
+        size(toks).cast("long").as("n_tokens"),
+        concat_ws(" ", slice(toks, 1, 3)).as("fp"))
+    val kept = scored.filter(col("n_tokens") >= 10)
+    val canon = kept.groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val survivors = kept.join(canon, "doc_id")
+    val w = Window.partitionBy("source").orderBy(col("n_tokens").desc, col("doc_id"))
+    survivors
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_tokens")).as("total_tokens"))
+      .orderBy("lang")
+  }
+
+  val all: Seq[Q] = Seq(p01TrainingPipeline, p02CurationPipeline)
 }
