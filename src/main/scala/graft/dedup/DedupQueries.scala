@@ -410,7 +410,11 @@ object DedupQueries {
     * every-day shape of a 100 TB training pipeline (yesterday's corpus
     * is deduped; only today's delta needs checking). The historical
     * side compresses to a broadcast Bloom filter over the 8-byte
-    * fingerprint hash (~1.2 MB per 1M keys at 1% FPP), so:
+    * fingerprint hash (~1.2 MB per 1M keys at 1% FPP — at trillion-key
+    * corpus scale a single filter no longer broadcasts, and the same
+    * pattern shards into per-key-range blooms co-partitioned with the
+    * batch, or accepts a higher FPP since the anti-join confirms
+    * exactly anyway), so:
     *  - batch rows the filter rejects are DEFINITELY new — kept with no
     *    join and no shuffle at all (the common case);
     *  - only the filter's positives (true dups + ~1% FP) reach the

@@ -24,7 +24,16 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityQueries {
 
-  private def emb(s: SparkSession, d: String): DataFrame = Tables.t(s, d, "embeddings")
+  /** Every entry reads through here, which also activates the
+    * HOF-dot-product optimizer rule: all the `dot`/`cosine` helpers
+    * below are WRITTEN as interpreted higher-order folds and rewritten
+    * to the codegen'd native DotProduct at plan time (bit-exact — the
+    * hash oracles prove it per entry). Registration here, not per
+    * entry, so the acceleration never depends on catalog run order. */
+  private def emb(s: SparkSession, d: String): DataFrame = {
+    graft.plans.RewriteHofDotProduct.register(s)
+    Tables.t(s, d, "embeddings")
+  }
 
   private def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
