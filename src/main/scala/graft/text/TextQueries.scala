@@ -216,8 +216,64 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Benchmark decontamination — the pre-training hygiene op: flag every
+    * training doc sharing any word-5-gram with the eval set (stand-in:
+    * doc_id < 10). The eval n-gram set is tiny by construction, so it
+    * BROADCASTS and the training side is a per-row probe + semi join —
+    * the corpus never shuffles, which is the only viable shape when the
+    * corpus is 100 TB and the benchmark suite is megabytes. N-grams
+    * travel as 8-byte hashes (d05's trick); the oracle restates the
+    * overlap on the strings themselves, so a hash collision would show
+    * up as a hash-mismatch — none occurs. */
+  val t09Decontamination: Q = Q(
+    "t09_decontamination",
+    """WITH g AS (
+      |  SELECT doc_id, [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+      |                  || toks[i+3] || ' ' || toks[i+4]
+      |                  for i in range(1, len(toks) - 3)] AS grams
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      |  WHERE len(toks) >= 5),
+      |eval_g AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id < 10),
+      |train_g AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id >= 10)
+      |SELECT DISTINCT doc_id FROM train_g WHERE gram IN (SELECT gram FROM eval_g)
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val grams = transform(
+      sequence(lit(1), greatest(size(toks) - 4, lit(0))),
+      i => xxhash64(concat_ws(" ", (0 until 5).map(o => element_at(toks, i + o)): _*)))
+    val g = docs(s, d)
+      .filter(size(toks) >= 5)
+      .select(col("doc_id"), explode(grams).as("gh"))
+    val evalG = g.filter(col("doc_id") < 10).select("gh").distinct()
+    g.filter(col("doc_id") >= 10)
+      .join(broadcast(evalG), Seq("gh"), "left_semi")
+      .select("doc_id").distinct()
+      .orderBy("doc_id")
+  }
+
+  /** PII-style scrubbing: digit runs and @-handles redacted with
+    * regexp_replace before any downstream use — the earliest stage of a
+    * real corpus pipeline. The patterns stay in the RE2/Java-regex
+    * common dialect (char classes + quantifiers only), so both engines
+    * rewrite identically; per-row map, zero shuffle. */
+  val t10Redaction: Q = Q(
+    "t10_redaction",
+    """SELECT doc_id,
+      |  regexp_replace(regexp_replace(text, '[0-9]+', '#'), '@[a-z]+', '@user') AS clean,
+      |  length(text) - length(regexp_replace(text, '[0-9]', '')) AS n_digits
+      |FROM documents WHERE doc_id < 200
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    docs(s, d)
+      .filter(col("doc_id") < 200)
+      .select(col("doc_id"),
+        regexp_replace(regexp_replace(col("text"), "[0-9]+", "#"), "@[a-z]+", "@user")
+          .as("clean"),
+        (length(col("text")) - length(regexp_replace(col("text"), "[0-9]", "")))
+          .cast("long").as("n_digits"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     t01TermFrequency, t02NgramCounts, t03LangId, t04QualityScore,
     t05LangSourceStats, t06TokenCounting, t07FingerprintBow,
-    t08FingerprintRolling)
+    t08FingerprintRolling, t09Decontamination, t10Redaction)
 }
