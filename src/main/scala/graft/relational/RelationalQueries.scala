@@ -975,8 +975,9 @@ object RelationalQueries {
   /** Gap-based batch sessionization (8 h inactivity gap) — the classic
     * clickstream/training-data op: one shuffle on user_id, then two
     * window passes (gap flag, running session counter) and a hash agg,
-    * all within the SAME partitioning, so Catalyst plans a single
-    * exchange for the whole query. Gap math is integer microseconds on
+    * all within the SAME partitioning, so Catalyst plans one data
+    * exchange for everything (plus the presentation sort's range
+    * partitioning — audited in the executed plan). Gap math is integer microseconds on
     * both engines (a double epoch would drift sub-second bits).
     * Ordering inside a user is (ts, event_id) — a total order, so the
     * running SUM is deterministic cross-engine. At 100 TB this shape is
@@ -1132,6 +1133,34 @@ object RelationalQueries {
       .orderBy("o_orderpriority", "rn")
   }
 
+  /** Deterministic train/val/test assignment — hash-mod splitting, the
+    * standard reproducible-split pattern (q38's seeded .sample stays the
+    * engine-native demo; THIS is what a cross-system pipeline actually
+    * uses, because the assignment is a pure function of the key: stable
+    * under reruns, re-partitioning, engine migration, and appends). The
+    * md5-derived bucket is bit-identical in DuckDB, so the whole split
+    * is oracle-checked. Per-row map + one tiny agg. */
+  val q47DatasetSplit: Q = Q(
+    "q47_dataset_split",
+    s"""SELECT CASE WHEN pct < 80 THEN 'train' WHEN pct < 90 THEN 'val' ELSE 'test' END AS split,
+       |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+       |FROM (SELECT n_chars,
+       |        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS pct
+       |      FROM documents)
+       |GROUP BY split ORDER BY split""".stripMargin) { (s, d) =>
+    val pct = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long") % 100
+    Tables.t(s, d, "documents")
+      .select(col("n_chars"), pct.as("pct"))
+      .select(
+        when(col("pct") < 80, "train").when(col("pct") < 90, "val").otherwise("test")
+          .as("split"),
+        col("n_chars"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .orderBy("split")
+  }
+
   val all: Seq[Q] = Seq(
     q01ScanProject, q02Predicates, q03AggBasic, q04AggDistinct, q05Rollup,
     q06Cube, q07JoinBroadcast, q08JoinMultiway, q09JoinOuter, q10JoinFull,
@@ -1142,5 +1171,5 @@ object RelationalQueries {
     q30NullSafeEq, q31SaltedAgg, q32BucketedJoin, q33Pivot, q34WindowRangeFrame,
     q35NullOrdering, q36WindowDistribution, q37StatsExact, q38Sample,
     q39Percentiles, q40SetOpsAll, q41Unpivot, q42SqlApi, q43Sessionize,
-    q44SkewJoin, q45Upsert, q46TopKNative)
+    q44SkewJoin, q45Upsert, q46TopKNative, q47DatasetSplit)
 }

@@ -315,7 +315,78 @@ object SimilarityQueries {
       .orderBy("label", "dim_pos")
   }
 
+  /** Engine-portable Lloyd's k-means (the oracle-checked dual of v06,
+    * like d06 is to d03): k=8 centroids seeded from vec_id 0..7, one
+    * assignment → exact-decimal centroid update → re-assignment, all in
+    * declarative ops. Every arithmetic step is pinned cross-engine:
+    *  - distances expand to (dot(v,v) - 2·dot(v,c)) + dot(c,c), with the
+    *    parenthesization FIXED, so both engines reuse the proven
+    *    bit-exact sequential dot product;
+    *  - argmin is a window row_number ordered by (dist, cell) — total;
+    *  - the centroid update routes through Det decimal averaging, so the
+    *    round-2 centroids are identical doubles on both engines.
+    * Output is per-cell counts + an integer id-checksum after the second
+    * assignment: any single differing double anywhere in the two rounds
+    * would reassign some vector and break the hash match. Scale shape:
+    * centroids broadcast (k·dim doubles), the table never shuffles for
+    * assignment; the update is one O(k·dim) agg. */
+  val v09KmeansPortable: Q = Q(
+    "v09_kmeans_portable",
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |c0 AS (SELECT vec_id AS cell, v AS c FROM e WHERE vec_id < 8),
+      |a1 AS (
+      |  SELECT vec_id, v, cell FROM (
+      |    SELECT e.vec_id, e.v, c0.cell,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        ((list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c0.c))
+      |          + list_dot_product(c0.c, c0.c)), c0.cell) AS rn
+      |    FROM e, c0)
+      |  WHERE rn = 1),
+      |cd AS (
+      |  SELECT cell, pos,
+      |    CAST(CAST(CAST(SUM(CAST(x AS DECIMAL(28,8))) AS VARCHAR) AS DOUBLE)
+      |         / COUNT(*) AS DOUBLE) AS cx
+      |  FROM (SELECT cell, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM a1)
+      |  GROUP BY cell, pos),
+      |c1 AS (SELECT cell, list(cx ORDER BY pos) AS c FROM cd GROUP BY cell),
+      |a2 AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT e.vec_id, c1.cell,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        ((list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c1.c))
+      |          + list_dot_product(c1.c, c1.c)), c1.cell) AS rn
+      |    FROM e, c1)
+      |  WHERE rn = 1)
+      |SELECT cell, COUNT(*) AS n_vecs, CAST(SUM(vec_id) AS BIGINT) AS id_sum
+      |FROM a2 GROUP BY cell ORDER BY cell""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val e = emb(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val dist = (dot(col("v"), col("v")) - lit(2) * dot(col("v"), col("c"))) +
+      dot(col("c"), col("c"))
+    val w = Window.partitionBy("vec_id").orderBy(dist.asc, col("cell").asc)
+    def assign(centroids: DataFrame): DataFrame = e
+      .crossJoin(broadcast(centroids))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("vec_id", "v", "cell")
+    val c0 = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cell"), col("v").as("c"))
+    val a1 = assign(c0)
+    val c1 = a1
+      .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("cell", "pos")
+      .agg(Det.davg(col("x")).as("cx"))
+      .groupBy("cell")
+      .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("pc"))
+      .select(col("cell"), transform(col("pc"), p => p.getField("cx")).as("c"))
+    assign(c1)
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_vecs"), sum(col("vec_id")).as("id_sum"))
+      .orderBy("cell")
+  }
+
   val all: Seq[Q] = Seq(v01CosineTopK, v02DotTopK, v03AnnLshBucket,
     v04EmbeddingNearDup, v05CosineTopKNative, v06AnnIvf, v07AnnPartitionPruned,
-    v08LabelCentroids)
+    v08LabelCentroids, v09KmeansPortable)
 }
