@@ -52,4 +52,31 @@ class LocalTopKSpec extends AnyFunSuite {
     val pruned = LocalTopK.topKPerGroup(tiny, 5, Seq(col("g")), Seq(col("v").asc))
     assert(pruned.count() == 3)
   }
+
+  test("property: prune-then-rank equals rank on random data, ties included") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import s.implicits._
+    // Values drawn from a tiny domain so k-th-slot TIES are common — the
+    // case where a prune order coarser than the rank order would lose
+    // rows. (id is the shared tiebreak on both sides.)
+    val rowGen = for {
+      g <- Gen.choose(0, 3)
+      v <- Gen.choose(0, 5)
+    } yield (g, v)
+    val prop = Prop.forAll(Gen.nonEmptyListOf(rowGen), Gen.choose(1, 4), Gen.choose(1, 6)) {
+      (rows, k, parts) =>
+        val df = rows.zipWithIndex
+          .map { case ((g, v), id) => (g.toLong, v.toLong, id.toLong) }
+          .toDF("g", "v", "id").repartition(parts)
+        val order = Seq(col("v").desc, col("id").asc)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("g").orderBy(order: _*)
+        def topk(in: org.apache.spark.sql.DataFrame) = in
+          .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        topk(LocalTopK.topKPerGroup(df, k, Seq(col("g")), order)) == topk(df)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
