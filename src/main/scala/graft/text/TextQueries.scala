@@ -237,12 +237,19 @@ object TextQueries {
       |train_g AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id >= 10)
       |SELECT DISTINCT doc_id FROM train_g WHERE gram IN (SELECT gram FROM eval_g)
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    // Tokens pin FIRST (graft.Stage pattern): the gram lambda references
+    // the token array 5x per element, and an inlined split(text) would
+    // re-tokenize per reference — O(tokens^2) per doc, measured 6 s vs
+    // ~1 s at sf0.1. The gram table pins too: both the eval set and the
+    // training probe derive from it.
+    val toksDf = graft.Stage.materialize(s,
+      docs(s, d).select(col("doc_id"), toks.as("toks")).filter(size(toks) >= 5),
+      "t09toks")
+    val t = col("toks")
     val grams = transform(
-      sequence(lit(1), greatest(size(toks) - 4, lit(0))),
-      i => xxhash64(concat_ws(" ", (0 until 5).map(o => element_at(toks, i + o)): _*)))
-    val g = docs(s, d)
-      .filter(size(toks) >= 5)
-      .select(col("doc_id"), explode(grams).as("gh"))
+      sequence(lit(1), size(t) - 4),
+      i => xxhash64(concat_ws(" ", (0 until 5).map(o => element_at(t, i + o)): _*)))
+    val g = toksDf.select(col("doc_id"), explode(grams).as("gh")).localCheckpoint()
     val evalG = g.filter(col("doc_id") < 10).select("gh").distinct()
     g.filter(col("doc_id") >= 10)
       .join(broadcast(evalG), Seq("gh"), "left_semi")
