@@ -174,6 +174,35 @@ object MultimodalQueries {
       .orderBy("asset_id")
   }
 
+  /** Fixed-size binary chunking — the page-store layout for assets too
+    * large for one row/cell (the way a lakehouse shreds blobs for
+    * ranged reads and parallel upload): each payload splits into
+    * 64-byte pages addressed by (asset_id, chunk_idx), with per-chunk
+    * digests for integrity. Pure per-row explode + substring — no
+    * shuffle; at scale chunk count tracks total bytes, not row count.
+    * Payloads are ASCII here so the DuckDB string-side oracle sees the
+    * identical bytes (m01 already pins that equivalence); digests are
+    * md5 per chunk on both engines. */
+  val m06AssetChunking: Q = Q(
+    "m06_asset_chunking",
+    """WITH a AS (SELECT doc_id AS asset_id, text FROM documents WHERE doc_id < 100)
+      |SELECT asset_id, CAST(i AS BIGINT) AS chunk_idx,
+      |  CAST(octet_length(encode(substr(text, CAST(i*64 + 1 AS INT), 64))) AS BIGINT) AS chunk_len,
+      |  md5(substr(text, CAST(i*64 + 1 AS INT), 64)) AS chunk_md5
+      |FROM a, LATERAL unnest(range(0, (octet_length(encode(text)) + 63) // 64)) AS t(i)
+      |ORDER BY asset_id, chunk_idx""".stripMargin) { (s, d) =>
+    val chunk = expr("substring(payload, CAST(chunk_idx*64 + 1 AS INT), 64)")
+    assets(s, d)
+      .filter(col("asset_id") < 100)
+      .select(col("asset_id"), col("payload"),
+        explode(sequence(lit(0L), expr("(length(payload) + 63) div 64") - 1))
+          .as("chunk_idx"))
+      .select(col("asset_id"), col("chunk_idx"),
+        length(chunk).cast("long").as("chunk_len"),
+        md5(chunk).as("chunk_md5"))
+      .orderBy("asset_id", "chunk_idx")
+  }
+
   val all: Seq[Q] = Seq(m01AssetCatalog, m02DecodeMeta, m03ResizeBatch,
-    m04FrameSample, m05TypedMetaByKind)
+    m04FrameSample, m05TypedMetaByKind, m06AssetChunking)
 }

@@ -323,7 +323,28 @@ object StreamingQueries {
       .orderBy("tier")
   }
 
+  /** UPDATE output mode — the third (and production-default) streaming
+    * output semantics after complete (st01-st03) and append (st04-st07):
+    * each micro-batch emits only the keys whose state CHANGED, and the
+    * sink upserts. On this bounded single-batch replay every key changes
+    * exactly once, so the update stream equals the batch aggregate —
+    * the same stream-batch equivalence argument as the other entries,
+    * now for the mode a live dashboard actually runs. */
+  val st10UpdateMode: Q = Q(
+    "st10_stream_update_mode",
+    s"""SELECT user_id, COUNT(*) AS n, ${Det.sqlSum("value")} AS sum_value
+       |FROM events WHERE user_id < 50
+       |GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+    val agg = replayedEvents(s, d)
+      .filter(col("user_id") < 50)
+      .withWatermark("ts", "1 hour")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_value"))
+    runToTable(s, agg, "update")
+      .orderBy("user_id")
+  }
+
   val all: Seq[Q] = Seq(st01Tumbling, st02Sliding, st03Session, st04Dedup,
     st05Stateful, st06FileSink, st07StreamJoin, st08ForeachBatch,
-    st09StreamStaticJoin)
+    st09StreamStaticJoin, st10UpdateMode)
 }
