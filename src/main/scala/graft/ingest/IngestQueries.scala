@@ -295,9 +295,46 @@ object IngestQueries {
       .orderBy("page")
   }
 
+  /** Dynamic partition overwrite — the TRUE Spark analog of the
+    * reference's per-date blob overwrite (O12, fetch_articles.py:128
+    * `overwrite=True`): re-running one day's ingest replaces ONLY that
+    * day's partition, leaving every other date untouched. The entry
+    * writes the full date-partitioned table, then re-ingests the max
+    * date with corrected values under
+    * partitionOverwriteMode=dynamic. The oracle states the expected
+    * FINAL table — if the overwrite had static semantics (the default:
+    * whole-table truncate), every other date would vanish and the count
+    * rows would disappear, so the green hash IS the proof of the
+    * partition-scoped semantics. Writes cluster on the partition column
+    * first (v07's small-file lesson). */
+  val i14DynamicOverwrite: Q = Q(
+    "i14_dynamic_partition_overwrite",
+    s"""SELECT CAST(ts AS DATE) AS event_date, COUNT(*) AS n,
+       |  ${Det.sqlSum("CASE WHEN CAST(ts AS DATE) = (SELECT MAX(CAST(ts AS DATE)) FROM events) THEN value * 2 ELSE value END")} AS sum_value
+       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val ev = graft.Tables.t(s, d, "events")
+      .select(col("event_id"), to_date(col("ts")).as("event_date"), col("value"))
+    val out = graft.TempDirs.newTempDir("graft_i14_")
+    ev.repartition(col("event_date"))
+      .write.mode("overwrite").partitionBy("event_date").parquet(out)
+    val maxDate = ev.agg(max(col("event_date"))).head.getDate(0)
+    val delta = ev.filter(col("event_date") === lit(maxDate))
+      .select(col("event_id"), col("event_date"), (col("value") * 2).as("value"))
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val old = s.conf.get(key, "STATIC")
+    s.conf.set(key, "dynamic")
+    try delta.repartition(col("event_date"))
+      .write.mode("overwrite").partitionBy("event_date").parquet(out)
+    finally s.conf.set(key, old)
+    s.read.parquet(out)
+      .groupBy("event_date")
+      .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_value"))
+      .orderBy("event_date")
+  }
+
   val all: Seq[Q] = Seq(
     i01PageScan, i02TimestampParse, i03WatermarkFilter, i04RunningMax,
     i05PartitionedSink, i06BackfillCursor, i07DailyCounts,
     i08JsonlPermissive, i09CsvScan, i10V2SourceScan, i11CorruptRetention,
-    i12SchemaEvolution, i13StreamingSource)
+    i12SchemaEvolution, i13StreamingSource, i14DynamicOverwrite)
 }
