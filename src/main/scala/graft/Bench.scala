@@ -23,6 +23,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.plans.GraftEngine.install(spark)
     // NonFatal only (ADVICE r2): an OOM must crash the harness, not show up
     // as a silent -1 among ordinary numbers. Failures are named on stderr.
     def runOnce(q: Q): Double = {

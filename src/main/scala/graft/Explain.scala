@@ -20,6 +20,7 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.plans.GraftEngine.install(spark)
     val q = SparkEntry.catalog.find(_.name == name)
       .getOrElse(sys.error(s"no catalog entry named $name"))
     // Timer wraps fn too: queries with eager stage materialization do real

@@ -33,12 +33,19 @@ import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
   * arbitrarily); the q46 entry orders by (price DESC, key ASC) — total —
   * on both the prune and the window.
   */
-/** Logical marker carrying group columns + intra-group order. */
+/** Logical marker carrying group columns + intra-group order.
+  * `maxGroups` bounds the exec's per-partition heap map: group keys past
+  * the cap PASS THROUGH unpruned. Under-pruning is always lossless (the
+  * downstream rank filter still cuts exactly), so the cap turns a
+  * potential O(distinct-groups) memory blowup into graceful degradation —
+  * the property that makes AUTOMATIC insertion (AutoLocalTopK) safe at
+  * any group cardinality. */
 case class LocalTopKPerGroup(
     k: Int,
     groupCols: Seq[Expression],
     order: Seq[SortOrder],
-    child: LogicalPlan)
+    child: LogicalPlan,
+    maxGroups: Int = Int.MaxValue)
     extends UnaryNode {
   override def output: Seq[Attribute] = child.output
   override protected def withNewChildInternal(newChild: LogicalPlan): LocalTopKPerGroup =
@@ -46,15 +53,15 @@ case class LocalTopKPerGroup(
 }
 
 /** Physical operator: one pass per partition, a bounded k-heap per group
-  * key. Memory is O(groups-per-partition x k) ROWS (not input size);
-  * with high-cardinality group keys the operator degrades gracefully to
-  * a pass-through-sized map — the planner should only insert it when
-  * groups << rows, which is the regime where it pays. */
+  * key. Memory is O(min(groups-per-partition, maxGroups) x k) ROWS (not
+  * input size); once the heap map holds `maxGroups` keys, rows of unseen
+  * keys stream through unpruned (lossless — see LocalTopKPerGroup). */
 case class LocalTopKPerGroupExec(
     k: Int,
     groupCols: Seq[Expression],
     order: Seq[SortOrder],
-    child: SparkPlan)
+    child: SparkPlan,
+    maxGroups: Int)
     extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
@@ -66,27 +73,34 @@ case class LocalTopKPerGroupExec(
     val ord = order
     val gCols = groupCols
     val kk = k
+    val maxG = maxGroups
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(gCols, childOutput)
       val rowOrd = RowOrdering.create(ord, childOutput)
       // max-heap on the PRUNE order's "worst first": peek = current k-th
       val heapOrd = rowOrd.asInstanceOf[Ordering[InternalRow]].reverse
       val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
-      iter.foreach { row =>
+      // Overflow keys stream out immediately (no buffering); heap drain is
+      // the lazy right side of ++, evaluated only after input is consumed.
+      iter.flatMap { row =>
         val key = keyProj(row)
         var h = heaps.get(key)
-        if (h == null) {
+        if (h == null && heaps.size() < maxG) {
           h = new java.util.PriorityQueue[InternalRow](kk + 1, heapOrd)
           heaps.put(key.copy(), h)
         }
-        if (h.size < kk) h.add(row.copy())
-        else if (rowOrd.compare(row, h.peek()) < 0) { // row ranks before current k-th
-          h.poll(); h.add(row.copy())
+        if (h == null) Iterator.single(row) // map full: pass through unpruned
+        else {
+          if (h.size < kk) h.add(row.copy())
+          else if (rowOrd.compare(row, h.peek()) < 0) { // row ranks before current k-th
+            h.poll(); h.add(row.copy())
+          }
+          Iterator.empty
         }
+      } ++ {
+        import scala.jdk.CollectionConverters._
+        heaps.values.asScala.iterator.flatMap(_.iterator().asScala)
       }
-      val out = new scala.collection.mutable.ArrayBuffer[InternalRow]()
-      heaps.values.forEach(h => h.forEach(r => out += r))
-      out.iterator
     }, preservesPartitioning = true)
   }
 
@@ -96,8 +110,8 @@ case class LocalTopKPerGroupExec(
 
 object LocalTopKStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case LocalTopKPerGroup(k, g, o, child) =>
-      LocalTopKPerGroupExec(k, g, o, planLater(child)) :: Nil
+    case LocalTopKPerGroup(k, g, o, child, maxG) =>
+      LocalTopKPerGroupExec(k, g, o, planLater(child), maxG) :: Nil
     case _ => Nil
   }
 }
@@ -138,5 +152,11 @@ class GraftPlanExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => LocalTopKStrategy)
     ext.injectOptimizerRule(_ => RewriteHofDotProduct)
+    // Runs in the custom operator-optimization batch (before Spark's own
+    // InferWindowGroupLimit) — the bare Filter+Window shape is matched;
+    // the session-path install (GraftEngine) uses extraOptimizations and
+    // matches the WindowGroupLimit takeover shape instead. Both end at
+    // the same pruned plan.
+    ext.injectOptimizerRule(_ => AutoLocalTopK)
   }
 }

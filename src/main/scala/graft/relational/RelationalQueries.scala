@@ -1133,6 +1133,37 @@ object RelationalQueries {
       .orderBy("o_orderpriority", "rn")
   }
 
+  /** The SAME per-group top-k as q46, written the way a user writes it —
+    * bare row_number + filter, NO library call — relying on the
+    * AutoLocalTopK optimizer rule (installed engine-wide by
+    * GraftEngine.install) to recognize the idiom and plant the
+    * bounded-heap prune under the exchange automatically. This is what
+    * makes the custom operator engine behavior rather than an opt-in
+    * API: AutoLocalTopKSpec asserts LocalTopKPerGroupExec is in THIS
+    * query's physical plan and that the rule stays out of rank()/
+    * dense_rank()/multi-expression windows where a heap cut would be
+    * lossy. Total order (price DESC, key ASC) on both prune and rank
+    * keeps the answer deterministic, as with any row_number query. */
+  val q48TopKAuto: Q = Q(
+    "q48_topk_auto",
+    """SELECT o_orderpriority, CAST(rn AS BIGINT) AS rn, o_orderkey, o_totalprice FROM (
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_orderpriority
+      |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders)
+      |WHERE rn <= 3 ORDER BY o_orderpriority, rn""".stripMargin) { (s, d) =>
+    graft.plans.GraftEngine.install(s)
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    ord(s, d)
+      .select("o_orderpriority", "o_orderkey", "o_totalprice")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_orderpriority"), col("rn").cast("long").as("rn"),
+        col("o_orderkey"), col("o_totalprice"))
+      .orderBy("o_orderpriority", "rn")
+  }
+
   /** Deterministic train/val/test assignment — hash-mod splitting, the
     * standard reproducible-split pattern (q38's seeded .sample stays the
     * engine-native demo; THIS is what a cross-system pipeline actually
@@ -1171,5 +1202,5 @@ object RelationalQueries {
     q30NullSafeEq, q31SaltedAgg, q32BucketedJoin, q33Pivot, q34WindowRangeFrame,
     q35NullOrdering, q36WindowDistribution, q37StatsExact, q38Sample,
     q39Percentiles, q40SetOpsAll, q41Unpivot, q42SqlApi, q43Sessionize,
-    q44SkewJoin, q45Upsert, q46TopKNative, q47DatasetSplit)
+    q44SkewJoin, q45Upsert, q46TopKNative, q47DatasetSplit, q48TopKAuto)
 }

@@ -16,6 +16,7 @@ object SparkTestBase {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
+    graft.plans.GraftEngine.install(s)
     s
   }
 
