@@ -127,4 +127,41 @@ class DedupSpec extends AnyFunSuite {
     assert(hits < batch.count() / 2,
       s"bloom passed $hits of ${batch.count()} batch rows to the anti-join")
   }
+
+  test("d09 sharded blooms: exact, sharded, and each filter fits a broadcast budget") {
+    // Same split and key as d08 => identical exact answer.
+    val viaSingle = DedupQueries.d08BloomIncremental.fn(s, d)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val viaSharded = DedupQueries.d09ShardedBloom.fn(s, d)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(viaSharded == viaSingle)
+    // The per-shard filters the entry builds: several shards, none past
+    // the (deliberately small here) per-filter budget — the property that
+    // makes the design hold when ONE filter can't broadcast.
+    graft.functions.BloomFilterAgg.register(s)
+    val toksC = split(col("text"), " ")
+    val keyed = Tables.t(s, d, "documents").select(col("doc_id"),
+      xxhash64(concat_ws(" ", slice(toksC, 1, 3))).as("h"))
+      .filter(pmod(col("doc_id"), lit(2)) === 0)
+      .select(col("h"), pmod(col("h"), lit(8)).cast("int").as("shard"))
+    val blooms = keyed.repartition(5) // force multi-partition partial merges
+      .groupBy("shard")
+      .agg(expr("graft_bloom(h, CAST(65536 AS BIGINT), CAST(0.01 AS DOUBLE))").as("bf"))
+      .collect().map(r => r.getInt(0) -> r.getAs[Array[Byte]]("bf")).toMap
+    assert(blooms.size > 1, "corpus hashed into a single shard — sharding vacuous")
+    val budget = 256 * 1024 // bytes; stands in for the broadcast ceiling
+    blooms.foreach { case (sh, bytes) =>
+      assert(bytes.length < budget, s"shard $sh bloom is ${bytes.length} B")
+    }
+    // No false negatives after distributed build + OR-merge: every
+    // historical key must hit its own shard's filter.
+    val filters = blooms.map { case (sh, bytes) =>
+      sh -> org.apache.spark.util.sketch.BloomFilter
+        .readFrom(new java.io.ByteArrayInputStream(bytes))
+    }
+    keyed.collect().foreach { r =>
+      val (h, sh) = (r.getLong(0), r.getInt(1))
+      assert(filters(sh).mightContain(h), s"false negative: key $h shard $sh")
+    }
+  }
 }
