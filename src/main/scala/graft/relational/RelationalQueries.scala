@@ -618,6 +618,55 @@ object RelationalQueries {
       .orderBy("l_returnflag")
   }
 
+  /** Approximate distinct count that IS oracle-checked (VERDICT r5 #3) —
+    * the companion to q28's engine-native HLL (which stays no-oracle
+    * because HLL internals are engine-specific): the classic KMV
+    * estimator n-hat = (k-1)*M/h_k derived from the graft_bottomk
+    * sketch (u05) over the d06 portable md5 hash. Every piece is
+    * deterministic and engine-portable — the hash is bit-identical in
+    * DuckDB, bottom-k over a SET is order-independent, and the single
+    * double division + floor is IEEE-exact on both engines — so the
+    * ESTIMATE ITSELF hash-matches a window-rank oracle. n_exact rides
+    * along to show the estimator lands (ApproxDistinctSpec bounds the
+    * relative error). Scale shape: one map-side-combined agg whose
+    * buffer is k longs per group — same as any sketch agg. */
+  val q49KmvDistinct: Q = Q(
+    "q49_kmv_distinct",
+    """WITH hs AS (SELECT DISTINCT l_returnflag,
+      |              ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 8))::BIGINT AS h
+      |            FROM lineitem),
+      |ranked AS (SELECT l_returnflag, h,
+      |             row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn,
+      |             count(*) OVER (PARTITION BY l_returnflag) AS nh
+      |           FROM hs),
+      |ex AS (SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_exact
+      |       FROM lineitem GROUP BY 1),
+      |kmv AS (SELECT l_returnflag,
+      |          max(CASE WHEN rn = 256 THEN h END) AS hk, max(nh) AS nh
+      |        FROM ranked GROUP BY 1)
+      |SELECT e.l_returnflag, e.n_exact,
+      |  CASE WHEN k.nh < 256 THEN k.nh
+      |       ELSE CAST(FLOOR(255.0 * 4294967296.0 / k.hk) AS BIGINT) END AS n_est
+      |FROM ex e JOIN kmv k USING (l_returnflag)
+      |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    graft.functions.BottomKHashes.register(s)
+    val k = 256
+    val h = conv(substring(md5(col("l_orderkey").cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    li(s, d)
+      .select(col("l_returnflag"), col("l_orderkey"), h.as("h"))
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_orderkey")).as("n_exact"),
+        expr(s"graft_bottomk(h, $k)").as("sk"))
+      .select(col("l_returnflag"), col("n_exact"),
+        when(size(col("sk")) < k, size(col("sk")).cast("long"))
+          .otherwise(floor(lit((k - 1).toDouble * 4294967296.0) /
+            element_at(col("sk"), k)).cast("long"))
+          .as("n_est"))
+      .orderBy("l_returnflag")
+  }
+
   /** As-of join (SURVEY §2.2, deferred until now): each purchase matched
     * to the user's most recent click at-or-before it. Spark has no ASOF
     * operator; the scalable formulation is the union trick — tag both
@@ -1202,5 +1251,6 @@ object RelationalQueries {
     q30NullSafeEq, q31SaltedAgg, q32BucketedJoin, q33Pivot, q34WindowRangeFrame,
     q35NullOrdering, q36WindowDistribution, q37StatsExact, q38Sample,
     q39Percentiles, q40SetOpsAll, q41Unpivot, q42SqlApi, q43Sessionize,
-    q44SkewJoin, q45Upsert, q46TopKNative, q47DatasetSplit, q48TopKAuto)
+    q44SkewJoin, q45Upsert, q46TopKNative, q47DatasetSplit, q48TopKAuto,
+    q49KmvDistinct)
 }

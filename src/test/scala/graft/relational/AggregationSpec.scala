@@ -24,4 +24,17 @@ class AggregationSpec extends AnyFunSuite {
         s"$flag parts: approx $aParts vs exact $eParts")
     }
   }
+
+  test("q49 KMV estimate lands within 20% of exact per group") {
+    // k=256 => relative standard error ~1/sqrt(k-2) ~ 6.3%; 20% is >3
+    // sigma. (The ESTIMATE's exact value is oracle-checked by the
+    // catalog entry; this bounds its distance from ground truth.)
+    val rows = RelationalQueries.q49KmvDistinct.fn(s, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (exact, est) = (r.getLong(1), r.getLong(2))
+      assert(math.abs(est - exact).toDouble / exact <= 0.20,
+        s"${r.getString(0)}: KMV est $est vs exact $exact")
+    }
+  }
 }
