@@ -127,6 +127,7 @@ object AutoLocalTopK extends Rule[LogicalPlan] with PredicateHelper {
 object GraftEngine {
   def install(spark: SparkSession): Unit = {
     LocalTopK.register(spark)
+    AsofJoin.register(spark)
     if (!spark.experimental.extraOptimizations.contains(AutoLocalTopK))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ AutoLocalTopK

@@ -151,6 +151,7 @@ object LocalTopK {
 class GraftPlanExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => LocalTopKStrategy)
+    ext.injectPlannerStrategy(_ => AsofJoinStrategy)
     ext.injectOptimizerRule(_ => RewriteHofDotProduct)
     // Runs in the custom operator-optimization batch (before Spark's own
     // InferWindowGroupLimit) — the bare Filter+Window shape is matched;

@@ -618,6 +618,38 @@ object RelationalQueries {
       .orderBy("l_returnflag")
   }
 
+  /** The SAME as-of join as q29, through the custom range-merge
+    * operator (graft.plans.AsofJoin: LogicalPlan + SparkStrategy +
+    * physical single-pass merge) instead of the union+window trick.
+    * Both entries stay in the catalog deliberately: the bench line
+    * compares the operator against the window form at the same SF, and
+    * AsofJoinSpec asserts AsofJoinExec is in THIS plan and that both
+    * forms agree row-for-row. Null-match semantics (purchases with no
+    * earlier click) surface as null click_ts/gap_us, exactly like the
+    * ASOF LEFT JOIN oracle. */
+  val q50AsofNative: Q = Q(
+    "q50_asof_native",
+    """WITH purchases AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+      |     clicks AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+      |SELECT p.event_id, p.user_id, p.ts, c.ts AS click_ts,
+      |  epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+      |FROM purchases p ASOF LEFT JOIN clicks c
+      |  ON p.user_id = c.user_id AND p.ts >= c.ts
+      |ORDER BY p.event_id""".stripMargin) { (s, d) =>
+    val ev = Tables.t(s, d, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+    graft.plans.AsofJoin.asof(
+      purchases, clicks,
+      Seq(purchases("user_id")), Seq(clicks("c_user")),
+      purchases("ts"), clicks("click_ts"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("click_ts"),
+        (unix_micros(col("ts")) - unix_micros(col("click_ts"))).as("gap_us"))
+      .orderBy("event_id")
+  }
+
   /** Approximate distinct count that IS oracle-checked (VERDICT r5 #3) —
     * the companion to q28's engine-native HLL (which stays no-oracle
     * because HLL internals are engine-specific): the classic KMV
@@ -1252,5 +1284,5 @@ object RelationalQueries {
     q35NullOrdering, q36WindowDistribution, q37StatsExact, q38Sample,
     q39Percentiles, q40SetOpsAll, q41Unpivot, q42SqlApi, q43Sessionize,
     q44SkewJoin, q45Upsert, q46TopKNative, q47DatasetSplit, q48TopKAuto,
-    q49KmvDistinct)
+    q49KmvDistinct, q50AsofNative)
 }

@@ -34,5 +34,50 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(got(202L) == ts(8), "the LATEST prior click wins, not the first")
     assert(got(300L) == null, "user with no clicks")
     assert(got.size == 4)
+
+    // The native range-merge operator (q50) must agree on every edge case
+    // and actually plan its physical node.
+    val nativeDf = RelationalQueries.q50AsofNative.fn(s, dir.toString)
+    val native = nativeDf.collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(3)) null else r.getTimestamp(3))).toMap
+    assert(native == got)
+    def flatten(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => flatten(q.plan)
+      case other => other +: other.children.flatMap(flatten)
+    }
+    assert(flatten(nativeDf.queryExecution.executedPlan)
+      .exists(_.isInstanceOf[graft.plans.AsofJoinExec]),
+      "AsofJoinExec missing from q50's physical plan")
+  }
+
+  test("property: range-merge operator equals brute force on random data") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import s.implicits._
+    // Small domains force every regime: tied times (inclusive >=), keys
+    // with no right rows, right rows with no left rows, dense groups.
+    val rowGen = for { k <- Gen.choose(0, 4); t <- Gen.choose(0, 9) } yield (k, t)
+    val prop = Prop.forAll(
+      Gen.listOf(rowGen), Gen.nonEmptyListOf(rowGen), Gen.choose(1, 5)) {
+      (rights, lefts, parts) =>
+        val lDf = lefts.zipWithIndex
+          .map { case ((k, t), id) => (id.toLong, k.toLong, t.toLong) }
+          .toDF("lid", "lk", "lt").repartition(parts)
+        val rDf = rights.zipWithIndex
+          .map { case ((k, t), id) => (id.toLong + 10000L, k.toLong, t.toLong) }
+          .toDF("rid", "rk", "rt").repartition(parts)
+        val joined = graft.plans.AsofJoin.asof(lDf, rDf,
+            Seq(lDf("lk")), Seq(rDf("rk")), lDf("lt"), rDf("rt"))
+          .select("lid", "rt")
+          .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+          .toMap
+        val expected = lefts.zipWithIndex.map { case ((k, t), id) =>
+          val best = rights.filter(r => r._1 == k && r._2 <= t).map(_._2.toLong)
+          id.toLong -> (if (best.isEmpty) -1L else best.max)
+        }.toMap
+        joined == expected
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
   }
 }
