@@ -1273,6 +1273,57 @@ object RelationalQueries {
       .orderBy("split")
   }
 
+  /** TPC-H Q5 analog (VERDICT r5 #6): the one shape no other entry
+    * stresses — a 6-table join with aggregation and ordering, where the
+    * ENGINE must get the join geometry right. The plan is declared in
+    * the scale-correct order and the spec asserts it:
+    *  - region (1 row after the ASIA filter, pushed to the scan) and
+    *    nation (25 rows) broadcast into supplier FIRST — the dim-side
+    *    reduction cuts supplier ~5x before it ever meets a fact;
+    *  - lineitem joins date-filtered orders on orderkey, then customer
+    *    on custkey — fact-fact joins that shuffle (at bench SF, AQE is
+    *    free to flip them to broadcast from runtime stats; at 100 TB
+    *    they stay sort-merge, which is why the query never DECLARES
+    *    them broadcast);
+    *  - the Q5 local-supplier condition (c_nationkey = s_nationkey)
+    *    rides on the supplier join.
+    * Revenue goes through Det for bit-exact cross-engine sums, which
+    * also makes revenue a safe DESC sort key. */
+  val q51TpchComposite: Q = Q(
+    "q51_tpch_composite",
+    s"""SELECT n_name, ${Det.sqlSum("l_extendedprice * (1 - l_discount)")} AS revenue
+       |FROM customer
+       | JOIN orders ON c_custkey = o_custkey
+       | JOIN lineitem ON l_orderkey = o_orderkey
+       | JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+       | JOIN nation ON s_nationkey = n_nationkey
+       | JOIN region ON n_regionkey = r_regionkey
+       |WHERE r_name = 'ASIA'
+       |  AND o_orderdate >= TIMESTAMP '1995-01-01'
+       |  AND o_orderdate < TIMESTAMP '1996-01-01'
+       |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin) { (s, d) =>
+    val o = ord(s, d)
+      .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1995-01-01 00:00:00"))
+        && col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")))
+      .select("o_orderkey", "o_custkey")
+    val c = cust(s, d).select("c_custkey", "c_nationkey")
+    val l = li(s, d).select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val nAsia = nat(s, d).select("n_nationkey", "n_name", "n_regionkey")
+      .join(broadcast(reg(s, d).filter(col("r_name") === "ASIA").select("r_regionkey")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val suAsia = sup(s, d).select("s_suppkey", "s_nationkey")
+      .join(broadcast(nAsia), col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_nationkey", "n_name")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(suAsia, col("l_suppkey") === col("s_suppkey")
+        && col("c_nationkey") === col("s_nationkey"))
+      .groupBy("n_name")
+      .agg(Det.dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
   val all: Seq[Q] = Seq(
     q01ScanProject, q02Predicates, q03AggBasic, q04AggDistinct, q05Rollup,
     q06Cube, q07JoinBroadcast, q08JoinMultiway, q09JoinOuter, q10JoinFull,
@@ -1284,5 +1335,5 @@ object RelationalQueries {
     q35NullOrdering, q36WindowDistribution, q37StatsExact, q38Sample,
     q39Percentiles, q40SetOpsAll, q41Unpivot, q42SqlApi, q43Sessionize,
     q44SkewJoin, q45Upsert, q46TopKNative, q47DatasetSplit, q48TopKAuto,
-    q49KmvDistinct, q50AsofNative)
+    q49KmvDistinct, q50AsofNative, q51TpchComposite)
 }
