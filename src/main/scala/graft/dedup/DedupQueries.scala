@@ -188,89 +188,109 @@ object DedupQueries {
       |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.6
       |ORDER BY i, j""".stripMargin) { (s, d) =>
     val theta = 0.6
-    // Shingles reduce to 64-bit xxhash64 ids at the scan and STRINGS
-    // NEVER TRAVEL: every downstream shuffle (df counts, prefix join,
-    // verify) moves 8-byte longs instead of ~20-byte trigram strings —
-    // measured 5.7 s -> ~1.5 s on the verify join alone at sf0.1,
-    // and the only way to fly at 100 TB. Distinct shingles map to
-    // distinct ids with p(collision) < 1e-11 at this cardinality (d02's
-    // accepted hash-key regime), so set sizes and intersections — and
-    // therefore every Jaccard value — are unchanged and still
-    // hash-match the all-pairs string oracle.
-    val sh = {
-      val toksDf = Stage.materialize(s,
-        docs(s, d).select(col("doc_id"), toks.as("toks")), "d05toks")
-      val t = col("toks")
-      val shStr = array_distinct(transform(
-        sequence(lit(1), greatest(size(t) - 2, lit(0))),
-        i => concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))
-      Stage.materialize(s,
-        toksDf.select(col("doc_id"), transform(shStr, x => xxhash64(x)).as("s"))
-          .filter(size(col("s")) > 0),
-        "d05sh")
-    }
-    // PPJoin proper: the prefix order must be a corpus-wide total order,
-    // and the right one is ASCENDING DOCUMENT FREQUENCY — prefixes then
-    // hold each doc's rarest shingles, so the candidate join's buckets
-    // stay tiny. (Lexicographic order is equally lossless but pathological
-    // on a shared-vocabulary corpus: every prefix holds the same
-    // alphabetically-small shingles and the join degenerates toward
-    // all-pairs — observed 31 s vs 4 s at sf0.1.) Ties break on the
-    // shingle id, so the order is total and shared by both join sides.
-    // Residual cost note: this corpus draws from ~30 words, so even the
-    // rarest shingles repeat and ~193k of 12.5M possible pairs survive the
-    // prefix+length prune at sf0.1 (65x) — real corpora have heavy-tailed
-    // vocabularies and prune orders of magnitude harder.
-    val dfCounts = sh.select(explode(col("s")).as("shingle"))
-      .groupBy("shingle").agg(count(lit(1)).as("df"))
-    val ranked = sh.select(col("doc_id"), explode(col("s")).as("shingle"))
-      .join(dfCounts, "shingle")
-      .groupBy("doc_id")
-      .agg(array_sort(collect_list(struct(col("df"), col("shingle")))).as("ordered"))
-    val prefix = ranked.select(col("doc_id"),
-      size(col("ordered")).as("sz"),
-      posexplode(slice(transform(col("ordered"), o => o.getField("shingle")), lit(1),
-        (size(col("ordered")) - ceil(size(col("ordered")) * theta) + 1).cast("int"))))
-      .select(col("doc_id"), col("sz"), col("pos"), col("col").as("ptok"))
-    // Candidates travel as bare id pairs; the shingle arrays join back in
-    // only for the surviving pairs' exact verification. Two more lossless
-    // bounds ride in the join condition:
-    //  - length filter: jaccard >= θ forces θ|a| <= |b| <= |a|/θ, so
-    //    mismatched sizes never leave the bucket;
-    //  - PPJoin+ positional filter: a shared token at (0-based) prefix
-    //    positions (p_a, p_b) caps the overlap at
-    //      min(p_a, p_b) + 1 + min(|a|-p_a-1, |b|-p_b-1)
-    //    (shared tokens strictly before it + itself + shared after it,
-    //    all in the one corpus-wide order), while jaccard >= θ needs
-    //    overlap >= ⌈θ/(1+θ)·(|a|+|b|)⌉. Every shared prefix token of a
-    //    TRUE result pair satisfies the cap (it bounds the same overlap),
-    //    so pruning matches that fail it loses nothing — pairs survive
-    //    via any passing match and dedup after.
-    //    Measured on this corpus it prunes only ~1.5% (193k→190k at
-    //    sf0.1): docs are near-uniform length, so positions hardly
-    //    discriminate — same data-pathology note as the prefix filter
-    //    above. On heavy-tailed real corpora the positional bound is the
-    //    classic second-biggest pruner after the prefix itself, and it
-    //    rides in the join condition at zero measured cost.
-    val alpha = ceil((col("a.sz") + col("b.sz")) * lit(theta / (1 + theta)))
-    val posBound = least(col("a.pos"), col("b.pos")) + lit(1) +
-      least(col("a.sz") - col("a.pos") - 1, col("b.sz") - col("b.pos") - 1)
-    val cand = prefix.as("a")
-      .join(prefix.as("b"),
-        col("a.ptok") === col("b.ptok") && col("a.doc_id") < col("b.doc_id")
-          && col("b.sz") >= ceil(col("a.sz") * theta)
-          && col("b.sz") <= floor(col("a.sz") / theta)
-          && posBound >= alpha)
-      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
-      .dropDuplicates("i", "j")
-    val inter = size(array_intersect(col("s_i"), col("s_j"))).cast("long")
-    val jac = inter / (size(col("s_i")).cast("long") + size(col("s_j")).cast("long") - inter)
-    cand
-      .join(sh.select(col("doc_id").as("i"), col("s").as("s_i")), Seq("i"))
-      .join(sh.select(col("doc_id").as("j"), col("s").as("s_j")), Seq("j"))
-      .select(col("i"), col("j"), jac.as("jac"))
-      .filter(col("jac") >= theta)
-      .orderBy("i", "j")
+    // This query is many small stages over modest row counts at the
+    // verify/bench SFs; a 32-wide shuffle spends more on task overhead
+    // than on data (measured 4.1 s @32 -> 2.3 s @8 at sf0.1). Scoped
+    // width cap like d07's loop width; at cluster scale the same knob
+    // goes UP with the data, and AQE coalescing handles the in-between.
+    val shuffleKey = "spark.sql.shuffle.partitions"
+    val oldWidth = s.conf.get(shuffleKey)
+    s.conf.set(shuffleKey, math.min(oldWidth.toInt, 8).toString)
+    try {
+      // Shingles reduce to 64-bit xxhash64 ids at the scan and STRINGS
+      // NEVER TRAVEL: every downstream shuffle (df counts, prefix join)
+      // moves 8-byte longs instead of ~20-byte trigram strings — the only
+      // way to fly at 100 TB. Distinct shingles map to distinct ids with
+      // p(collision) < 1e-11 at this cardinality (d02's accepted
+      // hash-key regime), so set sizes and intersections — and therefore
+      // every Jaccard value — are unchanged and still hash-match the
+      // all-pairs string oracle.
+      val sh = {
+        val toksDf = Stage.materialize(s,
+          docs(s, d).select(col("doc_id"), toks.as("toks")), "d05toks")
+        val t = col("toks")
+        val shStr = array_distinct(transform(
+          sequence(lit(1), greatest(size(t) - 2, lit(0))),
+          i => concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))
+        Stage.materialize(s,
+          toksDf.select(col("doc_id"), transform(shStr, x => xxhash64(x)).as("s"))
+            .filter(size(col("s")) > 0),
+          "d05sh")
+      }
+      // PPJoin proper: the prefix order must be a corpus-wide total order,
+      // and the right one is ASCENDING DOCUMENT FREQUENCY — prefixes then
+      // hold each doc's rarest shingles, so the candidate join's buckets
+      // stay tiny. (Lexicographic order is equally lossless but pathological
+      // on a shared-vocabulary corpus: every prefix holds the same
+      // alphabetically-small shingles and the join degenerates toward
+      // all-pairs — observed 31 s vs 4 s at sf0.1.) Ties break on the
+      // shingle id, so the order is total and shared by both join sides.
+      // Residual cost note: this corpus draws from ~30 words, so even the
+      // rarest shingles repeat and ~193k of 12.5M possible pairs survive the
+      // prefix+length prune at sf0.1 (65x) — real corpora have heavy-tailed
+      // vocabularies and prune orders of magnitude harder.
+      val dfCounts = sh.select(explode(col("s")).as("shingle"))
+        .groupBy("shingle").agg(count(lit(1)).as("df"))
+      // The df-ordered FULL id array rides along with each prefix row
+      // (~40 longs/doc), so verification happens INLINE in the candidate
+      // join's projection — no arrays-join-back, no 190k-pair
+      // dropDuplicates shuffle. (The previous shape shipped bare id
+      // pairs and joined the arrays back for verify: three more shuffles
+      // of the same 190k rows; measured 4.1 s -> 2.3 s replacing it with
+      // this. The dup-match overcount the old dedup removed is ~1.5% —
+      // cheaper to verify twice than to shuffle once.) Survivors dedup
+      // AFTER the θ filter, when ~hundreds of rows remain.
+      val ranked = Stage.materialize(s,
+        sh.select(col("doc_id"), explode(col("s")).as("shingle"))
+          .join(dfCounts, "shingle")
+          .groupBy("doc_id")
+          .agg(array_sort(collect_list(struct(col("df"), col("shingle")))).as("ordered"))
+          .select(col("doc_id"), transform(col("ordered"), o => o.getField("shingle")).as("ord"))
+          .withColumn("sz", size(col("ord"))),
+        "d05ranked")
+      val prefix = ranked.select(col("doc_id"), col("sz"), col("ord"),
+        posexplode(slice(col("ord"), lit(1),
+          (col("sz") - ceil(col("sz") * theta) + 1).cast("int"))))
+        .select(col("doc_id"), col("sz"), col("ord"), col("pos"), col("col").as("ptok"))
+      // Two more lossless bounds ride in the join condition:
+      //  - length filter: jaccard >= θ forces θ|a| <= |b| <= |a|/θ, so
+      //    mismatched sizes never leave the bucket;
+      //  - PPJoin+ positional filter: a shared token at (0-based) prefix
+      //    positions (p_a, p_b) caps the overlap at
+      //      min(p_a, p_b) + 1 + min(|a|-p_a-1, |b|-p_b-1)
+      //    (shared tokens strictly before it + itself + shared after it,
+      //    all in the one corpus-wide order), while jaccard >= θ needs
+      //    overlap >= ⌈θ/(1+θ)·(|a|+|b|)⌉. Every shared prefix token of a
+      //    TRUE result pair satisfies the cap (it bounds the same
+      //    overlap), so pruning matches that fail it loses nothing —
+      //    pairs survive via any passing match and dedup after.
+      //    Measured on this corpus it prunes only ~1.5%: docs are
+      //    near-uniform length, so positions hardly discriminate. On
+      //    heavy-tailed real corpora the positional bound is the classic
+      //    second-biggest pruner after the prefix itself, and it rides
+      //    in the join condition at zero measured cost.
+      val alpha = ceil((col("a.sz") + col("b.sz")) * lit(theta / (1 + theta)))
+      val posBound = least(col("a.pos"), col("b.pos")) + lit(1) +
+        least(col("a.sz") - col("a.pos") - 1, col("b.sz") - col("b.pos") - 1)
+      val inter = size(array_intersect(col("a.ord"), col("b.ord"))).cast("long")
+      val jac = inter / (col("a.sz").cast("long") + col("b.sz").cast("long") - inter)
+      // Materialized INSIDE the conf scope so the join/filter stages
+      // actually execute at the capped width (the entry's DataFrame is
+      // lazy; without this pin they would plan at the restored session
+      // width after fn returns). ~hundreds of surviving rows; the lazy
+      // tail is just dedup + sort.
+      val pairs = Stage.materialize(s,
+        prefix.as("a")
+          .join(prefix.as("b"),
+            col("a.ptok") === col("b.ptok") && col("a.doc_id") < col("b.doc_id")
+              && col("b.sz") >= ceil(col("a.sz") * theta)
+              && col("b.sz") <= floor(col("a.sz") / theta)
+              && posBound >= alpha)
+          .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"), jac.as("jac"))
+          .filter(col("jac") >= theta),
+        "d05pairs")
+      pairs.dropDuplicates("i", "j").orderBy("i", "j")
+    } finally s.conf.set(shuffleKey, oldWidth)
   }
 
   /** Engine-portable MinHash (the oracle-checked complement to d03):
