@@ -28,7 +28,7 @@ object Bench {
     // as a silent -1 among ordinary numbers. Failures are named on stderr.
     def runOnce(q: Q): Double = {
       val t0 = System.nanoTime()
-      try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      try runReleasing(q)
       catch {
         case scala.util.control.NonFatal(e) =>
           System.err.println(s"[bench] ${q.name} failed: ${e.getClass.getName}: ${e.getMessage}")
@@ -36,6 +36,15 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
+    // Checkpoint blocks released OUTSIDE the timed region would hide the
+    // cost a real pipeline pays; released inside, every query is charged
+    // its own cleanup and the block manager stays flat across passes
+    // (graft.Stage.release scaladoc; timing impact measured within run
+    // variance either way — this is bounded-memory hygiene, not a
+    // speedup).
+    def runReleasing(q: Q): Unit =
+      try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      finally Stage.release()
     // Optional args narrow the run to named queries (dev aid; the driver
     // passes none and measures the full catalog).
     val catalog = if (args.isEmpty) SparkEntry.catalog

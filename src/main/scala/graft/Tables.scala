@@ -79,14 +79,38 @@ object TempDirs {
   * query (no hidden caching across bench runs).
   */
 object Stage {
+  // Checkpointed RDDs live in the block manager until the Scala object
+  // is GC'd and the async ContextCleaner notices — across a bench/verify
+  // session (131 queries x multiple stages x 3 passes) the orphaned
+  // blocks otherwise accumulate without bound (same leak class as the
+  // ADVICE-r3 temp dirs). Tracked here so the harness can release them
+  // deterministically at query boundaries instead of waiting on GC.
+  // Release is only safe AFTER the dependent action completes:
+  // localCheckpoint CUTS lineage, so an unpersisted stage is
+  // unrecoverable, not recomputable.
+  private val live = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.rdd.RDD[_]]()
+
   /** Re-spread across all cores, then pin. The repartition runs BEFORE
     * the checkpoint so the expensive stage itself evaluates on all
     * cores, not on however few partitions the upstream scan produced
     * (Spark sizes scan partitions by BYTES, which is right for IO-bound
     * scans and wrong for a few-MB signature table feeding a
     * compute-bound map). */
-  def materialize(spark: SparkSession, df: DataFrame, tag: String): DataFrame =
-    df.repartition(spark.sparkContext.defaultParallelism).localCheckpoint()
+  def materialize(spark: SparkSession, df: DataFrame, tag: String): DataFrame = {
+    val out = df.repartition(spark.sparkContext.defaultParallelism).localCheckpoint()
+    org.apache.spark.sql.GraftPlanShim.logicalPlan(out) match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => live.add(lr.rdd)
+      case _ => ()
+    }
+    out
+  }
+
+  /** Drop every tracked checkpoint's blocks (non-blocking). Call only
+    * between queries, after the current query's action has completed. */
+  def release(): Unit = {
+    var r = live.poll()
+    while (r != null) { r.unpersist(blocking = false); r = live.poll() }
+  }
 }
 
 /** Cross-engine-deterministic numeric helpers.

@@ -30,7 +30,8 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
+      } finally Stage.release() // checkpoint blocks: this query's are done
+
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
