@@ -1279,6 +1279,35 @@ object RelationalQueries {
       .orderBy("split")
   }
 
+  /** Stratified downsampling — the corpus-rebalancing op every training
+    * pipeline runs (cap over-represented sources, keep the long tail):
+    * per-stratum keep-rates applied through the same engine-portable
+    * md5-mod assignment as q47, so membership is a pure function of
+    * (doc_id, source) — stable under reruns, appends, partitioning, and
+    * engine migration, and therefore fully oracle-checked (a seeded
+    * .sampleBy would be engine-native nondeterminism, q38's territory).
+    * Per-row map + one small agg; nothing shuffles but the counts. */
+  val q52StratifiedSample: Q = Q(
+    "q52_stratified_sample",
+    """WITH t AS (SELECT source, n_chars,
+      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS pct
+      |  FROM documents)
+      |SELECT source, COUNT(*) AS n_kept, CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+      |FROM t
+      |WHERE pct < (CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0 THEN 20 ELSE 80 END)
+      |GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    val pct = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long") % 100
+    val rate = when(substring(col("source"), 4, 10).cast("int") % 2 === 0, 20)
+      .otherwise(80)
+    Tables.t(s, d, "documents")
+      .select(col("source"), col("n_chars"), pct.as("pct"))
+      .filter(col("pct") < rate)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("kept_chars"))
+      .orderBy("source")
+  }
+
   /** TPC-H Q5 analog (VERDICT r5 #6): the one shape no other entry
     * stresses — a 6-table join with aggregation and ordering, where the
     * ENGINE must get the join geometry right. The plan is declared in
@@ -1341,5 +1370,5 @@ object RelationalQueries {
     q35NullOrdering, q36WindowDistribution, q37StatsExact, q38Sample,
     q39Percentiles, q40SetOpsAll, q41Unpivot, q42SqlApi, q43Sessionize,
     q44SkewJoin, q45Upsert, q46TopKNative, q47DatasetSplit, q48TopKAuto,
-    q49KmvDistinct, q50AsofNative, q51TpchComposite)
+    q49KmvDistinct, q50AsofNative, q51TpchComposite, q52StratifiedSample)
 }

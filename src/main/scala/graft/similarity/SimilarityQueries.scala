@@ -386,7 +386,54 @@ object SimilarityQueries {
       .orderBy("cell")
   }
 
+  /** Int8 symmetric quantization + quantized dot-product search — the
+    * storage/bandwidth half of a production vector store (4x smaller
+    * vectors, integer SIMD dots; the same layout FAISS/SCANN-style
+    * engines scan). Per-vector scale = max|x|/127; codes round(x/scale)
+    * (the max element lands exactly on ±127, so no clamp is needed);
+    * approximate score = int_dot * scale_a * scale_probe.
+    *
+    * Every step is ORACLE-EXACT, not approximately compared:
+    *  - float->double casts are exact; scale is one division;
+    *  - round() is half-away-from-zero in BOTH engines on doubles;
+    *  - the integer dot is <= 64 * 127^2 ~ 1.03M, exact in any order
+    *    and in DuckDB's double list_dot_product alike — so the
+    *    APPROXIMATE score is itself deterministic and hash-checked,
+    *    while QuantizationSpec separately bounds its recall vs the
+    *    exact float top-k (the statistical property).
+    * Scale shape: per-row map + broadcast probe + TakeOrdered — the
+    * embedding table never shuffles, same as v01/v02. */
+  val v10QuantizedDot: Q = Q(
+    "v10_quantized_dot",
+    """WITH base AS (
+      |  SELECT vec_id, label, embedding::DOUBLE[] AS v,
+      |    list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0 AS scale
+      |  FROM embeddings),
+      |q AS (
+      |  SELECT vec_id, label, scale,
+      |    list_transform(v, x -> CAST(round(x / scale) AS BIGINT)) AS codes
+      |  FROM base),
+      |p AS (SELECT codes AS pc, scale AS ps FROM q WHERE vec_id = 0)
+      |SELECT vec_id, label,
+      |  (CAST(list_dot_product(codes::DOUBLE[], pc::DOUBLE[]) AS DOUBLE) * scale) * ps AS qdot
+      |FROM q, p
+      |ORDER BY qdot DESC, vec_id LIMIT 20""".stripMargin) { (s, d) =>
+    val scaled = emb(s, d)
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("scale", array_max(transform(col("v"), x => abs(x))) / 127.0)
+      .withColumn("codes", transform(col("v"), x => round(x / col("scale"), 0).cast("long")))
+    val probe = scaled.filter(col("vec_id") === 0)
+      .select(col("codes").as("pc"), col("scale").as("ps"))
+    val idot = aggregate(zip_with(col("codes"), col("pc"), (x, y) => x * y),
+      lit(0L), (acc, v) => acc + v)
+    scaled.crossJoin(broadcast(probe))
+      .select(col("vec_id"), col("label"),
+        ((idot.cast("double") * col("scale")) * col("ps")).as("qdot"))
+      .orderBy(col("qdot").desc, col("vec_id"))
+      .limit(20)
+  }
+
   val all: Seq[Q] = Seq(v01CosineTopK, v02DotTopK, v03AnnLshBucket,
     v04EmbeddingNearDup, v05CosineTopKNative, v06AnnIvf, v07AnnPartitionPruned,
-    v08LabelCentroids, v09KmeansPortable)
+    v08LabelCentroids, v09KmeansPortable, v10QuantizedDot)
 }

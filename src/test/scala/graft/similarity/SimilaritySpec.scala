@@ -41,4 +41,26 @@ class SimilaritySpec extends AnyFunSuite {
       assert(r.getDouble(2) >= 0.4 && r.getDouble(2) <= 1.0)
     }
   }
+
+  test("int8-quantized top-20 recalls most of the exact dot top-20") {
+    // The quantized SCORES are oracle-hash-checked by the v10 entry; this
+    // bounds the statistical property the hash can't see: how much of
+    // the true (float) ranking the 4x-compressed representation keeps.
+    // 64 dims at int8 => worst-case per-dot error ~ dims * (scale/2)^2
+    // territory; empirically recall is near-perfect on gaussian data.
+    import org.apache.spark.sql.functions._
+    val e = graft.Tables.t(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val probe = e.filter(col("vec_id") === 0).select(col("v").as("pv"))
+    val dot = aggregate(zip_with(col("v"), col("pv"), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+    val exact = e.crossJoin(broadcast(probe))
+      .select(col("vec_id"), dot.as("score"))
+      .orderBy(col("score").desc, col("vec_id")).limit(20)
+      .collect().map(_.getLong(0)).toSet
+    val quant = SimilarityQueries.v10QuantizedDot.fn(s, d).collect()
+      .map(_.getLong(0)).toSet
+    val recall = (exact & quant).size
+    assert(recall >= 15, s"quantized top-20 kept only $recall/20 of exact top-20")
+  }
 }
