@@ -332,9 +332,32 @@ object IngestQueries {
       .orderBy("event_date")
   }
 
+  /** ORC round-trip — the other columnar format Spark bundles (the
+    * common lakehouse migration case: Hive-era ORC tables feeding a
+    * parquet-era pipeline). The entry writes the documents table as ORC
+    * (snappy, same as the parquet fixtures), scans it back with an
+    * aggregation whose plan must push the column pruning into the ORC
+    * reader (only source/n_chars read, verified the same way the
+    * parquet scans are), and hash-matches the oracle computed from the
+    * original parquet — proving the format conversion is lossless. Temp
+    * dir registered for shutdown cleanup (TempDirs). */
+  val i15OrcRoundtrip: Q = Q(
+    "i15_orc_roundtrip",
+    """SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    val dir = graft.TempDirs.newTempDir("graft_orc_")
+    graft.Tables.t(s, d, "documents")
+      .write.mode("overwrite").orc(s"$dir/documents.orc")
+    s.read.orc(s"$dir/documents.orc")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .orderBy("source")
+  }
+
   val all: Seq[Q] = Seq(
     i01PageScan, i02TimestampParse, i03WatermarkFilter, i04RunningMax,
     i05PartitionedSink, i06BackfillCursor, i07DailyCounts,
     i08JsonlPermissive, i09CsvScan, i10V2SourceScan, i11CorruptRetention,
-    i12SchemaEvolution, i13StreamingSource, i14DynamicOverwrite)
+    i12SchemaEvolution, i13StreamingSource, i14DynamicOverwrite,
+    i15OrcRoundtrip)
 }
