@@ -1279,6 +1279,65 @@ object RelationalQueries {
       .orderBy("split")
   }
 
+  /** One session-stable home for q53's analyzed tables (q32Dir pattern). */
+  private lazy val q53Dir: String = graft.TempDirs.newTempDir("graft_cbo_")
+
+  /** Cost-based join reordering — the optimizer behavior nothing else
+    * exercises: ANALYZE'd catalog tables + spark.sql.cbo give Catalyst
+    * row-count/NDV statistics, and CostBasedJoinReorder rewrites the
+    * user's DECLARED join order into the cheapest one. The query
+    * deliberately declares the worst order — fact JOIN fact first
+    * (lineitem x orders), dims last — and CBO plans the selective
+    * dim-side reduction first instead (CboReorderSpec asserts the
+    * optimized join tree differs from the declared tree with stats on,
+    * and matches it with CBO off).
+    *
+    * Laziness trap (same class as d05's width cap): entries return LAZY
+    * DataFrames, and optimization happens at action time — AFTER fn has
+    * restored the session confs. Forcing `queryExecution.optimizedPlan`
+    * inside the conf scope pins the CBO-optimized plan into the
+    * returned DataFrame's QueryExecution, which the later action then
+    * executes. Stats come from ANALYZE TABLE .. COMPUTE STATISTICS FOR
+    * ALL COLUMNS — the exact production recipe (stats are persisted
+    * catalog state there, recomputed per run here only because the
+    * tables are scratch). */
+  val q53CboReorder: Q = Q(
+    "q53_cbo_reorder",
+    """SELECT n_name, COUNT(*) AS n_items
+      |FROM lineitem
+      | JOIN orders ON l_orderkey = o_orderkey
+      | JOIN customer ON o_custkey = c_custkey
+      | JOIN nation ON c_nationkey = n_nationkey
+      |WHERE n_name IN ('NATION_2', 'NATION_7')
+      |GROUP BY n_name ORDER BY n_name""".stripMargin) { (s, d) =>
+    val dir = java.nio.file.Paths.get(q53Dir)
+    val tables = Seq(
+      ("graft_q53_lineitem", li(s, d).select("l_orderkey")),
+      ("graft_q53_orders", ord(s, d).select("o_orderkey", "o_custkey")),
+      ("graft_q53_customer", cust(s, d).select("c_custkey", "c_nationkey")),
+      ("graft_q53_nation", nat(s, d).select("n_nationkey", "n_name")))
+    tables.foreach { case (name, df) =>
+      df.write.mode("overwrite")
+        .option("path", dir.resolve(name).toString).saveAsTable(name)
+      s.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS FOR ALL COLUMNS")
+    }
+    val confs = Seq("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled")
+    val saved = confs.map(k => k -> s.conf.get(k))
+    confs.foreach(k => s.conf.set(k, "true"))
+    try {
+      val df = s.sql(
+        """SELECT n_name, COUNT(*) AS n_items
+          |FROM graft_q53_lineitem
+          | JOIN graft_q53_orders ON l_orderkey = o_orderkey
+          | JOIN graft_q53_customer ON o_custkey = c_custkey
+          | JOIN graft_q53_nation ON c_nationkey = n_nationkey
+          |WHERE n_name IN ('NATION_2', 'NATION_7')
+          |GROUP BY n_name ORDER BY n_name""".stripMargin)
+      df.queryExecution.optimizedPlan // force CBO while the confs are on
+      df
+    } finally saved.foreach { case (k, v) => s.conf.set(k, v) }
+  }
+
   /** Stratified downsampling — the corpus-rebalancing op every training
     * pipeline runs (cap over-represented sources, keep the long tail):
     * per-stratum keep-rates applied through the same engine-portable
@@ -1370,5 +1429,6 @@ object RelationalQueries {
     q35NullOrdering, q36WindowDistribution, q37StatsExact, q38Sample,
     q39Percentiles, q40SetOpsAll, q41Unpivot, q42SqlApi, q43Sessionize,
     q44SkewJoin, q45Upsert, q46TopKNative, q47DatasetSplit, q48TopKAuto,
-    q49KmvDistinct, q50AsofNative, q51TpchComposite, q52StratifiedSample)
+    q49KmvDistinct, q50AsofNative, q51TpchComposite, q52StratifiedSample,
+    q53CboReorder)
 }
