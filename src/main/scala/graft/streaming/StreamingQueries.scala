@@ -344,7 +344,52 @@ object StreamingQueries {
       .orderBy("user_id")
   }
 
+  /** In-flight dedup against a historical corpus — the STREAMING half of
+    * d08's incremental-ingest shape: documents arrive as a stream, and
+    * anything whose fingerprint already exists in the (static, batch)
+    * historical half is dropped by a stream-static LEFT ANTI join before
+    * it ever reaches the sink. st04 dedups the stream against ITSELF
+    * (within-watermark state); this entry dedups it against persisted
+    * history with ZERO streaming state — the static side is just a
+    * (broadcastable) key table, re-resolvable per micro-batch, which is
+    * why this is the shape a 100 TB ingest actually runs (state stores
+    * don't hold a trillion-key corpus; a bloom/key table does).
+    * Fingerprint = d08's first-3-token xxhash64; same even/odd split,
+    * same NOT-IN oracle semantics, aggregated per source. */
+  val st11StreamDedup: Q = Q(
+    "st11_stream_dedup_vs_history",
+    """WITH t AS (
+      |  SELECT doc_id, source,
+      |         array_to_string(string_split(text, ' ')[1:3], ' ') AS fp
+      |  FROM documents)
+      |SELECT source, COUNT(*) AS n_new FROM t
+      |WHERE doc_id % 2 = 1
+      |  AND fp NOT IN (SELECT fp FROM t WHERE doc_id % 2 = 0)
+      |GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    val toks = split(col("text"), " ")
+    val h = xxhash64(concat_ws(" ", slice(toks, 1, 3)))
+    val hist = Tables.t(s, d, "documents")
+      .filter(pmod(col("doc_id"), lit(2)) === 0)
+      .select(h.as("h"))
+    val streamed = replayedDocuments(s, d)
+      .filter(pmod(col("doc_id"), lit(2)) === 1)
+      .select(col("source"), h.as("h"))
+      .join(broadcast(hist), Seq("h"), "left_anti")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_new"))
+    runToTable(s, streamed, "complete")
+      .orderBy("source")
+  }
+
+  private def replayedDocuments(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Paths.get(graft.TempDirs.newTempDir("graft_stream_docs_"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$d/documents.parquet"), dir.resolve("documents.parquet"))
+    val schema = s.read.parquet(s"$d/documents.parquet").schema
+    s.readStream.schema(schema).parquet(dir.toString)
+  }
+
   val all: Seq[Q] = Seq(st01Tumbling, st02Sliding, st03Session, st04Dedup,
     st05Stateful, st06FileSink, st07StreamJoin, st08ForeachBatch,
-    st09StreamStaticJoin, st10UpdateMode)
+    st09StreamStaticJoin, st10UpdateMode, st11StreamDedup)
 }
