@@ -354,10 +354,40 @@ object IngestQueries {
       .orderBy("source")
   }
 
+  /** Sort-key layout → parquet row-group skipping: the data-skipping
+    * technique (Z-order-lite) that makes selective scans cheap at
+    * 100 TB without an index. The entry writes documents SORTED by
+    * doc_id (small row groups so the test file has several), then scans
+    * a tight doc_id range: the pushed min/max predicate lets the reader
+    * skip whole row groups whose footer stats can't match. Correctness
+    * is the oracle's (same answer as scanning the unsorted original);
+    * the skipping itself is asserted by SortedSkippingSpec via task
+    * inputMetrics (recordsRead strictly below the table row count —
+    * 333/500 at sf0.01 for a 100-row slice, row-group granularity).
+    * The same layout choice at cluster scale is writer-side sort/
+    * cluster-by, and the skip ratio scales with file count x groups. */
+  val i16SortedSkipping: Q = Q(
+    "i16_sorted_skipping",
+    """SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      |FROM documents WHERE doc_id BETWEEN 100 AND 199
+      |GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    val dir = graft.TempDirs.newTempDir("graft_sorted_")
+    graft.Tables.t(s, d, "documents").coalesce(1).sortWithinPartitions("doc_id")
+      .write.mode("overwrite")
+      .option("parquet.block.size", 32 * 1024)
+      .option("parquet.page.size", 8 * 1024)
+      .parquet(s"$dir/documents_sorted")
+    s.read.parquet(s"$dir/documents_sorted")
+      .filter(col("doc_id").between(100, 199))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .orderBy("source")
+  }
+
   val all: Seq[Q] = Seq(
     i01PageScan, i02TimestampParse, i03WatermarkFilter, i04RunningMax,
     i05PartitionedSink, i06BackfillCursor, i07DailyCounts,
     i08JsonlPermissive, i09CsvScan, i10V2SourceScan, i11CorruptRetention,
     i12SchemaEvolution, i13StreamingSource, i14DynamicOverwrite,
-    i15OrcRoundtrip)
+    i15OrcRoundtrip, i16SortedSkipping)
 }
