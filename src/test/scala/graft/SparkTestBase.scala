@@ -14,6 +14,12 @@ object SparkTestBase {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // The generated-class cache defaults to 100 entries; a 137-query
+      // catalog compiles far more distinct codegen classes than that, so
+      // the cache thrashes and queries pay Janino recompilation on every
+      // pass (measured on the dedup subset: d05 3.5 -> 2.1 s, d04/d07
+      // -25% with the cache sized to hold the whole catalog).
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     graft.plans.GraftEngine.install(s)
