@@ -517,7 +517,11 @@ object DedupQueries {
     val keyed = docs(s, d).select(col("doc_id"), col("source"),
       xxhash64(concat_ws(" ", slice(toks, 1, 3))).as("h"))
     val shard = pmod(col("h"), lit(S)).cast("int").as("shard")
-    val hist = keyed.filter(pmod(col("doc_id"), lit(2)) === 0).select(col("h"), shard)
+    // Pinned: hist feeds BOTH the bloom build and the exact-confirm
+    // anti-join — without the pin each consumer re-runs the full
+    // documents scan + tokenize + hash.
+    val hist = Stage.materialize(s,
+      keyed.filter(pmod(col("doc_id"), lit(2)) === 0).select(col("h"), shard), "d09hist")
     val batch = keyed.filter(pmod(col("doc_id"), lit(2)) === 1).withColumn("shard", shard)
     val blooms = hist.groupBy("shard")
       .agg(expr("graft_bloom(h, CAST(65536 AS BIGINT), CAST(0.01 AS DOUBLE))").as("bf"))

@@ -148,9 +148,20 @@ object AsofJoin {
     val spark = left.sparkSession
     register(spark)
     import org.apache.spark.sql.GraftPlanShim._
-    ofRows(spark, AsofJoinPlan(
-      leftKeys.map(expression), rightKeys.map(expression),
-      expression(leftTime), expression(rightTime),
-      logicalPlan(left), logicalPlan(right)))
+    val (lk, rk) = (leftKeys.map(expression), rightKeys.map(expression))
+    val (lt, rt) = (expression(leftTime), expression(rightTime))
+    // Unlike a real Join there is no analyzer type coercion here, and the
+    // exec's comparators are built from the LEFT side's types — a dtype
+    // mismatch would read wrong bytes and emit garbage matches silently.
+    // Fail loudly instead; callers cast explicitly.
+    require(lk.length == rk.length,
+      s"asof: ${lk.length} left keys vs ${rk.length} right keys")
+    lk.zip(rk).foreach { case (l, r) =>
+      require(l.dataType == r.dataType,
+        s"asof: key type mismatch ${l.dataType} vs ${r.dataType} — cast explicitly")
+    }
+    require(lt.dataType == rt.dataType,
+      s"asof: time type mismatch ${lt.dataType} vs ${rt.dataType} — cast explicitly")
+    ofRows(spark, AsofJoinPlan(lk, rk, lt, rt, logicalPlan(left), logicalPlan(right)))
   }
 }

@@ -58,12 +58,20 @@ object AutoLocalTopK extends Rule[LogicalPlan] with PredicateHelper {
     * sort doesn't help either). */
   val MAX_GROUPS = 1 << 16
 
-  private def stripCast(e: Expression): Expression = e match {
-    case c: Cast => stripCast(c.child)
+  /** Strip only WIDENING integral casts (the `cast(rn AS bigint)` the
+    * q46 idiom produces). A NARROWING cast must not be stripped: with
+    * ANSI off, `CAST(rn AS TINYINT) <= 3` is also satisfied by
+    * wrap-around rows (rn = 257, 258, ...) that a k=3 prune would make
+    * unproducible — Spark's own InferWindowGroupLimit matches only the
+    * bare attribute for the same reason. */
+  private def stripWideningCast(e: Expression): Expression = e match {
+    case c: Cast if c.dataType == LongType &&
+        c.child.dataType == org.apache.spark.sql.types.IntegerType =>
+      stripWideningCast(c.child)
     case other => other
   }
 
-  private def isRn(e: Expression, rn: Attribute): Boolean = stripCast(e) match {
+  private def isRn(e: Expression, rn: Attribute): Boolean = stripWideningCast(e) match {
     case a: Attribute => a.semanticEquals(rn)
     case _ => false
   }
@@ -128,6 +136,10 @@ object GraftEngine {
   def install(spark: SparkSession): Unit = {
     LocalTopK.register(spark)
     AsofJoin.register(spark)
+    // Same rule set as GraftPlanExtensions — including the HOF dot
+    // rewrite, so plan parity between the two install paths never
+    // depends on which catalog entry happens to register it first.
+    RewriteHofDotProduct.register(spark)
     if (!spark.experimental.extraOptimizations.contains(AutoLocalTopK))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ AutoLocalTopK

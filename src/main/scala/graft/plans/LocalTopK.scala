@@ -109,8 +109,25 @@ case class LocalTopKPerGroupExec(
 }
 
 object LocalTopKStrategy extends org.apache.spark.sql.execution.SparkStrategy {
+  import org.apache.spark.sql.catalyst.expressions.RowNumber
+  import org.apache.spark.sql.catalyst.plans.logical.WindowGroupLimit
+
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case LocalTopKPerGroup(k, g, o, child, maxG) =>
+      LocalTopKPerGroupExec(k, g, o, planLater(child), maxG) :: Nil
+    // Production (spark.sql.extensions) ordering quirk: the injected
+    // AutoLocalTopK runs in the operator-optimization batch, BEFORE
+    // Spark's InferWindowGroupLimit, whose only self-guard is on a
+    // WindowGroupLimit child — so it stacks its sort-based limit on top
+    // of the already-planted heap prune. A row_number WindowGroupLimit
+    // directly over our node with a limit >= k is pruning rows the heap
+    // already cut (under-pruning either way is lossless; the Filter
+    // above the Window enforces the exact bound): absorb it at planning
+    // time instead of paying its partition-local sort. The session
+    // (extraOptimizations) path never hits this — there the rule runs
+    // AFTER InferWindowGroupLimit and replaces the node outright.
+    case WindowGroupLimit(_, _, _: RowNumber, limit,
+        LocalTopKPerGroup(k, g, o, child, maxG)) if limit >= k =>
       LocalTopKPerGroupExec(k, g, o, planLater(child), maxG) :: Nil
     case _ => Nil
   }

@@ -17,15 +17,7 @@ class PlanLintSpec extends AnyFunSuite {
   private lazy val s = SparkTestBase.spark
   private val d = SparkTestBase.sfDir
 
-  private def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
-    // AdaptiveSparkPlanExec and QueryStageExec are LEAF wrappers — they
-    // must be unwrapped wherever they appear, including as the root
-    // (which AQE is for every query; matching only children silently
-    // skipped the whole tree)
-    case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
-    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => flatten(q.plan)
-    case _ => p +: (p.children ++ p.subqueries).flatMap(flatten)
-  }
+  private def flatten(p: SparkPlan): Seq[SparkPlan] = SparkTestBase.flattenPlan(p)
 
   test("no catalog query plans a single-partition window or a cartesian product") {
     val violations = SparkEntry.catalog.flatMap { q =>

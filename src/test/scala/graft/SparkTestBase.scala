@@ -28,4 +28,26 @@ object SparkTestBase {
 
   /** Smoke-tier data — correctness semantics don't need volume. */
   val sfDir = "/root/testdata/sf0.001"
+
+  /** AQE wrappers (AdaptiveSparkPlanExec / QueryStageExec) are LEAF
+    * nodes hiding the real tree — unwrap them wherever they appear,
+    * including the root. Includes subqueries. One copy here; specs had
+    * grown four diverging clones of this. */
+  def flattenPlan(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      flattenPlan(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      flattenPlan(q.plan)
+    case other => other +: (other.children ++ other.subqueries).flatMap(flattenPlan)
+  }
+
+  /** The listener bus delivers asynchronously; poll a counter until it
+    * goes quiet (bounded, ~2 s worst case). */
+  def drainListener(current: () => Long): Unit = {
+    var prev = -1L; var cur = current(); var spins = 0
+    while (prev != cur && spins < 40) {
+      Thread.sleep(50); prev = cur; cur = current(); spins += 1
+    }
+  }
 }

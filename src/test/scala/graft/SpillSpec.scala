@@ -40,11 +40,7 @@ class SpillSpec extends AnyFunSuite {
       hot.map { name =>
         spilled.reset()
         SparkEntry.queries(name)(s, d).write.format("noop").mode("overwrite").save()
-        // listener bus is async — drain before reading (bounded wait)
-        var prev = -1L; var cur = spilled.sum; var spins = 0
-        while (prev != cur && spins < 40) {
-          Thread.sleep(50); prev = cur; cur = spilled.sum; spins += 1
-        }
+        SparkTestBase.drainListener(() => spilled.sum)
         name -> spilled.sum
       }
     } finally s.sparkContext.removeSparkListener(listener)

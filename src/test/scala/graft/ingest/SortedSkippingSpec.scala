@@ -17,17 +17,15 @@ class SortedSkippingSpec extends AnyFunSuite {
   test("sorted layout skips row groups outside the filter range") {
     val read = new LongAdder
     val listener = new SparkListener {
-      override def onStageCompleted(e: SparkListenerStageCompleted): Unit =
-        read.add(e.stageInfo.taskMetrics.inputMetrics.recordsRead)
+      override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
+        val m = e.stageInfo.taskMetrics // can be null for failed/skipped stages
+        if (m != null) read.add(m.inputMetrics.recordsRead)
+      }
     }
     s.sparkContext.addSparkListener(listener)
     val rows = try {
       val out = IngestQueries.i16SortedSkipping.fn(s, d).collect()
-      // listener bus is async — drain (bounded)
-      var prev = -1L; var cur = read.sum; var spins = 0
-      while (prev != cur && spins < 40) {
-        Thread.sleep(50); prev = cur; cur = read.sum; spins += 1
-      }
+      SparkTestBase.drainListener(() => read.sum)
       out
     } finally s.sparkContext.removeSparkListener(listener)
     val total = graft.Tables.t(s, d, "documents").count()

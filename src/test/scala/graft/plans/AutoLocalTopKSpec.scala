@@ -18,11 +18,7 @@ class AutoLocalTopKSpec extends AnyFunSuite {
   private lazy val s = SparkTestBase.spark
   private val d = SparkTestBase.sfDir
 
-  private def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
-    case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
-    case q: QueryStageExec        => flatten(q.plan)
-    case other                    => other +: other.children.flatMap(flatten)
-  }
+  private def flatten(p: SparkPlan): Seq[SparkPlan] = SparkTestBase.flattenPlan(p)
 
   private def hasTopK(df: DataFrame): Boolean = {
     df.collect() // finalize AQE
@@ -88,6 +84,30 @@ class AutoLocalTopKSpec extends AnyFunSuite {
     }
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
     assert(res.passed, res.status.toString)
+  }
+
+  test("a WindowGroupLimit stacked over the heap prune is absorbed at planning") {
+    // The production spark.sql.extensions path runs AutoLocalTopK in the
+    // operator batch, BEFORE Spark's InferWindowGroupLimit — which then
+    // stacks its sort-based limit over the already-planted heap node
+    // (its only self-guard is on a WindowGroupLimit child). The strategy
+    // must absorb that redundant prune instead of paying its sort.
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, RowNumber, SortOrder}
+    import s.implicits._
+    val df = Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("g", "v").repartition(2)
+    LocalTopK.register(s)
+    val pruned = LocalTopK.topKPerGroup(df, 1, Seq(col("g")), Seq(col("v").desc))
+    val child = org.apache.spark.sql.GraftPlanShim.logicalPlan(pruned)
+    val analyzed = s.sessionState.executePlan(child).analyzed
+    val (gAttr, vAttr) = (analyzed.output(0), analyzed.output(1))
+    val stacked = org.apache.spark.sql.GraftPlanShim.ofRows(s,
+      org.apache.spark.sql.catalyst.plans.logical.WindowGroupLimit(
+        Seq(gAttr), Seq(SortOrder(vAttr, Ascending)), RowNumber(), 1, analyzed))
+    stacked.collect()
+    val plan = flatten(stacked.queryExecution.executedPlan)
+    assert(plan.exists(_.isInstanceOf[LocalTopKPerGroupExec]))
+    assert(!plan.exists(_.isInstanceOf[WindowGroupLimitExec]),
+      "stacked WindowGroupLimit survived planning — production path double-prunes")
   }
 
   test("maxGroups overflow passes rows through unpruned and stays exact") {

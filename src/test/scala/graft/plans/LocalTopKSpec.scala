@@ -14,11 +14,7 @@ class LocalTopKSpec extends AnyFunSuite {
   private lazy val s = SparkTestBase.spark
   private val d = "/root/testdata/sf0.01"
 
-  private def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
-    case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
-    case q: QueryStageExec        => flatten(q.plan)
-    case other                    => other +: other.children.flatMap(flatten)
-  }
+  private def flatten(p: SparkPlan): Seq[SparkPlan] = SparkTestBase.flattenPlan(p)
 
   private def base = Tables.t(s, d, "orders")
     .select("o_orderpriority", "o_orderkey", "o_totalprice")
@@ -31,7 +27,18 @@ class LocalTopKSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getInt(3), r.getLong(1))).toSet
     val pruned = LocalTopK.topKPerGroup(base, 5,
       Seq(col("o_orderpriority")), Seq(col("o_totalprice").desc, col("o_orderkey").asc))
-    assert(rank(pruned) == rank(base))
+    // The baseline is computed DRIVER-SIDE, not via the same rank-filter
+    // idiom: with AutoLocalTopK installed engine-wide (SparkTestBase),
+    // an engine baseline would itself be auto-pruned by the operator
+    // under test, and a row-dropping exec bug would corrupt both sides
+    // identically.
+    val expected = base.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).toSeq.flatMap { case (prio, rows) =>
+        rows.sortBy(r => (-r._3, r._2)).take(5).zipWithIndex
+          .map { case (r, i) => (prio, i + 1, r._2) }.toSeq
+      }.toSet
+    assert(rank(pruned) == expected)
   }
 
   test("physical LocalTopKPerGroupExec node is planned and bounds its output") {
@@ -74,7 +81,14 @@ class LocalTopKSpec extends AnyFunSuite {
         def topk(in: org.apache.spark.sql.DataFrame) = in
           .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
           .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-        topk(LocalTopK.topKPerGroup(df, k, Seq(col("g")), order)) == topk(df)
+        // Driver-side expected (see the lossless test above for why the
+        // baseline must not be the engine's own rank-filter idiom).
+        val expected = rows.zipWithIndex
+          .map { case ((g, v), id) => (g.toLong, v.toLong, id.toLong) }
+          .groupBy(_._1).flatMap { case (_, grp) =>
+            grp.sortBy(r => (-r._2, r._3)).take(k)
+          }.toSet
+        topk(LocalTopK.topKPerGroup(df, k, Seq(col("g")), order)) == expected
     }
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
     assert(res.passed, res.status.toString)

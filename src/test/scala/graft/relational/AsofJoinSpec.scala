@@ -41,12 +41,7 @@ class AsofJoinSpec extends AnyFunSuite {
     val native = nativeDf.collect()
       .map(r => r.getLong(0) -> (if (r.isNullAt(3)) null else r.getTimestamp(3))).toMap
     assert(native == got)
-    def flatten(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => flatten(a.executedPlan)
-      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => flatten(q.plan)
-      case other => other +: other.children.flatMap(flatten)
-    }
-    assert(flatten(nativeDf.queryExecution.executedPlan)
+    assert(SparkTestBase.flattenPlan(nativeDf.queryExecution.executedPlan)
       .exists(_.isInstanceOf[graft.plans.AsofJoinExec]),
       "AsofJoinExec missing from q50's physical plan")
   }

@@ -13,11 +13,7 @@ class CompositeJoinSpec extends AnyFunSuite {
   private lazy val s = SparkTestBase.spark
   private val d = SparkTestBase.sfDir
 
-  private def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
-    case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
-    case q: QueryStageExec        => flatten(q.plan)
-    case other                    => other +: other.children.flatMap(flatten)
-  }
+  private def flatten(p: SparkPlan): Seq[SparkPlan] = SparkTestBase.flattenPlan(p)
 
   test("q51 broadcasts both dims and pushes the region filter to the scan") {
     val df = RelationalQueries.q51TpchComposite.fn(s, d)
