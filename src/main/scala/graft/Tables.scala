@@ -88,7 +88,16 @@ object Stage {
   // Release is only safe AFTER the dependent action completes:
   // localCheckpoint CUTS lineage, so an unpersisted stage is
   // unrecoverable, not recomputable.
-  private val live = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.rdd.RDD[_]]()
+  //
+  // WEAK references (ADVICE r6): a strong-ref queue would pin every
+  // checkpointed RDD for callers that never hit a release boundary
+  // (Explain, test suites, direct library use), DEFEATING the
+  // GC + ContextCleaner reclamation that bounds the leak on those paths.
+  // A weak ref keeps both mechanisms live: harness paths (Bench/Verify)
+  // release deterministically per query; everything else falls back to
+  // the cleaner exactly as if untracked.
+  private val live = new java.util.concurrent.ConcurrentLinkedQueue[
+    java.lang.ref.WeakReference[org.apache.spark.rdd.RDD[_]]]()
 
   /** Re-spread across all cores, then pin. The repartition runs BEFORE
     * the checkpoint so the expensive stage itself evaluates on all
@@ -99,17 +108,23 @@ object Stage {
   def materialize(spark: SparkSession, df: DataFrame, tag: String): DataFrame = {
     val out = df.repartition(spark.sparkContext.defaultParallelism).localCheckpoint()
     org.apache.spark.sql.GraftPlanShim.logicalPlan(out) match {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => live.add(lr.rdd)
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        live.add(new java.lang.ref.WeakReference(lr.rdd))
       case _ => ()
     }
     out
   }
 
   /** Drop every tracked checkpoint's blocks (non-blocking). Call only
-    * between queries, after the current query's action has completed. */
+    * between queries, after the current query's action has completed.
+    * Already-collected refs mean the ContextCleaner got there first. */
   def release(): Unit = {
     var r = live.poll()
-    while (r != null) { r.unpersist(blocking = false); r = live.poll() }
+    while (r != null) {
+      val rdd = r.get()
+      if (rdd != null) rdd.unpersist(blocking = false)
+      r = live.poll()
+    }
   }
 }
 

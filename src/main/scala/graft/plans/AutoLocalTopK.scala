@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Cast, CurrentRow, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, IntegerLiteral, LessThan, LessThanOrEqual, Literal, PredicateHelper, RowFrame, RowNumber, SpecifiedWindowFrame, UnboundedPreceding, WindowExpression, WindowSpecDefinition}
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Window, WindowGroupLimit}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, Window, WindowGroupLimit}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.LongType
 
@@ -110,6 +110,19 @@ object AutoLocalTopK extends Rule[LogicalPlan] with PredicateHelper {
     case _ => None
   }
 
+  /** True when a prune is already planted below `p`, looking through any
+    * column-pruning Projects: in the injectOptimizerRule path this rule
+    * runs inside the fixed-point operator-optimization batch, where
+    * ColumnPruning can interpose a Project between the Window and the
+    * prune planted on a previous iteration — a bare instanceOf check
+    * would miss it and stack a second, redundant heap pass (ADVICE r6).
+    * Lossless either way, but the inner heap's work would be repeated. */
+  private def hasPrune(p: LogicalPlan): Boolean = p match {
+    case Project(_, child) => hasPrune(child)
+    case _: LocalTopKPerGroup => true
+    case _ => false
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, w: Window) =>
       (for {
@@ -117,10 +130,10 @@ object AutoLocalTopK extends Rule[LogicalPlan] with PredicateHelper {
         k <- limitFor(cond, rn)
       } yield w.child match {
         // Take over Spark's sort-based partial limit with the heap prune.
-        case wgl: WindowGroupLimit if !wgl.child.isInstanceOf[LocalTopKPerGroup] =>
+        case wgl: WindowGroupLimit if !hasPrune(wgl.child) =>
           f.copy(child = w.copy(child = LocalTopKPerGroup(
             math.min(k, wgl.limit), w.partitionSpec, w.orderSpec, wgl.child, MAX_GROUPS)))
-        case c if !c.isInstanceOf[LocalTopKPerGroup] && !c.isInstanceOf[WindowGroupLimit] =>
+        case c if !hasPrune(c) && !c.isInstanceOf[WindowGroupLimit] =>
           f.copy(child = w.copy(child = LocalTopKPerGroup(
             k, w.partitionSpec, w.orderSpec, c, MAX_GROUPS)))
         case _ => f // already rewritten: fixed-point stable

@@ -120,14 +120,23 @@ object LocalTopKStrategy extends org.apache.spark.sql.execution.SparkStrategy {
     // Spark's InferWindowGroupLimit, whose only self-guard is on a
     // WindowGroupLimit child — so it stacks its sort-based limit on top
     // of the already-planted heap prune. A row_number WindowGroupLimit
-    // directly over our node with a limit >= k is pruning rows the heap
-    // already cut (under-pruning either way is lossless; the Filter
-    // above the Window enforces the exact bound): absorb it at planning
-    // time instead of paying its partition-local sort. The session
+    // directly over our node with a limit >= k AND the SAME grouping and
+    // order is pruning rows the heap already cut (under-pruning either
+    // way is lossless; the Filter above the Window enforces the exact
+    // bound): absorb it at planning time instead of paying its
+    // partition-local sort. The spec match matters (ADVICE r6): a WGL
+    // whose partition/order differs from the prune's has exact
+    // per-group-limit semantics of its OWN that absorption would void —
+    // such a node (only constructible by hand; both inserting rules fire
+    // under a Filter+Window with identical specs) must plan normally,
+    // with the heap prune as a plain child. The session
     // (extraOptimizations) path never hits this — there the rule runs
     // AFTER InferWindowGroupLimit and replaces the node outright.
-    case WindowGroupLimit(_, _, _: RowNumber, limit,
-        LocalTopKPerGroup(k, g, o, child, maxG)) if limit >= k =>
+    case WindowGroupLimit(ps, os, _: RowNumber, limit,
+        LocalTopKPerGroup(k, g, o, child, maxG))
+        if limit >= k &&
+          ps.length == g.length && ps.zip(g).forall { case (a, b) => a.semanticEquals(b) } &&
+          os.length == o.length && os.zip(o).forall { case (a, b) => a.semanticEquals(b) } =>
       LocalTopKPerGroupExec(k, g, o, planLater(child), maxG) :: Nil
     case _ => Nil
   }

@@ -86,12 +86,40 @@ class AutoLocalTopKSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
-  test("a WindowGroupLimit stacked over the heap prune is absorbed at planning") {
+  test("a spec-matching WindowGroupLimit stacked over the heap prune is absorbed") {
     // The production spark.sql.extensions path runs AutoLocalTopK in the
     // operator batch, BEFORE Spark's InferWindowGroupLimit — which then
     // stacks its sort-based limit over the already-planted heap node
-    // (its only self-guard is on a WindowGroupLimit child). The strategy
-    // must absorb that redundant prune instead of paying its sort.
+    // (its only self-guard is on a WindowGroupLimit child), with the SAME
+    // partition/order specs (both rules fire on the same Filter+Window).
+    // The strategy must absorb that redundant prune instead of paying its
+    // sort — and absorption must be a row-level NO-OP (ADVICE r6).
+    import org.apache.spark.sql.catalyst.expressions.{Descending, RowNumber, SortOrder}
+    import s.implicits._
+    val df = Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("g", "v").repartition(2)
+    LocalTopK.register(s)
+    val pruned = LocalTopK.topKPerGroup(df, 1, Seq(col("g")), Seq(col("v").desc))
+    val child = org.apache.spark.sql.GraftPlanShim.logicalPlan(pruned)
+    val analyzed = s.sessionState.executePlan(child).analyzed
+    val (gAttr, vAttr) = (analyzed.output(0), analyzed.output(1))
+    val stacked = org.apache.spark.sql.GraftPlanShim.ofRows(s,
+      org.apache.spark.sql.catalyst.plans.logical.WindowGroupLimit(
+        Seq(gAttr), Seq(SortOrder(vAttr, Descending)), RowNumber(), 1, analyzed))
+    val got = stacked.collect().map(_.toSeq).toSet
+    val plan = flatten(stacked.queryExecution.executedPlan)
+    assert(plan.exists(_.isInstanceOf[LocalTopKPerGroupExec]))
+    assert(!plan.exists(_.isInstanceOf[WindowGroupLimitExec]),
+      "stacked WindowGroupLimit survived planning — production path double-prunes")
+    // Row-level: the absorbed WGL contributed nothing — the output is the
+    // prune's own output, bit for bit.
+    assert(got == pruned.collect().map(_.toSeq).toSet)
+  }
+
+  test("a spec-MISMATCHED WindowGroupLimit is NOT absorbed (its semantics differ)") {
+    // A hand-built WGL whose orderSpec differs from the prune's has exact
+    // per-group-limit semantics of its own; absorbing it would silently
+    // change results (ADVICE r6). It must plan as a real
+    // WindowGroupLimitExec with the heap prune as a plain child.
     import org.apache.spark.sql.catalyst.expressions.{Ascending, RowNumber, SortOrder}
     import s.implicits._
     val df = Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("g", "v").repartition(2)
@@ -103,11 +131,16 @@ class AutoLocalTopKSpec extends AnyFunSuite {
     val stacked = org.apache.spark.sql.GraftPlanShim.ofRows(s,
       org.apache.spark.sql.catalyst.plans.logical.WindowGroupLimit(
         Seq(gAttr), Seq(SortOrder(vAttr, Ascending)), RowNumber(), 1, analyzed))
-    stacked.collect()
+    val got = stacked.collect().map(r => (r.getString(0), r.getLong(1))).toSet
     val plan = flatten(stacked.queryExecution.executedPlan)
     assert(plan.exists(_.isInstanceOf[LocalTopKPerGroupExec]))
-    assert(!plan.exists(_.isInstanceOf[WindowGroupLimitExec]),
-      "stacked WindowGroupLimit survived planning — production path double-prunes")
+    assert(plan.exists(_.isInstanceOf[WindowGroupLimitExec]),
+      "mismatched WindowGroupLimit was absorbed — its exact per-group semantics were voided")
+    // Row-level: exact per-group MIN-v (the WGL's own ascending order)
+    // over whatever the prune emitted.
+    val want = pruned.collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (g, rows) => (g, rows.map(_._2).min) }.toSet
+    assert(got == want)
   }
 
   test("maxGroups overflow passes rows through unpruned and stays exact") {
