@@ -1343,6 +1343,152 @@ object RelationalQueries {
     } finally saved.foreach { case (k, v) => s.conf.set(k, v) }
   }
 
+  /** One session-stable home for q54's date-partitioned fact table. */
+  private lazy val q54Dir: String = graft.TempDirs.newTempDir("graft_dpp_")
+
+  /** Dynamic partition pruning — THE partitioned-fact-table behavior at
+    * 100 TB: the fact is laid out by a partition column (here orders by
+    * year), the dim carries the selective predicate, and the predicate
+    * is on a dim ATTRIBUTE (`y_tag`), not the join key — so no static
+    * filter on the fact is inferable at plan time. Spark's
+    * PartitionPruning rule instead plants a DynamicPruningExpression
+    * into the fact scan's partition filters, reusing the dim's broadcast
+    * as the IN-set: at runtime only the odd-year directories are read
+    * (4 of 7 here; on a 7-year production fact, 3/7 of the IO never
+    * happens — and the ratio is whatever the dim filter selects).
+    * DppSpec asserts the pruning expression in the executed scan and
+    * that the scan read fewer partitions than exist.
+    *
+    * The dim predicate is deliberately NOT `y % 2 = 1`: a predicate on
+    * the join key itself would propagate to the fact through equality
+    * constraints and become a static partition filter — correct, but
+    * then nothing dynamic is demonstrated. Subtler: even a predicate on
+    * a DERIVED attribute leaks — with y_tag built as a CASE over y in
+    * the same plan, Catalyst's constraint inference pushed
+    * `(y % 2 = 1) <=> true` through the CASE and the join equality onto
+    * the fact's partition column (observed in the first cut's plan). So
+    * the dim is written to storage and read back, the way a real date
+    * dimension exists: its y_tag is DATA with no expression lineage, and
+    * runtime pruning is the only pruning. */
+  val q54Dpp: Q = Q(
+    "q54_dpp",
+    s"""WITH dim AS (
+       |  SELECT DISTINCT CAST(year(o_orderdate) AS INT) AS y,
+       |    CASE WHEN year(o_orderdate) % 2 = 1 THEN 'odd' ELSE 'even' END AS y_tag
+       |  FROM orders)
+       |SELECT y, COUNT(*) AS n_orders, ${Det.sqlSum("o_totalprice")} AS revenue
+       |FROM orders JOIN dim ON CAST(year(o_orderdate) AS INT) = y
+       |WHERE y_tag = 'odd'
+       |GROUP BY y ORDER BY y""".stripMargin) { (s, d) =>
+    val dir = java.nio.file.Paths.get(q54Dir)
+    val factPath = dir.resolve("orders_by_year").toString
+    ord(s, d).withColumn("o_year", year(col("o_orderdate")))
+      // one shuffle on the partition column before partitionBy, or every
+      // write task opens a file per year dir (v07's small-file lesson)
+      .repartition(col("o_year"))
+      .write.mode("overwrite").partitionBy("o_year").parquet(factPath)
+    val fact = s.read.parquet(factPath)
+    val dimPath = dir.resolve("year_dim").toString
+    ord(s, d).select(year(col("o_orderdate")).as("y")).distinct()
+      .withColumn("y_tag", when(col("y") % 2 === 1, "odd").otherwise("even"))
+      .coalesce(1).write.mode("overwrite").parquet(dimPath)
+    val dim = s.read.parquet(dimPath)
+    fact.join(broadcast(dim), col("o_year") === col("y"))
+      .filter(col("y_tag") === "odd")
+      .groupBy("y")
+      .agg(count(lit(1)).as("n_orders"), Det.dsum(col("o_totalprice")).as("revenue"))
+      .orderBy("y")
+  }
+
+  /** Runtime bloom-filter join pruning (InjectRuntimeFilter) — the
+    * OTHER runtime-pruning channel, for when the fact is NOT partitioned
+    * by the join key: the dim side's selective filter builds a bloom
+    * filter of its join keys (one small aggregate), and the fact side
+    * applies might_contain BEFORE the shuffle — at 100 TB the sort-merge
+    * exchange moves only rows that can possibly match (~20% here)
+    * instead of the whole fact. The bloom filter is conservative (no
+    * false negatives), so results are EXACTLY the plain join's — which
+    * is why the oracle is the plain SQL and the entry stays hash-green.
+    *
+    * The thresholds exist for real clusters (don't bother bloom-probing
+    * a scan smaller than the filter build); at test SF the fact scan is
+    * far below the 10 GB default, so the entry lowers the application-
+    * side threshold inside a restored-conf scope and pins the optimized
+    * plan while the confs are on (q53's laziness lesson — entries return
+    * lazy DataFrames, so the plan must be forced in-scope).
+    * RuntimeFilterSpec asserts might_contain sits on the lineitem side
+    * of the optimized plan and that rows match the bloom-off plan. */
+  val q55RuntimeFilter: Q = Q(
+    "q55_runtime_filter",
+    s"""SELECT o_orderpriority, COUNT(*) AS n_items,
+       |  ${Det.sqlSum("l_extendedprice")} AS total
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |WHERE o_orderpriority = '1-URGENT'
+       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      // fact scan must look "big enough to bother" at test SF
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1KB",
+      // keep the join a shuffle join: a broadcast join needs no runtime
+      // filter (the broadcast IS the filter) and the rule skips it
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> s.conf.get(k) }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      val df = li(s, d).select("l_orderkey", "l_extendedprice")
+        .join(ord(s, d).filter(col("o_orderpriority") === "1-URGENT")
+          .select("o_orderkey", "o_orderpriority"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"), Det.dsum(col("l_extendedprice")).as("total"))
+        .orderBy("o_orderpriority")
+      df.queryExecution.optimizedPlan // force the rewrite while confs are on
+      df
+    } finally saved.foreach { case (k, v) => s.conf.set(k, v) }
+  }
+
+  /** SCD type-2 merge — the history-keeping sibling of q45's overwrite
+    * upsert, and the shape every warehouse dimension load runs: an
+    * update batch closes out the matched keys' current versions
+    * (valid_to = batch id, is_current = false) and appends the new
+    * versions, while unmatched keys pass through untouched. Versioning
+    * is by integer batch id with an open-end sentinel rather than a
+    * nullable end column: NULL sort keys order differently across
+    * engines (NULLS FIRST vs LAST), sentinels hash-compare exactly.
+    * Scale shape: the delta is broadcast (a batch is small next to the
+    * dimension), so the dimension never shuffles — the same plan at
+    * 100 TB is one broadcast probe per dim row plus the union append;
+    * nothing rewrites rows that didn't change. */
+  val q56Scd2Merge: Q = Q(
+    "q56_scd2_merge",
+    """WITH cur AS (SELECT c_custkey, c_mktsegment FROM customer),
+      |upd AS (SELECT c_custkey, 'SEGMENT_NEW' AS c_mktsegment
+      |        FROM customer WHERE c_custkey % 10 = 3),
+      |closed AS (
+      |  SELECT cur.c_custkey, cur.c_mktsegment, 0 AS valid_from,
+      |    CASE WHEN upd.c_custkey IS NULL THEN 2147483647 ELSE 1 END AS valid_to,
+      |    upd.c_custkey IS NULL AS is_current
+      |  FROM cur LEFT JOIN upd ON cur.c_custkey = upd.c_custkey),
+      |fresh AS (
+      |  SELECT c_custkey, c_mktsegment, 1 AS valid_from,
+      |    2147483647 AS valid_to, TRUE AS is_current
+      |  FROM upd)
+      |SELECT * FROM closed UNION ALL SELECT * FROM fresh
+      |ORDER BY c_custkey, valid_from""".stripMargin) { (s, d) =>
+    val cur = cust(s, d).select("c_custkey", "c_mktsegment")
+    val upd = cur.filter(col("c_custkey") % 10 === 3)
+      .select(col("c_custkey"), lit("SEGMENT_NEW").as("c_mktsegment"))
+    val closed = cur
+      .join(broadcast(upd.select(col("c_custkey").as("u_key"))),
+        col("c_custkey") === col("u_key"), "left")
+      .select(col("c_custkey"), col("c_mktsegment"), lit(0).as("valid_from"),
+        when(col("u_key").isNull, lit(Int.MaxValue)).otherwise(lit(1)).as("valid_to"),
+        col("u_key").isNull.as("is_current"))
+    val fresh = upd.select(col("c_custkey"), col("c_mktsegment"),
+      lit(1).as("valid_from"), lit(Int.MaxValue).as("valid_to"), lit(true).as("is_current"))
+    closed.unionAll(fresh).orderBy("c_custkey", "valid_from")
+  }
+
   /** Stratified downsampling — the corpus-rebalancing op every training
     * pipeline runs (cap over-represented sources, keep the long tail):
     * per-stratum keep-rates applied through the same engine-portable
@@ -1435,5 +1581,5 @@ object RelationalQueries {
     q39Percentiles, q40SetOpsAll, q41Unpivot, q42SqlApi, q43Sessionize,
     q44SkewJoin, q45Upsert, q46TopKNative, q47DatasetSplit, q48TopKAuto,
     q49KmvDistinct, q50AsofNative, q51TpchComposite, q52StratifiedSample,
-    q53CboReorder)
+    q53CboReorder, q54Dpp, q55RuntimeFilter, q56Scd2Merge)
 }
