@@ -386,6 +386,99 @@ object SimilarityQueries {
       .orderBy("cell")
   }
 
+  /** IVF search, oracle-checked end to end (the checked dual of v06,
+    * completing the pattern: v06 = MLlib-trained quantizer, engine
+    * internal; v11 = the SAME index structure with every arithmetic step
+    * pinned cross-engine). The quantizer is v09's portable Lloyd round
+    * (seeded from vec_id 0..7, exact-decimal centroid update), the index
+    * is the assignment of every vector to its nearest centroid, and the
+    * SEARCH is real multi-probe IVF: the probe vector ranks the
+    * centroids, scans the nprobe=2 nearest cells only, and returns the
+    * exact cosine top-10 within them. Every distance uses the fixed
+    * parenthesization (dot(v,v) - 2·dot(v,c)) + dot(c,c) and every
+    * argmin/rank is a row_number over a total order, so the result —
+    * including WHICH cells get probed — is bit-identical in DuckDB and
+    * the entry is hash-green, unlike any approximate-recall check.
+    * Scale shape: centroids broadcast twice (assignment + probe
+    * ranking), the table never shuffles, and the cell filter is the
+    * partition-pruned scan v07 demonstrates physically. */
+  val v11IvfPortable: Q = Q(
+    "v11_ivf_portable",
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |c0 AS (SELECT vec_id AS cell, v AS c FROM e WHERE vec_id < 8),
+      |a1 AS (
+      |  SELECT vec_id, v, cell FROM (
+      |    SELECT e.vec_id, e.v, c0.cell,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        ((list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c0.c))
+      |          + list_dot_product(c0.c, c0.c)), c0.cell) AS rn
+      |    FROM e, c0)
+      |  WHERE rn = 1),
+      |cd AS (
+      |  SELECT cell, pos,
+      |    CAST(CAST(CAST(SUM(CAST(x AS DECIMAL(28,8))) AS VARCHAR) AS DOUBLE)
+      |         / COUNT(*) AS DOUBLE) AS cx
+      |  FROM (SELECT cell, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM a1)
+      |  GROUP BY cell, pos),
+      |c1 AS (SELECT cell, list(cx ORDER BY pos) AS c FROM cd GROUP BY cell),
+      |a2 AS (
+      |  SELECT vec_id, v, cell FROM (
+      |    SELECT e.vec_id, e.v, c1.cell,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        ((list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c1.c))
+      |          + list_dot_product(c1.c, c1.c)), c1.cell) AS rn
+      |    FROM e, c1)
+      |  WHERE rn = 1),
+      |p AS (SELECT v AS pv FROM e WHERE vec_id = 0),
+      |pc AS (
+      |  SELECT cell FROM (
+      |    SELECT c1.cell,
+      |      row_number() OVER (ORDER BY
+      |        ((list_dot_product(p.pv, p.pv) - 2 * list_dot_product(p.pv, c1.c))
+      |          + list_dot_product(c1.c, c1.c)), c1.cell) AS rn
+      |    FROM c1, p)
+      |  WHERE rn <= 2)
+      |SELECT vec_id, cell, list_cosine_similarity(v, pv) AS cos_sim
+      |FROM a2 JOIN pc USING (cell), p
+      |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val e = emb(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val dist = (dot(col("v"), col("v")) - lit(2) * dot(col("v"), col("c"))) +
+      dot(col("c"), col("c"))
+    val w = Window.partitionBy("vec_id").orderBy(dist.asc, col("cell").asc)
+    def assign(centroids: DataFrame): DataFrame = e
+      .crossJoin(broadcast(centroids))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("vec_id", "v", "cell")
+    val c0 = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cell"), col("v").as("c"))
+    val c1 = assign(c0)
+      .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("cell", "pos")
+      .agg(Det.davg(col("x")).as("cx"))
+      .groupBy("cell")
+      .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("pc"))
+      .select(col("cell"), transform(col("pc"), p => p.getField("cx")).as("c"))
+    val cells = assign(c1) // the IVF index: (vec_id, v, cell)
+    val probe = e.filter(col("vec_id") === 0).select(col("v").as("pv"))
+    // multi-probe: rank centroids by distance-to-probe, keep nprobe=2.
+    // orderBy+limit plans as TakeOrdered over the 8 centroid rows — no
+    // global window (PlanLint forbids empty-partition windows).
+    val pDist = (dot(col("pv"), col("pv")) - lit(2) * dot(col("pv"), col("c"))) +
+      dot(col("c"), col("c"))
+    val probed = c1.crossJoin(broadcast(probe))
+      .orderBy(pDist.asc, col("cell").asc)
+      .limit(2)
+      .select("cell")
+    cells.join(broadcast(probed), "cell")
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"), col("cell"), cosine(col("v"), col("pv")).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
   /** Int8 symmetric quantization + quantized dot-product search — the
     * storage/bandwidth half of a production vector store (4x smaller
     * vectors, integer SIMD dots; the same layout FAISS/SCANN-style
@@ -435,5 +528,5 @@ object SimilarityQueries {
 
   val all: Seq[Q] = Seq(v01CosineTopK, v02DotTopK, v03AnnLshBucket,
     v04EmbeddingNearDup, v05CosineTopKNative, v06AnnIvf, v07AnnPartitionPruned,
-    v08LabelCentroids, v09KmeansPortable, v10QuantizedDot)
+    v08LabelCentroids, v09KmeansPortable, v10QuantizedDot, v11IvfPortable)
 }

@@ -381,6 +381,74 @@ object StreamingQueries {
       .orderBy("source")
   }
 
+  /** Streaming quantized-ANN routing — the INGEST half of a vector store
+    * at 100 TB: embeddings arrive on the stream, are int8-quantized
+    * (v10's recipe: per-vector scale = max|x|/127, round, dequantize),
+    * and routed to their nearest IVF cell, the step that precedes v07's
+    * cell-partitioned write. Centroids (the 8 seed vectors, read once
+    * from the batch table) are INLINED as literal arrays — the st09
+    * broadcast-dim pattern taken one step further, since k·dim doubles
+    * fit in the plan itself — so routing is pure per-row math: no join,
+    * no window (streams forbid them), no shuffle except the final
+    * k-row aggregate. The argmin is array_min over (dist, cell) structs
+    * — lexicographic struct comparison gives the same
+    * total-order tie-break row_number provides in the batch oracle.
+    * Every arithmetic step is the proven cross-engine kit (float→double
+    * exact, half-away-from-zero round, fixed-parenthesization distance,
+    * sequential-fold dots), so per-cell counts + id-checksum are
+    * hash-green: any single mis-routed vector anywhere breaks the match. */
+  val st12StreamAnnRoute: Q = Q(
+    "st12_stream_ann_route",
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |q AS (
+      |  SELECT vec_id, list_transform(v, x -> round(x / scale) * scale) AS qv
+      |  FROM (SELECT vec_id, v,
+      |          list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+      |        FROM e)),
+      |c0 AS (SELECT vec_id AS cell, v AS c FROM e WHERE vec_id < 8),
+      |a AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT q.vec_id, c0.cell,
+      |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+      |        ((list_dot_product(q.qv, q.qv) - 2 * list_dot_product(q.qv, c0.c))
+      |          + list_dot_product(c0.c, c0.c)), c0.cell) AS rn
+      |    FROM q, c0)
+      |  WHERE rn = 1)
+      |SELECT cell, COUNT(*) AS n_vecs, CAST(SUM(vec_id) AS BIGINT) AS id_sum
+      |FROM a GROUP BY cell ORDER BY cell""".stripMargin) { (s, d) =>
+    def dotL(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    val cents = Tables.t(s, d, "embeddings")
+      .filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("cell"),
+        col("embedding").cast("array<double>").as("c"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
+    val options = cents.map { case (cell, c) =>
+      val cc = array(c.map(lit): _*)
+      struct(
+        ((dotL(col("qv"), col("qv")) - lit(2) * dotL(col("qv"), cc)) + dotL(cc, cc))
+          .as("dist"),
+        lit(cell.toLong).as("cell"))
+    }
+    val routed = replayedEmbeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("scale", array_max(transform(col("v"), x => abs(x))) / 127.0)
+      .withColumn("qv", transform(col("v"), x => round(x / col("scale"), 0) * col("scale")))
+      .withColumn("cell", array_min(array(options.toSeq: _*)).getField("cell"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_vecs"), sum(col("vec_id")).as("id_sum"))
+    runToTable(s, routed, "complete")
+      .orderBy("cell")
+  }
+
+  private def replayedEmbeddings(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Paths.get(graft.TempDirs.newTempDir("graft_stream_emb_"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$d/embeddings.parquet"), dir.resolve("embeddings.parquet"))
+    val schema = s.read.parquet(s"$d/embeddings.parquet").schema
+    s.readStream.schema(schema).parquet(dir.toString)
+  }
+
   private def replayedDocuments(s: SparkSession, d: String): DataFrame = {
     val dir = java.nio.file.Paths.get(graft.TempDirs.newTempDir("graft_stream_docs_"))
     java.nio.file.Files.copy(
@@ -391,5 +459,5 @@ object StreamingQueries {
 
   val all: Seq[Q] = Seq(st01Tumbling, st02Sliding, st03Session, st04Dedup,
     st05Stateful, st06FileSink, st07StreamJoin, st08ForeachBatch,
-    st09StreamStaticJoin, st10UpdateMode, st11StreamDedup)
+    st09StreamStaticJoin, st10UpdateMode, st11StreamDedup, st12StreamAnnRoute)
 }
