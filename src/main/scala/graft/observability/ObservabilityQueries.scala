@@ -53,5 +53,41 @@ object ObservabilityQueries {
       .orderBy("query")
   }
 
-  val all: Seq[Q] = Seq(o01QueryMetrics)
+  /** Pipeline-embedded metrics via Dataset.observe — the production
+    * monitoring surface o01's listener approximates from outside:
+    * named aggregates ride INSIDE the query plan (CollectMetrics →
+    * AggregatingAccumulator), so row counts / checksums / data-quality
+    * tallies cost zero extra passes — at 100 TB the write and its
+    * audit metrics are one scan, not two. Unlike o01, the metrics here
+    * are pure data aggregates (count + Det-decimal sum + a predicate
+    * tally), deterministic regardless of scheduling — so this entry is
+    * fully ORACLE-CHECKED: the observed values themselves hash-match
+    * DuckDB computing the same aggregates. The action is a noop-sink
+    * write (the realistic shape: observe decorates a write, not a
+    * collect); Observation blocks until the query-end listener
+    * delivers the metrics row. */
+  val o02Observe: Q = Q(
+    "o02_observe",
+    s"""SELECT COUNT(*) AS n_rows,
+       |  ${graft.Det.sqlSum("l_extendedprice")} AS total_price,
+       |  CAST(COUNT(CASE WHEN l_discount > 0.05 THEN 1 END) AS BIGINT) AS n_discounted
+       |FROM lineitem""".stripMargin) { (s, d) =>
+    // one-shot per invocation: Observation instances are single-use and
+    // Bench runs each fn multiple times in one session
+    val obs = org.apache.spark.sql.Observation(
+      s"graft_o02_${java.util.UUID.randomUUID.toString.replace("-", "")}")
+    graft.Tables.t(s, d, "lineitem")
+      .observe(obs,
+        count(lit(1)).as("n_rows"),
+        graft.Det.dsum(col("l_extendedprice")).as("total_price"),
+        count(when(col("l_discount") > 0.05, 1)).as("n_discounted"))
+      .write.format("noop").mode("overwrite").save()
+    val m = obs.get
+    import s.implicits._
+    Seq((m("n_rows").asInstanceOf[Long], m("total_price").asInstanceOf[Double],
+      m("n_discounted").asInstanceOf[Long]))
+      .toDF("n_rows", "total_price", "n_discounted")
+  }
+
+  val all: Seq[Q] = Seq(o01QueryMetrics, o02Observe)
 }

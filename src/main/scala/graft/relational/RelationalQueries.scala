@@ -1489,6 +1489,78 @@ object RelationalQueries {
     closed.unionAll(fresh).orderBy("c_custkey", "valid_from")
   }
 
+  /** Incremental aggregate maintenance — the materialized-view merge
+    * every 100 TB rollup actually runs: yesterday's per-day partials
+    * (count / decimal-sum / min / max — each a commutative monoid) merge
+    * with today's batch partials by RE-AGGREGATING THE PARTIALS, never
+    * touching history's raw rows. avg is derived from (sum, count) at
+    * read time — the classic reason averages are never stored. The
+    * oracle is the FULL RECOMPUTE over all rows, so the hash match is
+    * the theorem: merge(partial(even), partial(odd)) == aggregate(all),
+    * to the bit. The decimal sums stay DECIMAL through the merge and
+    * cast to double only at the end — Det's exactness argument holds
+    * across any number of merge levels because decimal addition is
+    * associative (the same property Spark's own partial aggregation
+    * leans on; this entry is that mechanism lifted to PIPELINE level,
+    * across runs and storage boundaries). */
+  val q57IncrementalAgg: Q = Q(
+    "q57_incremental_agg",
+    s"""SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS order_day,
+       |  COUNT(*) AS n_orders,
+       |  ${Det.sqlSum("o_totalprice")} AS revenue,
+       |  MIN(o_totalprice) AS min_price,
+       |  MAX(o_totalprice) AS max_price,
+       |  ${Det.sqlAvg("o_totalprice")} AS avg_price
+       |FROM orders
+       |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val day = date_trunc("day", col("o_orderdate")).as("order_day")
+    // Yesterday's stored rollup vs today's batch (even/odd orderkey, the
+    // d08 split): each holds PARTIALS, not answers.
+    def partials(rows: DataFrame): DataFrame = rows
+      .groupBy(day)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(DecimalType(28, 8))).as("s"),
+        min(col("o_totalprice")).as("mn"),
+        max(col("o_totalprice")).as("mx"))
+    val hist = partials(ord(s, d).filter(col("o_orderkey") % 2 === 0))
+    val batch = partials(ord(s, d).filter(col("o_orderkey") % 2 === 1))
+    hist.unionAll(batch)
+      .groupBy("order_day")
+      .agg(
+        sum(col("n")).as("n_orders"),
+        sum(col("s")).cast(DoubleType).as("revenue"),
+        min(col("mn")).as("min_price"),
+        max(col("mx")).as("max_price"),
+        (sum(col("s")).cast(DoubleType) / sum(col("n"))).cast(DoubleType).as("avg_price"))
+      .orderBy("order_day")
+  }
+
+  private val q58Sql =
+    """SELECT c_custkey, c_mktsegment FROM customer
+      |WHERE (CASE WHEN c_custkey % 50 = 0 THEN NULL ELSE c_custkey END)
+      |      NOT IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** NOT IN under nulls — SQL's most famous correctness trap, and a
+    * dedicated PHYSICAL operator in Spark: `x NOT IN (subquery)` is not
+    * an anti join on equality — a NULL x, or any NULL in the subquery,
+    * makes the predicate UNKNOWN and drops the row. Spark plans the
+    * single-column broadcast case as a null-aware anti join (NAAJ,
+    * `isNullAwareAntiJoin` on BroadcastHashJoin) rather than rewriting
+    * to `<=>`-joins; the verbatim SQL runs on both engines and the hash
+    * match proves the three-valued logic agrees row for row (every 50th
+    * customer has a NULL key: present in `customer`, absent here).
+    * Scale shape: the subquery side broadcasts; the NAAJ short-circuits
+    * to EMPTY output the moment the build side contains one NULL — the
+    * fact side is never scanned past that discovery. */
+  val q58NotInNullAware: Q = Q("q58_notin_null_aware", q58Sql) { (s, d) =>
+    cust(s, d).createOrReplaceTempView("customer")
+    ord(s, d).createOrReplaceTempView("orders")
+    s.sql(q58Sql)
+  }
+
   /** Stratified downsampling — the corpus-rebalancing op every training
     * pipeline runs (cap over-represented sources, keep the long tail):
     * per-stratum keep-rates applied through the same engine-portable
@@ -1581,5 +1653,6 @@ object RelationalQueries {
     q39Percentiles, q40SetOpsAll, q41Unpivot, q42SqlApi, q43Sessionize,
     q44SkewJoin, q45Upsert, q46TopKNative, q47DatasetSplit, q48TopKAuto,
     q49KmvDistinct, q50AsofNative, q51TpchComposite, q52StratifiedSample,
-    q53CboReorder, q54Dpp, q55RuntimeFilter, q56Scd2Merge)
+    q53CboReorder, q54Dpp, q55RuntimeFilter, q56Scd2Merge, q57IncrementalAgg,
+    q58NotInNullAware)
 }
