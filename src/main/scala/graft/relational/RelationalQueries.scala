@@ -1561,6 +1561,32 @@ object RelationalQueries {
     s.sql(q58Sql)
   }
 
+  /** Shuffle-hash join — the third join strategy, completing the matrix
+    * (broadcast q07, sort-merge q08/q51, null-aware anti q58, and now
+    * hash without sort): when one side is too big to broadcast but
+    * small enough that a per-partition hash table beats sorting BOTH
+    * sides, SHUFFLE_HASH is the right call — at 100 TB that's the
+    * mid-size-dim × fact shape (the filtered part table here). The
+    * hint pins the strategy (Spark's planner would otherwise pick
+    * broadcast at this SF); `ShuffleHashJoinSpec` asserts the
+    * ShuffledHashJoinExec node and build side. Same answer as the
+    * unhinted plan by construction — strategy hints can never change
+    * results, which is exactly what the hash oracle proves. */
+  val q59ShuffleHashJoin: Q = Q(
+    "q59_shuffle_hash_join",
+    s"""SELECT l_returnflag, COUNT(*) AS n_items, ${Det.sqlSum("l_quantity")} AS total_qty
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |WHERE p_size > 25
+       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    li(s, d).select("l_partkey", "l_returnflag", "l_quantity")
+      .join(
+        part(s, d).filter(col("p_size") > 25).select("p_partkey").hint("SHUFFLE_HASH"),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_items"), Det.dsum(col("l_quantity")).as("total_qty"))
+      .orderBy("l_returnflag")
+  }
+
   /** Stratified downsampling — the corpus-rebalancing op every training
     * pipeline runs (cap over-represented sources, keep the long tail):
     * per-stratum keep-rates applied through the same engine-portable
@@ -1654,5 +1680,5 @@ object RelationalQueries {
     q44SkewJoin, q45Upsert, q46TopKNative, q47DatasetSplit, q48TopKAuto,
     q49KmvDistinct, q50AsofNative, q51TpchComposite, q52StratifiedSample,
     q53CboReorder, q54Dpp, q55RuntimeFilter, q56Scd2Merge, q57IncrementalAgg,
-    q58NotInNullAware)
+    q58NotInNullAware, q59ShuffleHashJoin)
 }

@@ -279,8 +279,48 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** TF-IDF term weighting — the relevance score behind keyword
+    * extraction, BM25-ish retrieval, and quality-signal features. The
+    * idf here is the RATIONAL form N/df, not log(N/df): ln() is a libm
+    * call whose last ulp differs across engines, which would break the
+    * hash oracle for zero analytic benefit — N/df is order-isomorphic
+    * to log(N/df) for fixed tf (log is monotone), and the score
+    * tf·N/df is exact: all three operands are integers below 2^53, the
+    * int→double conversions are exact, and one IEEE division is
+    * correctly rounded identically everywhere. (A consumer who wants
+    * the log form applies it AFTER the engine, to the returned tf/df
+    * columns — which is why they are part of the output.)
+    * Scale shape: tf is one (doc,term) hash agg; df re-aggregates tf's
+    * output (already distinct doc-term pairs, no countDistinct
+    * expansion); N is a one-row broadcast; the tf⋈df join shuffles on
+    * the term — the vocabulary key, Zipf-skewed at corpus scale, which
+    * is exactly what AQE skew splitting (q44) and salting (q31) exist
+    * for. */
+  val t11Tfidf: Q = Q(
+    "t11_tfidf",
+    """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM t GROUP BY doc_id, tok),
+      |df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+      |n AS (SELECT COUNT(*) AS n FROM documents)
+      |SELECT doc_id, tok, tf, df, CAST(tf * n AS DOUBLE) / df AS tfidf
+      |FROM tf JOIN df USING (tok), n
+      |ORDER BY tfidf DESC, doc_id, tok LIMIT 50""".stripMargin) { (s, d) =>
+    val tf = docs(s, d)
+      .select(col("doc_id"), explode(toks).as("tok"))
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val n = docs(s, d).agg(count(lit(1)).as("n"))
+    tf.join(dfreq, "tok")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("tok"), col("tf"), col("df"),
+        ((col("tf") * col("n")).cast("double") / col("df")).as("tfidf"))
+      .orderBy(col("tfidf").desc, col("doc_id"), col("tok"))
+      .limit(50)
+  }
+
   val all: Seq[Q] = Seq(
     t01TermFrequency, t02NgramCounts, t03LangId, t04QualityScore,
     t05LangSourceStats, t06TokenCounting, t07FingerprintBow,
-    t08FingerprintRolling, t09Decontamination, t10Redaction)
+    t08FingerprintRolling, t09Decontamination, t10Redaction, t11Tfidf)
 }
