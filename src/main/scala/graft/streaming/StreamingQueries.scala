@@ -441,6 +441,39 @@ object StreamingQueries {
       .orderBy("cell")
   }
 
+  /** The SAME stateful machinery under the RocksDB state store — the
+    * provider a production 100 TB stream actually runs, because HDFS-
+    * backed state lives on the executor HEAP (every distinct key in
+    * memory, forever for complete-mode windows) while RocksDB spills
+    * state to local SSD with a bounded block cache: state size stops
+    * being a heap-pressure question. The provider is a session conf
+    * read at stream START, so the swap is config-only — the PLAN and
+    * therefore the answer are identical, which is exactly what the
+    * shared-oracle hash proves. `RocksdbStateSpec` asserts the query's
+    * state operator actually reported rocksdb custom metrics (the part
+    * the oracle can't see). Daily windows per event type keep the
+    * result disjoint from st01's hourly totals. */
+  val st13RocksdbState: Q = Q(
+    "st13_rocksdb_state",
+    s"""SELECT time_bucket(INTERVAL '1 day', ts) AS win_start, event_type,
+       |  COUNT(*) AS n, ${Det.sqlSum("value")} AS sum_value
+       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = s.conf.get(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val agg = replayedEvents(s, d)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_value"))
+      runToTable(s, agg, "complete")
+        .select(col("window.start").as("win_start"), col("event_type"),
+          col("n"), col("sum_value"))
+        .orderBy("win_start", "event_type")
+    } finally s.conf.set(key, saved)
+  }
+
   private def replayedEmbeddings(s: SparkSession, d: String): DataFrame = {
     val dir = java.nio.file.Paths.get(graft.TempDirs.newTempDir("graft_stream_emb_"))
     java.nio.file.Files.copy(
@@ -459,5 +492,6 @@ object StreamingQueries {
 
   val all: Seq[Q] = Seq(st01Tumbling, st02Sliding, st03Session, st04Dedup,
     st05Stateful, st06FileSink, st07StreamJoin, st08ForeachBatch,
-    st09StreamStaticJoin, st10UpdateMode, st11StreamDedup, st12StreamAnnRoute)
+    st09StreamStaticJoin, st10UpdateMode, st11StreamDedup, st12StreamAnnRoute,
+    st13RocksdbState)
 }
