@@ -1587,6 +1587,52 @@ object RelationalQueries {
       .orderBy("l_returnflag")
   }
 
+  /** Interval-binned range join — the scale path for a big x big range
+    * join with NO equi key (here: clicks within +/-5 min of each
+    * purchase, across ALL users). Spark has no range-join operator, so
+    * the naive theta form plans a BroadcastNestedLoopJoin — O(N*M) pair
+    * evaluations (~400M at sf0.1, unbounded at 100 TB). Binning fixes
+    * the geometry: quantize time into buckets exactly one window wide,
+    * give each click its single bucket, explode each purchase across
+    * the 2-3 buckets its window overlaps, and equi-join on the bucket
+    * id. Every true pair shares a bucket (|dt| <= W and bucket = W
+    * imply the click's bucket lies in the purchase's covered range) and
+    * each pair meets EXACTLY once (a click owns one bucket), so the
+    * residual |dt| <= W filter makes the rewrite lossless with no dedup
+    * pass. Pair volume drops from N*M to sum over buckets of
+    * (purchases overlapping b) * (clicks in b) — i.e. proportional to
+    * the true match density, and the join shuffles both sides on the
+    * bucket key like any equi join, scaling with cluster width. Bucket
+    * arithmetic stays in exact integer microseconds (`div`, not a
+    * double divide, which could misplace a boundary row at 1e15 us).
+    * `BinnedRangeJoinSpec` asserts the plan has no nested-loop or
+    * cartesian node and that the rewrite matches the theta form row
+    * for row. Oracle: the naive theta join DuckDB can afford at sf0.01. */
+  val q60BinnedRangeJoin: Q = Q(
+    "q60_binned_range_join",
+    """WITH p AS (SELECT event_id, epoch_us(ts) AS pus FROM events WHERE event_type = 'purchase'),
+      |     c AS (SELECT epoch_us(ts) AS cus FROM events WHERE event_type = 'click')
+      |SELECT p.event_id, COUNT(c.cus) AS n_close
+      |FROM p LEFT JOIN c ON abs(p.pus - c.cus) <= 300000000
+      |GROUP BY p.event_id
+      |ORDER BY p.event_id""".stripMargin) { (s, d) =>
+    val W = 300000000L // +/- 5 minutes, in exact microseconds
+    val ev = Tables.t(s, d, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(unix_micros(col("ts")).as("cus"))
+      .withColumn("b", expr(s"cus div ${W}L"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), unix_micros(col("ts")).as("pus"))
+      .withColumn("b", explode(sequence(
+        expr(s"(pus - ${W}L) div ${W}L"), expr(s"(pus + ${W}L) div ${W}L"))))
+    // LEFT join keeps empty-bucket purchases; the conditional count
+    // ignores both null probes and out-of-window same-bucket pairs.
+    purchases.join(clicks, Seq("b"), "left")
+      .groupBy("event_id")
+      .agg(count(when(abs(col("pus") - col("cus")) <= W, 1)).as("n_close"))
+      .orderBy("event_id")
+  }
+
   /** Stratified downsampling — the corpus-rebalancing op every training
     * pipeline runs (cap over-represented sources, keep the long tail):
     * per-stratum keep-rates applied through the same engine-portable
@@ -1680,5 +1726,5 @@ object RelationalQueries {
     q44SkewJoin, q45Upsert, q46TopKNative, q47DatasetSplit, q48TopKAuto,
     q49KmvDistinct, q50AsofNative, q51TpchComposite, q52StratifiedSample,
     q53CboReorder, q54Dpp, q55RuntimeFilter, q56Scd2Merge, q57IncrementalAgg,
-    q58NotInNullAware, q59ShuffleHashJoin)
+    q58NotInNullAware, q59ShuffleHashJoin, q60BinnedRangeJoin)
 }
