@@ -153,6 +153,9 @@ object GraftEngine {
     // rewrite, so plan parity between the two install paths never
     // depends on which catalog entry happens to register it first.
     RewriteHofDotProduct.register(spark)
+    if (!spark.experimental.extraOptimizations.contains(RewriteBinnedRangeJoin))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RewriteBinnedRangeJoin
     if (!spark.experimental.extraOptimizations.contains(AutoLocalTopK))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ AutoLocalTopK

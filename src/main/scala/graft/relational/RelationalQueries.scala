@@ -1633,6 +1633,36 @@ object RelationalQueries {
       .orderBy("event_id")
   }
 
+  /** The same proximity join written the way a USER would write it — a
+    * bare `abs(x - y) <= W` theta join, no binning in sight. With
+    * [[graft.plans.RewriteBinnedRangeJoin]] installed the engine rewrites
+    * it to q60's binned equi join automatically; without the rule Spark
+    * nested-loops it. This is the engine-behavior claim: the scale fix
+    * lives in the optimizer, not in every query. Strict `< 120s` band and
+    * a min-gap aggregate to be a genuinely different query from q60;
+    * inner join because the auto-rewrite (correctly) refuses outer
+    * shapes. `BinnedRangeJoinSpec` asserts this exact DataFrame plans no
+    * nested-loop node and matches the rule-off rows. */
+  val q61BandJoinAuto: Q = Q(
+    "q61_band_join_auto",
+    """WITH p AS (SELECT event_id, epoch_us(ts) AS pus FROM events WHERE event_type = 'purchase'),
+      |     c AS (SELECT epoch_us(ts) AS cus FROM events WHERE event_type = 'click')
+      |SELECT p.event_id, COUNT(*) AS n_close, MIN(abs(p.pus - c.cus)) AS closest_us
+      |FROM p JOIN c ON abs(p.pus - c.cus) < 120000000
+      |GROUP BY p.event_id
+      |ORDER BY p.event_id""".stripMargin) { (s, d) =>
+    val ev = Tables.t(s, d, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(unix_micros(col("ts")).as("cus"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), unix_micros(col("ts")).as("pus"))
+    purchases.join(clicks, abs(col("pus") - col("cus")) < 120000000L)
+      .groupBy("event_id")
+      .agg(count(lit(1)).as("n_close"),
+        min(abs(col("pus") - col("cus"))).as("closest_us"))
+      .orderBy("event_id")
+  }
+
   /** Stratified downsampling — the corpus-rebalancing op every training
     * pipeline runs (cap over-represented sources, keep the long tail):
     * per-stratum keep-rates applied through the same engine-portable
@@ -1726,5 +1756,5 @@ object RelationalQueries {
     q44SkewJoin, q45Upsert, q46TopKNative, q47DatasetSplit, q48TopKAuto,
     q49KmvDistinct, q50AsofNative, q51TpchComposite, q52StratifiedSample,
     q53CboReorder, q54Dpp, q55RuntimeFilter, q56Scd2Merge, q57IncrementalAgg,
-    q58NotInNullAware, q59ShuffleHashJoin, q60BinnedRangeJoin)
+    q58NotInNullAware, q59ShuffleHashJoin, q60BinnedRangeJoin, q61BandJoinAuto)
 }
