@@ -384,10 +384,39 @@ object IngestQueries {
       .orderBy("source")
   }
 
+  /** Small-file compaction — the table-maintenance op every streaming
+    * ingest (st06's sink, a Kafka lander, i05's daily partitions) needs
+    * on a schedule: thousands of KB-sized files per partition destroy
+    * scan throughput (one task + one footer + one seek per file) and
+    * overwhelm the driver's file index at 100 TB. The entry simulates
+    * the degenerate layout (events written 64-way fragmented), then
+    * compacts by REWRITING with repartitionByRange on the query-
+    * predicate column — range layout, so the compacted files also carry
+    * disjoint min/max spans (i16's skipping applies post-compaction;
+    * `CompactionSpec` asserts the file count collapses 64 → 4 and that
+    * ranges don't overlap). The oracle reads the original table: the
+    * rewrite must be bit-lossless through both layouts. */
+  val i17Compaction: Q = Q(
+    "i17_compaction",
+    """SELECT CAST(ts AS DATE) AS event_date, COUNT(*) AS n,
+      |  COUNT(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val dir = graft.TempDirs.newTempDir("graft_compact_")
+    val ev = graft.Tables.t(s, d, "events")
+    ev.repartition(64).write.mode("overwrite").parquet(s"$dir/fragmented")
+    s.read.parquet(s"$dir/fragmented")
+      .repartitionByRange(4, col("ts"))
+      .write.mode("overwrite").parquet(s"$dir/compacted")
+    s.read.parquet(s"$dir/compacted")
+      .groupBy(to_date(col("ts")).as("event_date"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+      .orderBy("event_date")
+  }
+
   val all: Seq[Q] = Seq(
     i01PageScan, i02TimestampParse, i03WatermarkFilter, i04RunningMax,
     i05PartitionedSink, i06BackfillCursor, i07DailyCounts,
     i08JsonlPermissive, i09CsvScan, i10V2SourceScan, i11CorruptRetention,
     i12SchemaEvolution, i13StreamingSource, i14DynamicOverwrite,
-    i15OrcRoundtrip, i16SortedSkipping)
+    i15OrcRoundtrip, i16SortedSkipping, i17Compaction)
 }

@@ -167,5 +167,65 @@ object PipelineQueries {
     }
   }
 
-  val all: Seq[Q] = Seq(p01TrainingPipeline, p02CurationPipeline, p03Pagerank)
+  /** Triangle counting — the other classic distributed-graph kernel next
+    * to p03's PageRank (community density, clustering-coefficient
+    * features). Graph: suppliers co-occurring in an order (distinct
+    * supplier pairs per order from a lineitem self-join). The Spark side
+    * runs the DEGREE-ORIENTED algorithm every at-scale system uses
+    * (count each triangle at its minimum-(degree,id) vertex): orienting
+    * every edge from its lower- to its higher-rank endpoint bounds each
+    * vertex's out-degree by O(sqrt(|E|)) on any graph, so the wedge join
+    * — the quadratic step — explodes on NO vertex, hub or not; the
+    * wedge⋈edge closure is then an equi join on the (v,w) pair. The
+    * oracle counts the same triangles by the naive a<b<c triple
+    * self-join DuckDB can afford at sf0.01 — two genuinely different
+    * algorithms, one orientation-invariant count, hash-compared.
+    * Edges materialize once (16-byte rows); ranks ride along as carried
+    * degree columns rather than a re-join. */
+  val p04Triangles: Q = Q(
+    "p04_triangles",
+    """WITH pairs AS (
+      |  SELECT DISTINCT l1.l_suppkey AS a, l2.l_suppkey AS b
+      |  FROM lineitem l1 JOIN lineitem l2
+      |    ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey < l2.l_suppkey)
+      |SELECT (SELECT COUNT(*) FROM pairs) AS n_edges,
+      |       (SELECT COUNT(*)
+      |        FROM pairs e1
+      |        JOIN pairs e2 ON e2.a = e1.b
+      |        JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b) AS n_triangles""".stripMargin) {
+    (s, d) =>
+      val l = Tables.t(s, d, "lineitem").select("l_orderkey", "l_suppkey")
+      val undirected = l.as("l1").join(l.as("l2"),
+          col("l1.l_orderkey") === col("l2.l_orderkey")
+            && col("l1.l_suppkey") < col("l2.l_suppkey"))
+        .select(col("l1.l_suppkey").as("a"), col("l2.l_suppkey").as("b"))
+        .distinct()
+      val edgesU = graft.Stage.materialize(s, undirected, "p04pairs")
+      // degree over UNDIRECTED incidence; rank = (deg, id) lexicographic
+      val deg = edgesU.select(col("a").as("v")).unionAll(edgesU.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("deg"))
+      val withDeg = edgesU
+        .join(broadcast(deg).withColumnRenamed("v", "a").withColumnRenamed("deg", "da"), "a")
+        .join(broadcast(deg).withColumnRenamed("v", "b").withColumnRenamed("deg", "db"), "b")
+      val aFirst = col("da") < col("db") || (col("da") === col("db") && col("a") < col("b"))
+      val oriented = graft.Stage.materialize(s,
+        withDeg.select(
+          when(aFirst, col("a")).otherwise(col("b")).as("u"),
+          when(aFirst, col("b")).otherwise(col("a")).as("v"),
+          when(aFirst, col("db")).otherwise(col("da")).as("dv")),
+        "p04oriented")
+      // wedges at the min-rank vertex u: unordered {v,w} pairs ordered by
+      // rank so each wedge appears once; closure = oriented edge v->w
+      val e1 = oriented.select(col("u"), col("v"), col("dv"))
+      val e2 = oriented.select(col("u"), col("v").as("w"), col("dv").as("dw"))
+      val wedges = e1.join(e2, Seq("u"))
+        .filter(col("dv") < col("dw") || (col("dv") === col("dw") && col("v") < col("w")))
+        .select("v", "w")
+      val tri = wedges.join(
+        oriented.select(col("u").as("v"), col("v").as("w")), Seq("v", "w"))
+      edgesU.agg(count(lit(1)).as("n_edges"))
+        .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
+  }
+
+  val all: Seq[Q] = Seq(p01TrainingPipeline, p02CurationPipeline, p03Pagerank, p04Triangles)
 }

@@ -1,7 +1,7 @@
 package graft.relational
 
 import graft.{Det, Q, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1743,6 +1743,153 @@ object RelationalQueries {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  /** Time-series gap filling — the resample/zero-fill op behind every
+    * daily-metrics dashboard and the calendar alignment step before
+    * lag/window features: a generated day spine (one-row min/max agg →
+    * `sequence` → explode) LEFT-joined to the per-day counts. The spine
+    * is O(days) — thousands of rows regardless of fact size — so it
+    * BROADCASTS and the fact side contributes one partial-aggregated
+    * shuffle of per-day counts; the fact table itself never moves for
+    * the join. Missing days surface with n_orders = 0 (6 such days in
+    * this range), which downstream window frames then see as real
+    * zeros rather than absent rows. */
+  val q62GapFill: Q = Q(
+    "q62_gap_fill",
+    """WITH b AS (SELECT CAST(MIN(o_orderdate) AS DATE) AS lo,
+      |                  CAST(MAX(o_orderdate) AS DATE) AS hi FROM orders),
+      |days AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+      |         FROM b),
+      |c AS (SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n
+      |      FROM orders GROUP BY 1)
+      |SELECT day, COALESCE(n, 0) AS n_orders
+      |FROM days LEFT JOIN c USING (day)
+      |ORDER BY day""".stripMargin) { (s, d) =>
+    val o = ord(s, d)
+    val spine = o
+      .agg(min(to_date(col("o_orderdate"))).as("lo"), max(to_date(col("o_orderdate"))).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+    val counts = o
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    spine.join(counts, Seq("day"), "left")
+      .select(col("day"), coalesce(col("n"), lit(0L)).as("n_orders"))
+      .orderBy("day")
+  }
+
+  /** Sequential funnel — the product-analytics staple (view → click →
+    * purchase, each stage strictly after the previous): implemented as
+    * ONE shuffle on user_id + a per-user sorted-array state machine
+    * (array_sort over (ts, type) structs, then a higher-order
+    * `aggregate` that advances depth only on the next stage with a
+    * strictly later timestamp). The naive form is one join + re-agg
+    * PER STAGE — k shuffles of the event table for a k-stage funnel —
+    * which is exactly what doesn't survive 100 TB of events; this form
+    * is one shuffle regardless of funnel depth, and per-user state is
+    * one (depth, ts) pair. The oracle computes the same greedy-earliest
+    * chain with per-stage MIN joins (affordable at sf0.01), so the two
+    * genuinely different algorithms must agree row for row. */
+  val q63Funnel: Q = Q(
+    "q63_funnel",
+    """WITH t1 AS (SELECT user_id, MIN(ts) AS ts1 FROM events
+      |            WHERE event_type = 'view' GROUP BY user_id),
+      |t2 AS (SELECT e.user_id, MIN(e.ts) AS ts2 FROM events e
+      |       JOIN t1 ON e.user_id = t1.user_id AND e.ts > t1.ts1
+      |       WHERE e.event_type = 'click' GROUP BY e.user_id),
+      |t3 AS (SELECT e.user_id, MIN(e.ts) AS ts3 FROM events e
+      |       JOIN t2 ON e.user_id = t2.user_id AND e.ts > t2.ts2
+      |       WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+      |SELECT (SELECT COUNT(*) FROM t1) AS n_view,
+      |       (SELECT COUNT(*) FROM t2) AS n_view_click,
+      |       (SELECT COUNT(*) FROM t3) AS n_full_funnel""".stripMargin) { (s, d) =>
+    val stages = map(lit("view"), lit(1), lit("click"), lit(2), lit("purchase"), lit(3))
+    val ev = Tables.t(s, d, "events")
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"),
+        struct(col("ts"), stages(col("event_type")).as("stage")).as("e"))
+    val perUser = ev.groupBy("user_id").agg(array_sort(collect_list(col("e"))).as("es"))
+    // state = (depth reached, ts of the event that reached it); an event
+    // advances the funnel iff it is the NEXT stage and strictly later.
+    val depth = aggregate(
+      col("es"),
+      struct(lit(0).as("depth"), lit(null).cast("timestamp").as("last")),
+      (acc, e) =>
+        when(e("stage") === acc("depth") + 1
+            && (acc("depth") === 0 || e("ts") > acc("last")),
+          struct(e("stage").as("depth"), e("ts").as("last")))
+        .otherwise(acc),
+      acc => acc("depth"))
+    perUser.select(depth.as("depth"))
+      .agg(
+        sum(when(col("depth") >= 1, 1L).otherwise(0L)).as("n_view"),
+        sum(when(col("depth") >= 2, 1L).otherwise(0L)).as("n_view_click"),
+        sum(when(col("depth") >= 3, 1L).otherwise(0L)).as("n_full_funnel"))
+  }
+
+  /** Weighted sampling without replacement — sequential Poisson sampling
+    * (Ohlsson 1998, the order-sampling scheme production systems use for
+    * weighted sketches): priority = u/w with u a uniform derived from
+    * md5(key), keep the k smallest priorities. Engine-portable
+    * determinism by construction: u is the first 13 md5 hex digits as an
+    * integer (< 2^52, exactly representable in double), w is the stored
+    * weight, and u/w is ONE correctly-rounded IEEE division — identical
+    * bits on any engine, so the sample is a pure function of the data
+    * (q47/q52's portability argument extended to weighted sampling).
+    * Spark executes orderBy+limit as per-partition TakeOrdered — a
+    * k-heap per partition, no global sort, no shuffle of non-winners. */
+  val q64WeightedSample: Q = Q(
+    "q64_weighted_sample",
+    """SELECT o_orderkey, o_totalprice,
+      |  ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 13))::BIGINT
+      |    / o_totalprice AS priority
+      |FROM orders
+      |ORDER BY priority, o_orderkey LIMIT 25""".stripMargin) { (s, d) =>
+    val u = conv(substring(md5(col("o_orderkey").cast("string")), 1, 13), 16, 10)
+      .cast("double")
+    ord(s, d)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        (u / col("o_totalprice")).as("priority"))
+      .orderBy(col("priority"), col("o_orderkey"))
+      .limit(25)
+  }
+
+  /** Z-order (Morton) clustering — the multi-dimensional sort key behind
+    * Delta/Iceberg OPTIMIZE ZORDER: interleave the bits of two dims so
+    * a range of z-values is a box in (a, b) space, making ONE sort serve
+    * range predicates on EITHER dimension (a plain sort serves only its
+    * leading column). Here a = user_id's low 10 bits, b = event day's
+    * low 10 bits; the 20-bit interleave is a closed-form integer
+    * expression (10 shift/mask terms per dim — all int64 ops, exact on
+    * both engines). The entry orders by z and returns a page; at scale
+    * the same z column is the `sortWithinPartitions` key at write time,
+    * and parquet min/max row-group stats then prune 2-d boxes the way
+    * i16 proves for 1-d (the (z-range ⊇ box) containment is the
+    * standard Morton-curve property). */
+  val q65Zorder: Q = {
+    def zSql(a: String, b: String): String =
+      (0 until 10).map(i =>
+        s"((($a >> $i) & 1) << ${2 * i}) + ((($b >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" + ")
+    Q(
+      "q65_zorder",
+      s"""WITH t AS (SELECT event_id, user_id & 1023 AS a,
+         |    (epoch_us(ts) // 86400000000) & 1023 AS b
+         |  FROM events)
+         |SELECT event_id, a, b, ${zSql("a", "b")} AS z
+         |FROM t ORDER BY z, event_id LIMIT 200""".stripMargin) { (s, d) =>
+      def bit(c: Column, i: Int, pos: Int): Column =
+        shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), pos)
+      val a = col("user_id").bitwiseAND(lit(1023L))
+      val b = expr("unix_micros(ts) div 86400000000").bitwiseAND(lit(1023L))
+      val t = Tables.t(s, d, "events")
+        .select(col("event_id"), a.as("a"), b.as("b"))
+      val z = (0 until 10).map(i => bit(col("a"), i, 2 * i) + bit(col("b"), i, 2 * i + 1))
+        .reduce(_ + _)
+      t.select(col("event_id"), col("a"), col("b"), z.as("z"))
+        .orderBy(col("z"), col("event_id"))
+        .limit(200)
+    }
+  }
+
   val all: Seq[Q] = Seq(
     q01ScanProject, q02Predicates, q03AggBasic, q04AggDistinct, q05Rollup,
     q06Cube, q07JoinBroadcast, q08JoinMultiway, q09JoinOuter, q10JoinFull,
@@ -1756,5 +1903,6 @@ object RelationalQueries {
     q44SkewJoin, q45Upsert, q46TopKNative, q47DatasetSplit, q48TopKAuto,
     q49KmvDistinct, q50AsofNative, q51TpchComposite, q52StratifiedSample,
     q53CboReorder, q54Dpp, q55RuntimeFilter, q56Scd2Merge, q57IncrementalAgg,
-    q58NotInNullAware, q59ShuffleHashJoin, q60BinnedRangeJoin, q61BandJoinAuto)
+    q58NotInNullAware, q59ShuffleHashJoin, q60BinnedRangeJoin, q61BandJoinAuto,
+    q62GapFill, q63Funnel, q64WeightedSample, q65Zorder)
 }

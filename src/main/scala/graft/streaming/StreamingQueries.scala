@@ -490,8 +490,64 @@ object StreamingQueries {
     s.readStream.schema(schema).parquet(dir.toString)
   }
 
+  /** Stream-stream LEFT OUTER interval join — st07's attribution shape
+    * plus the half production actually cares about: views with NO
+    * purchase in the following hour (the unconverted impressions). The
+    * engine can only emit a null-padded row once the purchase-side
+    * watermark proves no match can still arrive, i.e. after
+    * v_ts + 1h < watermark, where the final watermark is
+    * min(max view ts, max purchase ts) - 1h (the engine takes the MIN
+    * across watermark nodes); rows younger than that are stuck in state
+    * when a bounded replay ends — not wrong, just undecided. The
+    * comparison therefore restricts BOTH sides to the decided region
+    * (v_ts strictly below that min minus 2h, a one-row batch lookup),
+    * applied to the SINK output — filtering the view stream itself
+    * would starve the view-side watermark node and recursively shrink
+    * the decided region (measured: exactly the boundary row). This
+    * makes the streamed outer join equal the batch left join the
+    * oracle runs — stream-batch equivalence extended to outer results.
+    * State story unchanged from st07: each side holds one watermark-
+    * bounded hour, evicted as the other side's watermark passes. */
+  val st14StreamLeftOuter: Q = Q(
+    "st14_stream_left_outer_join",
+    """WITH m AS (SELECT LEAST(
+      |    (SELECT MAX(epoch_us(ts)) FROM events WHERE event_type = 'view'),
+      |    (SELECT MAX(epoch_us(ts)) FROM events WHERE event_type = 'purchase')) AS mx),
+      |v AS (SELECT user_id, ts FROM events, m
+      |      WHERE event_type = 'view' AND epoch_us(ts) < mx - 7200000000),
+      |p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase')
+      |SELECT v.user_id,
+      |  COUNT(p.ts) AS n_converted,
+      |  COUNT(*) - COUNT(p.ts) AS n_unconverted
+      |FROM v LEFT JOIN p
+      |  ON v.user_id = p.user_id AND p.ts >= v.ts AND p.ts < v.ts + INTERVAL 1 HOUR
+      |GROUP BY v.user_id ORDER BY v.user_id""".stripMargin) { (s, d) =>
+    val maxSide = Tables.t(s, d, "events")
+      .filter(col("event_type").isin("view", "purchase"))
+      .groupBy("event_type").agg(max(unix_micros(col("ts"))).as("mx"))
+      .agg(min(col("mx"))).collect()(0).getLong(0)
+    val src = replayedEvents(s, d)
+    val views = src
+      .filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+      .withWatermark("v_ts", "1 hour")
+    val purchases = src
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = views.join(purchases,
+      expr("v_user = p_user AND p_ts >= v_ts AND p_ts < v_ts + INTERVAL 1 HOUR"),
+      "left_outer")
+    runToTable(s, joined, "append")
+      .filter(unix_micros(col("v_ts")) < maxSide - 7200000000L)
+      .groupBy(col("v_user").as("user_id"))
+      .agg(count(col("p_ts")).as("n_converted"),
+        (count(lit(1)) - count(col("p_ts"))).as("n_unconverted"))
+      .orderBy("user_id")
+  }
+
   val all: Seq[Q] = Seq(st01Tumbling, st02Sliding, st03Session, st04Dedup,
     st05Stateful, st06FileSink, st07StreamJoin, st08ForeachBatch,
     st09StreamStaticJoin, st10UpdateMode, st11StreamDedup, st12StreamAnnRoute,
-    st13RocksdbState)
+    st13RocksdbState, st14StreamLeftOuter)
 }

@@ -319,8 +319,91 @@ object TextQueries {
       .limit(50)
   }
 
+  /** Repetition filter — the Gopher/MassiveText quality rule family:
+    * per-doc duplicate word-2-gram statistics (duplicate fraction, most
+    * frequent gram's share) plus a keep flag. Repetitive generated/spam
+    * text scores high and is dropped before training. One explode + one
+    * (doc, gram) hash agg + one per-doc re-agg — both aggs partial-
+    * aggregated, nothing else shuffles; fractions are exact int counts
+    * through one IEEE division, so the hash oracle holds. */
+  val t12Repetition: Q = Q(
+    "t12_repetition",
+    """WITH g AS (
+      |  SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1]
+      |                         for i in range(1, len(toks))]) AS gram
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      |  WHERE len(toks) >= 2),
+      |c AS (SELECT doc_id, gram, COUNT(*) AS n FROM g GROUP BY doc_id, gram)
+      |SELECT doc_id,
+      |  CAST(SUM(n) AS BIGINT) AS n_grams,
+      |  COUNT(*) AS n_distinct,
+      |  CAST(SUM(n) - COUNT(*) AS BIGINT) / CAST(SUM(n) AS BIGINT) AS dup_frac,
+      |  MAX(n) AS top_gram_n,
+      |  MAX(n) / CAST(SUM(n) AS BIGINT) AS top_frac,
+      |  CASE WHEN CAST(SUM(n) - COUNT(*) AS BIGINT) / CAST(SUM(n) AS BIGINT) < 0.5
+      |       THEN 1 ELSE 0 END AS keep
+      |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val t = col("toks")
+    val grams = transform(
+      sequence(lit(1), size(t) - 1),
+      i => concat_ws(" ", element_at(t, i), element_at(t, i + 1)))
+    val counts = docs(s, d)
+      .select(col("doc_id"), toks.as("toks"))
+      .filter(size(t) >= 2)
+      .select(col("doc_id"), explode(grams).as("gram"))
+      .groupBy("doc_id", "gram")
+      .agg(count(lit(1)).as("n"))
+    val nGrams = sum(col("n")).cast("long")
+    val nDistinct = count(lit(1))
+    counts.groupBy("doc_id")
+      .agg(
+        nGrams.as("n_grams"),
+        nDistinct.as("n_distinct"),
+        ((nGrams - nDistinct).cast("long") / nGrams).as("dup_frac"),
+        max(col("n")).as("top_gram_n"),
+        (max(col("n")) / nGrams).as("top_frac"),
+        when((nGrams - nDistinct).cast("long") / nGrams < 0.5, 1).otherwise(0).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** BPE vocabulary bootstrap — the first merge-selection pass of
+    * byte-pair-encoding training: corpus-weighted counts of adjacent
+    * character pairs inside tokens. The token-frequency table aggregates
+    * once (the corpus-size shuffle), then pairs explode from the DISTINCT
+    * vocabulary only — at real scale the vocab is millions of rows while
+    * the corpus is billions, so weighting by the pre-counted `tf` instead
+    * of re-exploding the corpus is the only viable shape. Top pairs by
+    * weighted count, ties by pair. */
+  val t13BpePairs: Q = Q(
+    "t13_bpe_pairs",
+    """WITH tf AS (
+      |  SELECT tok, COUNT(*) AS tf FROM
+      |    (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      |  GROUP BY tok),
+      |pairs AS (
+      |  SELECT substr(tok, i, 2) AS pair, tf
+      |  FROM tf, unnest(range(1, len(tok))) AS t(i)
+      |  WHERE len(tok) >= 2)
+      |SELECT pair, CAST(SUM(tf) AS BIGINT) AS n
+      |FROM pairs GROUP BY pair ORDER BY n DESC, pair LIMIT 30""".stripMargin) { (s, d) =>
+    val tf = docs(s, d)
+      .select(explode(toks).as("tok"))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("tf"))
+    val pairs = transform(
+      sequence(lit(1), length(col("tok")) - 1),
+      i => col("tok").substr(i, lit(2)))
+    tf.filter(length(col("tok")) >= 2)
+      .select(explode(pairs).as("pair"), col("tf"))
+      .groupBy("pair")
+      .agg(sum(col("tf")).cast("long").as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(30)
+  }
+
   val all: Seq[Q] = Seq(
     t01TermFrequency, t02NgramCounts, t03LangId, t04QualityScore,
     t05LangSourceStats, t06TokenCounting, t07FingerprintBow,
-    t08FingerprintRolling, t09Decontamination, t10Redaction, t11Tfidf)
+    t08FingerprintRolling, t09Decontamination, t10Redaction, t11Tfidf,
+    t12Repetition, t13BpePairs)
 }
