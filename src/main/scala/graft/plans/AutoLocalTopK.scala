@@ -159,5 +159,8 @@ object GraftEngine {
     if (!spark.experimental.extraOptimizations.contains(AutoLocalTopK))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ AutoLocalTopK
+    if (!spark.experimental.extraOptimizations.contains(RewriteEagerAgg))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RewriteEagerAgg
   }
 }

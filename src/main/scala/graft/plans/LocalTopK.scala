@@ -180,6 +180,7 @@ class GraftPlanExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPlannerStrategy(_ => AsofJoinStrategy)
     ext.injectOptimizerRule(_ => RewriteHofDotProduct)
     ext.injectOptimizerRule(_ => RewriteBinnedRangeJoin)
+    ext.injectOptimizerRule(_ => RewriteEagerAgg)
     // Runs in the custom operator-optimization batch (before Spark's own
     // InferWindowGroupLimit) — the bare Filter+Window shape is matched;
     // the session-path install (GraftEngine) uses extraOptimizations and

@@ -1,0 +1,181 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Coalesce, EqualTo, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{DecimalType, LongType}
+
+/** Optimizer extension: EAGER AGGREGATION (Yan & Larson, VLDB 1995) —
+  * push a decomposable aggregate through an inner equi join:
+  *
+  *   Aggregate(G, sum/count/min/max(e), L JOIN R ON lk = rk)
+  *     — G references only L, every aggregate input only R —
+  *   ==>
+  *   Aggregate(G, merge(partial),
+  *     L JOIN (Aggregate(rk, partial(e), R)) ON lk = rk)
+  *
+  * Soundness (per output group g): the original value folds f(e(r))
+  * over all (l, r) join pairs; grouping the pairs by r's join key first
+  * and folding per key is the same multiset fold because every l
+  * matches a key's WHOLE group or none of it (equi join) —
+  * sum ↦ sum of per-key sums, count ↦ sum of per-key counts,
+  * min/max ↦ min/max of per-key minima/maxima. Inner-join row drops
+  * (null keys, unmatched keys) happen identically in both forms; a
+  * global aggregate (G = ∅) still emits its single row, with
+  * count = coalesce(sum(partial), 0) preserving COUNT's 0-on-empty.
+  *
+  * Why this is a 100 TB rule: the naive plan shuffles EVERY surviving
+  * fact row twice — once into the join, once into the final aggregate —
+  * while the rewritten plan map-side-combines the fact table down to
+  * one row per join key BEFORE anything moves; the join then processes
+  * |keys| rows instead of |facts|, and the partial-agg shuffle and the
+  * join shuffle share the same key, so AQE/exchange reuse pays once.
+  * When the dimension side qualifies for broadcast the fact table now
+  * never shuffles at all. The reduction factor is |facts| / |keys| —
+  * at a billion rows per million keys, 1000x less exchange volume.
+  * Worst case (near-unique keys) the pre-agg is a no-op pass-through
+  * over the shuffle the join needed anyway — bounded downside, same
+  * reasoning Spark applies to its always-on partial aggregation.
+  *
+  * The match is deliberately narrow (AutoLocalTopK's philosophy):
+  *  - INNER join, condition EXACTLY a conjunction of simple
+  *    `leftCol = rightCol` attribute equalities (no residual, no
+  *    null-safe =, no expressions — rewriting under a residual that
+  *    references non-key right columns would be unsound);
+  *  - group expressions reference ONE side only, every aggregate
+  *    input the OTHER side only (both orientations handled);
+  *  - aggregate functions from the decomposable set sum/count/min/max,
+  *    non-DISTINCT, un-FILTERed; SUM over DecimalType is excluded
+  *    because re-summing partial sums widens the result precision a
+  *    second time and would change the output schema;
+  *  - aggregate-side join keys are bare attributes (their exprIds
+  *    survive into the pre-aggregate's output, so the join condition
+  *    transfers verbatim).
+  *
+  * q66 runs the naive user shape with this rule active and hash-matches
+  * its oracle; `EagerAggSpec` asserts the pre-aggregate lands BELOW the
+  * join, that rule-off rows match rule-on rows, and that non-conforming
+  * shapes (outer join, distinct agg, mixed-side groups) are untouched. */
+object RewriteEagerAgg extends Rule[LogicalPlan] {
+
+  /** cond must be a pure conjunction of attr = attr, one side each. */
+  private def equiKeys(
+      cond: Expression,
+      left: LogicalPlan,
+      right: LogicalPlan): Option[Seq[(Attribute, Attribute)]] = {
+    def split(e: Expression): Seq[Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(a, b) => split(a) ++ split(b)
+      case other => Seq(other)
+    }
+    val pairs = split(cond).map {
+      case EqualTo(a: AttributeReference, b: AttributeReference)
+          if left.outputSet.contains(a) && right.outputSet.contains(b) =>
+        Some((a, b))
+      case EqualTo(b: AttributeReference, a: AttributeReference)
+          if left.outputSet.contains(a) && right.outputSet.contains(b) =>
+        Some((a, b))
+      case _ => None
+    }
+    if (pairs.forall(_.isDefined)) Some(pairs.flatten) else None
+  }
+
+  /** Decomposable, pushable aggregate call over `side`'s columns only. */
+  private def pushable(ae: AggregateExpression, side: LogicalPlan): Boolean =
+    !ae.isDistinct && ae.filter.isEmpty && (ae.aggregateFunction match {
+      case s: Sum => !s.child.dataType.isInstanceOf[DecimalType] &&
+        s.references.subsetOf(side.outputSet)
+      case f @ (_: Count | _: Min | _: Max) => f.references.subsetOf(side.outputSet)
+      case _ => false
+    })
+
+  private def tryRewrite(
+      agg: Aggregate,
+      join: Join,
+      groupSide: LogicalPlan,
+      aggSide: LogicalPlan,
+      aggSideKeys: Seq[Attribute],
+      buildJoin: LogicalPlan => Join): Option[LogicalPlan] = {
+    val aggCalls = agg.aggregateExpressions.flatMap(_.collect {
+      case ae: AggregateExpression => ae
+    })
+    val groupRefsOk = agg.groupingExpressions.forall(
+      _.references.subsetOf(groupSide.outputSet))
+    // attrs used OUTSIDE aggregate calls (grouping output columns etc.)
+    val outsideRefs = agg.aggregateExpressions.flatMap { ne =>
+      var inside = Set.empty[Attribute]
+      ne.foreach {
+        case ae: AggregateExpression => inside ++= ae.references
+        case _ => ()
+      }
+      ne.references.filterNot(inside.contains)
+    }
+    if (!groupRefsOk || aggCalls.isEmpty ||
+        !aggCalls.forall(pushable(_, aggSide)) ||
+        !outsideRefs.forall(groupSide.outputSet.contains) ||
+        !aggSideKeys.forall(k => k.isInstanceOf[AttributeReference]) ||
+        // never stack pre-aggregates: an agg-side Aggregate means either
+        // this rule already fired (the batch runs to fixpoint) or the
+        // user pre-aggregated — both already reduced
+        aggSide.isInstanceOf[Aggregate]) return None
+
+    // one partial per distinct aggregate call (instance identity is
+    // enough — duplicated calls just get duplicated partials)
+    val partials = aggCalls.map(ae => ae -> Alias(ae, s"__graft_ea_${ae.resultId.id}")())
+    val partialFor = partials.toMap
+    val preAgg = Aggregate(
+      aggSideKeys,
+      (aggSideKeys: Seq[NamedExpression]) ++ partials.map(_._2),
+      aggSide, None)
+    // transformUp: a top-down transform would descend into the freshly
+    // built replacement and re-match its inner Sum-over-partial node
+    val merged = agg.aggregateExpressions.map(_.transformUp {
+      case ae: AggregateExpression if partialFor.contains(ae) =>
+        val p = partialFor(ae).toAttribute
+        ae.aggregateFunction match {
+          case _: Sum => AggregateExpression(Sum(p), Complete, isDistinct = false)
+          case _: Count => Coalesce(Seq(
+            AggregateExpression(Sum(p), Complete, isDistinct = false),
+            Literal(0L, LongType)))
+          case _: Min => AggregateExpression(Min(p), Complete, isDistinct = false)
+          case _: Max => AggregateExpression(Max(p), Complete, isDistinct = false)
+          case other => ae // unreachable given pushable()
+        }
+    }.asInstanceOf[NamedExpression])
+    Some(agg.copy(aggregateExpressions = merged, child = buildJoin(preAgg)))
+  }
+
+  /** By the time extraOptimizations run, ColumnPruning has usually
+    * interposed a pruning-only Project between the Aggregate and the
+    * Join (the ADVICE-r6 interposition case). Attribute exprIds pass
+    * through such a Project unchanged, so it is safe to look through it
+    * and drop it in the rewrite — the final Aggregate and the
+    * pre-aggregate reference exactly the columns they need, and the
+    * physical planner re-projects. Aliasing Projects are NOT skipped. */
+  private def unwrapJoin(p: LogicalPlan): Option[Join] = p match {
+    case j: Join => Some(j)
+    case Project(list, j: Join) if list.forall(_.isInstanceOf[AttributeReference]) =>
+      Some(j)
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case agg @ Aggregate(_, _, child, _)
+        // a pre-aggregate below a stream-stream or stream-static join
+        // would insert an extra stateful operator mid-stream — batch only
+        if agg.resolved && !agg.isStreaming && unwrapJoin(child).exists(j =>
+          j.resolved && j.joinType == Inner && j.condition.isDefined) =>
+      val join = unwrapJoin(child).get
+      val (left, right, cond, hint) =
+        (join.left, join.right, join.condition.get, join.hint)
+      equiKeys(cond, left, right).flatMap { keys =>
+        // orientation 1: group over LEFT, aggregate over RIGHT
+        tryRewrite(agg, join, left, right, keys.map(_._2),
+          pre => Join(left, pre, Inner, Some(cond), hint))
+          // orientation 2: group over RIGHT, aggregate over LEFT
+          .orElse(tryRewrite(agg, join, right, left, keys.map(_._1),
+            pre => Join(pre, right, Inner, Some(cond), hint)))
+      }.getOrElse(agg)
+  }
+}

@@ -1890,6 +1890,40 @@ object RelationalQueries {
     }
   }
 
+  /** Eager aggregation, written the way a USER writes it — join first,
+    * group after:
+    *
+    *   lineitem JOIN orders ON l_orderkey = o_orderkey
+    *   GROUP BY o_orderpriority
+    *
+    * With [[graft.plans.RewriteEagerAgg]] installed the engine pushes
+    * the decomposable aggregates (count/sum/max) below the join
+    * automatically — lineitem pre-aggregates to one row per orderkey
+    * BEFORE the join, so the join and every exchange above it move
+    * |orders| rows instead of |lineitem| (~4x here; the fact-to-key
+    * ratio at real scale). This is q61's engine-behavior claim applied
+    * to aggregation: the scale fix lives in the optimizer, not in the
+    * query. sum(l_quantity) stays hash-exact without Det because
+    * quantities are integral doubles — every partial sum is an exact
+    * integer < 2^53, associative in any order on any engine.
+    * `EagerAggSpec` asserts the pre-aggregate lands below the join and
+    * that rule-off rows match. */
+  val q66EagerAgg: Q = Q(
+    "q66_eager_agg",
+    """SELECT o_orderpriority, COUNT(*) AS n_items,
+      |  SUM(l_quantity) AS total_qty, MAX(l_extendedprice) AS max_price
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    li(s, d).select("l_orderkey", "l_quantity", "l_extendedprice")
+      .join(ord(s, d).select("o_orderkey", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity")).as("total_qty"),
+        max(col("l_extendedprice")).as("max_price"))
+      .orderBy("o_orderpriority")
+  }
+
   val all: Seq[Q] = Seq(
     q01ScanProject, q02Predicates, q03AggBasic, q04AggDistinct, q05Rollup,
     q06Cube, q07JoinBroadcast, q08JoinMultiway, q09JoinOuter, q10JoinFull,
@@ -1904,5 +1938,5 @@ object RelationalQueries {
     q49KmvDistinct, q50AsofNative, q51TpchComposite, q52StratifiedSample,
     q53CboReorder, q54Dpp, q55RuntimeFilter, q56Scd2Merge, q57IncrementalAgg,
     q58NotInNullAware, q59ShuffleHashJoin, q60BinnedRangeJoin, q61BandJoinAuto,
-    q62GapFill, q63Funnel, q64WeightedSample, q65Zorder)
+    q62GapFill, q63Funnel, q64WeightedSample, q65Zorder, q66EagerAgg)
 }

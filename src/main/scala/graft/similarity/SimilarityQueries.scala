@@ -526,7 +526,73 @@ object SimilarityQueries {
       .limit(20)
   }
 
+  /** CERTIFIED two-phase ANN — approximate prefilter with a rigorous
+    * error bound, then exact rerank, provably returning the EXACT
+    * top-k (the production pattern for inner-product search at 100 TB:
+    * scan cheap int8 codes everywhere, touch full-precision vectors for
+    * a shortlist only). Phase 1 scores every row with v10's int8
+    * quantized dot (exact integer arithmetic times two scales). Phase 2
+    * bounds the true dot per row: with x = x̂ + e, |e|∞ ≤ s_x/2,
+    *
+    *   |dot(x,p) − qdot| ≤ s_x/2·‖p̂‖₁ + s_p/2·‖x̂‖₁ + d·s_x·s_p/4
+    *
+    * (‖x̂‖₁ = s_x·Σ|codes|, one broadcast row for the probe side). The
+    * shortlist keeps rows with qdot + bound ≥ τ, where τ is the k-th
+    * largest (qdot − bound) — any true top-k row y satisfies
+    * qdot(y)+b(y) ≥ dot(y) ≥ kth-true ≥ τ, so the shortlist is a
+    * guaranteed SUPERSET of the true top-k including boundary ties
+    * (bound inflated 1e-6 relative to absorb the bound arithmetic's own
+    * last-ulp rounding). Phase 3 reranks the shortlist with the exact
+    * fold — so the OUTPUT is independent of phases 1-2, and the oracle
+    * is plain brute force (the certificate, not the hash, is what makes
+    * the pruning legal; `CertifiedRerankSpec` asserts the shortlist
+    * actually prunes and still contains the answer). */
+  val v12CertifiedRerank: Q = Q(
+    "v12_certified_rerank",
+    """WITH p AS (SELECT embedding::DOUBLE[] AS pv FROM embeddings WHERE vec_id = 3)
+      |SELECT vec_id, list_dot_product(embedding::DOUBLE[], pv) AS score
+      |FROM embeddings, p
+      |ORDER BY score DESC, vec_id LIMIT 20""".stripMargin) { (s, d) =>
+    val (_, shortlist) = certifiedParts(s, d, 20)
+    shortlist
+      .select(col("vec_id"), dot(col("v"), col("pv")).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(20)
+  }
+
+  /** v12's phases 1-2, exposed so `CertifiedRerankSpec` can assert the
+    * shortlist both PRUNES and still CONTAINS the true top-k. Returns
+    * (scored = every row with qdot/bound, shortlist = certified rows,
+    * carrying v and pv for the exact rerank). */
+  private[similarity] def certifiedParts(
+      s: SparkSession, d: String, k: Int): (DataFrame, DataFrame) = {
+    val base = emb(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("scale", array_max(transform(col("v"), x => abs(x))) / 127.0)
+      .withColumn("codes", transform(col("v"), x => round(x / col("scale"), 0).cast("long")))
+      .withColumn("l1q", col("scale")
+        * aggregate(col("codes"), lit(0L), (a, x) => a + abs(x)).cast("double"))
+    val probe = base.filter(col("vec_id") === 3)
+      .select(col("v").as("pv"), col("scale").as("ps"),
+        col("codes").as("pc"), col("l1q").as("pl1"))
+    val idot = aggregate(zip_with(col("codes"), col("pc"), (x, y) => x * y),
+      lit(0L), (acc, v) => acc + v)
+    val dims = size(col("codes")).cast("double")
+    val scored = base.crossJoin(broadcast(probe))
+      .withColumn("qdot", (idot.cast("double") * col("scale")) * col("ps"))
+      .withColumn("bound",
+        (col("scale") / 2 * col("pl1") + col("ps") / 2 * col("l1q")
+          + dims * col("scale") * col("ps") / 4) * 1.000001)
+    val tau = scored
+      .select((col("qdot") - col("bound")).as("lo"))
+      .orderBy(col("lo").desc).limit(k)
+      .agg(min(col("lo")).as("tau"))
+    val shortlist = scored.crossJoin(broadcast(tau))
+      .filter(col("qdot") + col("bound") >= col("tau"))
+    (scored, shortlist)
+  }
+
   val all: Seq[Q] = Seq(v01CosineTopK, v02DotTopK, v03AnnLshBucket,
     v04EmbeddingNearDup, v05CosineTopKNative, v06AnnIvf, v07AnnPartitionPruned,
-    v08LabelCentroids, v09KmeansPortable, v10QuantizedDot, v11IvfPortable)
+    v08LabelCentroids, v09KmeansPortable, v10QuantizedDot, v11IvfPortable, v12CertifiedRerank)
 }
