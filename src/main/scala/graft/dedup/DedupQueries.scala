@@ -542,7 +542,71 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** SEMANTIC dedup (SemDeDup, Abbas et al. 2023 — the embedding-space
+    * dedup every modern pre-training corpus runs after the lexical
+    * passes d01-d09): cluster embeddings, then drop any item whose
+    * cosine to an EARLIER item in the same cluster exceeds τ — catching
+    * paraphrases and re-encodings that share no n-grams at all. The
+    * cluster step makes it scale: pairwise comparison happens only
+    * WITHIN a cell, and k grows with the corpus so cells stay
+    * bounded — pair volume is Σ|cell|², not N² (the same
+    * never-all-pairs contract as the rest of this module; the
+    * centroids here are the v11 seed quantizer, broadcast, so
+    * assignment is a per-row argmin — the table never shuffles for
+    * it). Keep-lowest-id is the deterministic survivor policy
+    * (SemDeDup keeps a centroid-nearest representative; id order is
+    * the reproducible analog). Every distance is the proven
+    * cross-engine fold, so cells, duplicate pairs, and survivor
+    * counts all hash-match the all-pairs-within-cell oracle. */
+  val d10SemanticDedup: Q = Q(
+    "d10_semantic_dedup",
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |c0 AS (SELECT vec_id AS cell, v AS c FROM e WHERE vec_id < 8),
+      |a1 AS (SELECT vec_id, v, cell FROM (
+      |   SELECT e.vec_id, e.v, c0.cell,
+      |     row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |       ((list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c0.c))
+      |         + list_dot_product(c0.c, c0.c)), c0.cell) AS rn
+      |   FROM e, c0) WHERE rn = 1),
+      |dups AS (SELECT DISTINCT a.vec_id AS i FROM a1 a JOIN a1 b
+      |   ON a.cell = b.cell AND b.vec_id < a.vec_id
+      |   WHERE list_cosine_similarity(a.v, b.v) > 0.35)
+      |SELECT cell, COUNT(*) AS n_members,
+      |  COUNT(*) FILTER (WHERE vec_id NOT IN (SELECT i FROM dups)) AS n_kept
+      |FROM a1 GROUP BY cell ORDER BY cell""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    def dot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    def cosine(a: Column, b: Column): Column =
+      least(greatest(dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b))), lit(-1.0)), lit(1.0))
+    graft.plans.RewriteHofDotProduct.register(s)
+    val e = Tables.t(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val c0 = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cell"), col("v").as("c"))
+    val dist = (dot(col("v"), col("v")) - lit(2) * dot(col("v"), col("c"))) +
+      dot(col("c"), col("c"))
+    val w = Window.partitionBy("vec_id").orderBy(dist.asc, col("cell").asc)
+    val cells = Stage.materialize(s,
+      e.crossJoin(broadcast(c0))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("vec_id", "v", "cell"),
+      "d10cells")
+    val a = cells.select(col("cell"), col("vec_id").as("i"), col("v").as("vi"))
+    val b = cells.select(col("cell"), col("vec_id").as("j"), col("v").as("vj"))
+    val dups = a.join(b, Seq("cell"))
+      .filter(col("j") < col("i") && cosine(col("vi"), col("vj")) > 0.35)
+      .select(col("i").as("vec_id")).distinct()
+    val kept = cells.join(dups, Seq("vec_id"), "left_anti")
+      .groupBy("cell").agg(count(lit(1)).as("n_kept"))
+    cells.groupBy("cell").agg(count(lit(1)).as("n_members"))
+      .join(kept, Seq("cell"), "left")
+      .select(col("cell"), col("n_members"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      .orderBy("cell")
+  }
+
   val all: Seq[Q] = Seq(d01ExactDedup, d02HashDedup, d03MinHashLsh, d04SimHash,
     d05NgramJaccard, d06MinHashPortable, d07CcClusters, d08BloomIncremental,
-    d09ShardedBloom)
+    d09ShardedBloom, d10SemanticDedup)
 }
