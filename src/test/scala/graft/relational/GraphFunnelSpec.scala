@@ -19,11 +19,14 @@ class GraphFunnelSpec extends AnyFunSuite {
     val row = graft.pipeline.PipelineQueries.p04Triangles.fn(s, d).collect()(0)
     val (nEdges, nTri) = (row.getLong(0), row.getLong(1))
 
-    val l = graft.Tables.t(s, d, "lineitem").select("l_orderkey", "l_suppkey")
+    val l = graft.Tables.t(s, d, "lineitem")
+      .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1995-01-01 00:00:00"))
+        && col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+      .select("l_orderkey", "l_partkey")
     val e = l.as("l1").join(l.as("l2"),
         col("l1.l_orderkey") === col("l2.l_orderkey")
-          && col("l1.l_suppkey") < col("l2.l_suppkey"))
-      .select(col("l1.l_suppkey").as("a"), col("l2.l_suppkey").as("b"))
+          && col("l1.l_partkey") < col("l2.l_partkey"))
+      .select(col("l1.l_partkey").as("a"), col("l2.l_partkey").as("b"))
       .distinct().cache()
     try {
       assert(e.count() == nEdges)
