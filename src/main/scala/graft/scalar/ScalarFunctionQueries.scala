@@ -353,8 +353,61 @@ object ScalarFunctionQueries {
       .orderBy("c_custkey")
   }
 
+  /** URL parsing kit — the first filter of every web-corpus curation
+    * pipeline (domain reputation, TLD allowlists, path-depth spam
+    * heuristics). URLs derive deterministically from (source, doc_id,
+    * lang) so the entry is self-contained; extraction uses REGEXP in
+    * the RE2/Java common dialect on BOTH engines (t10's portability
+    * rule — Spark's parse_url has no DuckDB dual, and regexp is what a
+    * portable pipeline ships anyway). Host, TLD, path depth, and query
+    * param count per URL, aggregated per TLD; pure per-row maps + one
+    * small agg. */
+  val s15UrlKit: Q = Q(
+    "s15_url_kit",
+    """WITH u AS (
+      |  SELECT doc_id,
+      |    'https://' || source || CASE WHEN doc_id % 3 = 0 THEN '.org' ELSE '.com' END
+      |      || '/docs/' || CAST(doc_id AS VARCHAR)
+      |      || CASE WHEN doc_id % 2 = 0 THEN '/extra' ELSE '' END
+      |      || '?lang=' || lang
+      |      || CASE WHEN doc_id % 5 = 0 THEN '&ref=feed' ELSE '' END AS url
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id, url,
+      |    regexp_extract(url, 'https://([^/?]+)', 1) AS host,
+      |    regexp_extract(url, '(\.[a-z]+)/', 1) AS tld,
+      |    len(regexp_extract_all(url, '/[^/?]+')) - 1 AS path_depth,
+      |    len(regexp_extract_all(url, '[?&][a-z]+=')) AS n_params
+      |  FROM u)
+      |SELECT tld, COUNT(*) AS n_urls,
+      |  CAST(SUM(path_depth) AS BIGINT) AS total_depth,
+      |  CAST(SUM(n_params) AS BIGINT) AS total_params,
+      |  MIN(host) AS first_host
+      |FROM p GROUP BY tld ORDER BY tld""".stripMargin) { (s, d) =>
+    val url = concat(
+      lit("https://"), col("source"),
+      when(col("doc_id") % 3 === 0, ".org").otherwise(".com"),
+      lit("/docs/"), col("doc_id").cast("string"),
+      when(col("doc_id") % 2 === 0, "/extra").otherwise(""),
+      lit("?lang="), col("lang"),
+      when(col("doc_id") % 5 === 0, "&ref=feed").otherwise(""))
+    graft.Tables.t(s, d, "documents")
+      .select(col("doc_id"), url.as("url"))
+      .select(col("doc_id"), col("url"),
+        regexp_extract(col("url"), "https://([^/?]+)", 1).as("host"),
+        regexp_extract(col("url"), "(\\.[a-z]+)/", 1).as("tld"),
+        (regexp_count(col("url"), lit("/[^/?]+")) - 1).cast("long").as("path_depth"),
+        regexp_count(col("url"), lit("[?&][a-z]+=")).cast("long").as("n_params"))
+      .groupBy("tld")
+      .agg(count(lit(1)).as("n_urls"),
+        sum(col("path_depth")).as("total_depth"),
+        sum(col("n_params")).as("total_params"),
+        min(col("host")).as("first_host"))
+      .orderBy("tld")
+  }
+
   val all: Seq[Q] = Seq(
     s01StringBasics, s02Regexp, s03Levenshtein, s04ArrayFns, s05MapFns,
     s06Json, s07JsonStruct, s08DateTime, s09Math, s10ToJson, s11MapKit,
-    s12ConditionalAgg, s13ArrayAgg, s14StringKit)
+    s12ConditionalAgg, s13ArrayAgg, s14StringKit, s15UrlKit)
 }
