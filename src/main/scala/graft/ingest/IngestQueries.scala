@@ -413,10 +413,46 @@ object IngestQueries {
       .orderBy("event_date")
   }
 
+  /** The custom DataSource V2 WRITE path ([[graft.sources.AtomicSinkProvider]])
+    * end-to-end: a third of events written through the manifest-committed
+    * atomic sink (task-commit → driver-commit, the FileOutputCommitter-v1/
+    * Iceberg protocol), read back honoring the `_SUCCESS` manifest, and
+    * aggregated against the direct-source oracle — proving the custom
+    * commit protocol is lossless and exactly-once-visible. The abort and
+    * straggler-sweep paths the oracle can't see are driven directly in
+    * `AtomicSinkSpec`. */
+  val i18V2AtomicSink: Q = Q(
+    "i18_v2_atomic_sink",
+    s"""SELECT event_type, COUNT(*) AS n, ${Det.sqlSum("value")} AS sum_value
+       |FROM events WHERE event_id % 3 = 0
+       |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+    val dir = graft.TempDirs.newTempDir("graft_atomic_sink_")
+    graft.Tables.t(s, d, "events")
+      .filter(col("event_id") % 3 === 0)
+      .select("event_id", "event_type", "value")
+      .write.format("graft.sources.AtomicSinkProvider")
+      .option("path", dir).mode("append").save()
+    val manifest = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(dir, "_SUCCESS")), "UTF-8")
+    val files = manifest.split("\n").filter(_.nonEmpty)
+      .map(l => s"$dir/${l.split("\"")(3)}")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.DoubleType)))
+    s.read.schema(schema).json(files.toSeq: _*)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_value"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[Q] = Seq(
     i01PageScan, i02TimestampParse, i03WatermarkFilter, i04RunningMax,
     i05PartitionedSink, i06BackfillCursor, i07DailyCounts,
     i08JsonlPermissive, i09CsvScan, i10V2SourceScan, i11CorruptRetention,
     i12SchemaEvolution, i13StreamingSource, i14DynamicOverwrite,
-    i15OrcRoundtrip, i16SortedSkipping, i17Compaction)
+    i15OrcRoundtrip, i16SortedSkipping, i17Compaction, i18V2AtomicSink)
 }
