@@ -449,10 +449,41 @@ object IngestQueries {
       .orderBy("event_type")
   }
 
+  /** Parquet BLOOM-FILTER point lookups — the data-skipping channel for
+    * UNSORTED data, complementing i16's sorted min/max skipping: write
+    * documents hash-scattered (every row group spans the full doc_id
+    * range, so min/max stats prune NOTHING), but with a bloom filter on
+    * doc_id in each row-group footer; a point-IN probe then skips every
+    * row group whose bloom proves absence. This is the technique for
+    * selective lookups on high-cardinality keys where maintaining sort
+    * order is too expensive (the id-lookup side of a 100 TB corpus).
+    * Correctness is the oracle's; the skip itself is metric-asserted in
+    * `BloomSkippingSpec` (recordsRead strictly under a no-bloom
+    * rewrite of the same layout). */
+  val i19ParquetBloom: Q = Q(
+    "i19_parquet_bloom",
+    """SELECT doc_id, source, n_chars FROM documents
+      |WHERE doc_id IN (7, 211, 499)
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val dir = graft.TempDirs.newTempDir("graft_bloom_")
+    graft.Tables.t(s, d, "documents")
+      .repartition(4, col("source")) // hash layout: no min/max locality
+      .write.mode("overwrite")
+      .option("parquet.bloom.filter.enabled#doc_id", "true")
+      .option("parquet.bloom.filter.expected.ndv#doc_id", "1000")
+      .option("parquet.block.size", 32 * 1024)
+      .parquet(s"$dir/documents_bloom")
+    s.read.parquet(s"$dir/documents_bloom")
+      .filter(col("doc_id").isin(7, 211, 499))
+      .select("doc_id", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     i01PageScan, i02TimestampParse, i03WatermarkFilter, i04RunningMax,
     i05PartitionedSink, i06BackfillCursor, i07DailyCounts,
     i08JsonlPermissive, i09CsvScan, i10V2SourceScan, i11CorruptRetention,
     i12SchemaEvolution, i13StreamingSource, i14DynamicOverwrite,
-    i15OrcRoundtrip, i16SortedSkipping, i17Compaction, i18V2AtomicSink)
+    i15OrcRoundtrip, i16SortedSkipping, i17Compaction, i18V2AtomicSink,
+    i19ParquetBloom)
 }

@@ -401,9 +401,46 @@ object TextQueries {
       .limit(30)
   }
 
+  /** Language-model-style frequency scoring — the CCNet/KenLM quality
+    * filter reduced to exact arithmetic: score each doc by the MEAN
+    * CORPUS FREQUENCY of its character trigrams (documents made of
+    * common trigrams ≈ fluent text; rare-trigram docs ≈ noise, code,
+    * mojibake). A true LM sums log-probs — a libm call whose last ulp
+    * breaks cross-engine hashing (t11's reasoning) — while the mean
+    * frequency is Σcount/n: integer sums < 2^53 and ONE correctly-
+    * rounded division, bit-identical everywhere, and rank-usable the
+    * same way. Scale shape = t11's: one corpus-count shuffle, then a
+    * vocabulary join (trigram-keyed, Zipf-skewed — q44/q31 territory)
+    * and a per-doc re-agg; the doc text itself never shuffles. */
+  val t14LmScore: Q = Q(
+    "t14_lm_score",
+    """WITH tri AS (
+      |  SELECT doc_id, substr(text, CAST(i AS INT), 3) AS g
+      |  FROM documents, unnest(range(1, len(text) - 1)) AS t(i)
+      |  WHERE len(text) >= 3),
+      |c AS (SELECT g, COUNT(*) AS cnt FROM tri GROUP BY g)
+      |SELECT doc_id, COUNT(*) AS n_tris,
+      |  CAST(SUM(cnt) AS BIGINT) / COUNT(*) AS mean_freq
+      |FROM tri JOIN c USING (g)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val tris = explode(transform(
+      sequence(lit(1), length(col("text")) - 2),
+      i => col("text").substr(i, lit(3))))
+    val tri = graft.Stage.materialize(s,
+      docs(s, d).filter(length(col("text")) >= 3)
+        .select(col("doc_id"), tris.as("g")),
+      "t14tri")
+    val counts = tri.groupBy("g").agg(count(lit(1)).as("cnt"))
+    tri.join(counts, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tris"),
+        (sum(col("cnt")).cast("long") / count(lit(1))).as("mean_freq"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     t01TermFrequency, t02NgramCounts, t03LangId, t04QualityScore,
     t05LangSourceStats, t06TokenCounting, t07FingerprintBow,
     t08FingerprintRolling, t09Decontamination, t10Redaction, t11Tfidf,
-    t12Repetition, t13BpePairs)
+    t12Repetition, t13BpePairs, t14LmScore)
 }
