@@ -546,8 +546,82 @@ object StreamingQueries {
       .orderBy("user_id")
   }
 
+  /** The transformWithState ARBITRARY-STATE API (Spark 4's state
+    * processor — the successor to st05's flatMapGroupsWithState): a
+    * StatefulProcessor with an explicit named ValueState per key,
+    * init/handleInputRows lifecycle, and timer support, running under
+    * the RocksDB provider the API requires. State is (count, cents) in
+    * exact integers — value rounds to cents once per row (the same
+    * double on both engines rounds the same way), so the fold is
+    * commutative and the oracle hash-exact regardless of per-key
+    * iterator order. Bounded one-batch replay in update mode emits each
+    * key exactly once = the batch aggregate. At scale this is the API
+    * for per-entity running state (billions of keys on SSD-backed
+    * RocksDB, TTL'd); the plan shuffles once on the key like any
+    * stateful op. */
+  val st15TransformWithState: Q = Q(
+    "st15_transform_with_state",
+    """SELECT user_id, COUNT(*) AS n,
+      |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      |FROM events WHERE user_id < 40
+      |GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = s.conf.get(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = replayedEvents(s, d)
+        .filter(col("user_id") < 40)
+        .select(col("user_id"),
+          expr("cast(round(value * 100) as long)").as("cents"))
+        .as[(Long, Long)]
+      val out = input
+        .groupByKey(_._1)
+        .transformWithState(
+          new RunningCentsProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Update(),
+          implicitly[org.apache.spark.sql.Encoder[(Long, Long, Long)]])
+        .toDF("user_id", "n", "cents")
+      runToTable(s, out, "update")
+        .orderBy("user_id")
+    } finally s.conf.set(key, saved)
+  }
+
   val all: Seq[Q] = Seq(st01Tumbling, st02Sliding, st03Session, st04Dedup,
     st05Stateful, st06FileSink, st07StreamJoin, st08ForeachBatch,
     st09StreamStaticJoin, st10UpdateMode, st11StreamDedup, st12StreamAnnRoute,
-    st13RocksdbState, st14StreamLeftOuter)
+    st13RocksdbState, st14StreamLeftOuter, st15TransformWithState)
+}
+
+/** st15's processor: named per-key ValueState holding (count, cents),
+  * folded per input batch, current total emitted per update. Top-level
+  * class (not an entry-local anonymous one) because the processor is
+  * serialized into the streaming query. */
+class RunningCentsProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Long), (Long, Long, Long)] {
+  @transient private var state: org.apache.spark.sql.streaming.ValueState[(Long, Long)] = _
+
+  override def init(
+      outputMode: org.apache.spark.sql.streaming.OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    state = getHandle.getValueState[(Long, Long)](
+      "agg",
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong),
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+  override def handleInputRows(
+      key: Long,
+      rows: Iterator[(Long, Long)],
+      timers: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[(Long, Long, Long)] = {
+    var (n, cents) = Option(state.get()).getOrElse((0L, 0L))
+    rows.foreach { case (_, c) => n += 1; cents += c }
+    state.update((n, cents))
+    Iterator.single((key, n, cents))
+  }
 }
