@@ -39,6 +39,15 @@ import org.apache.spark.sql.types.{DecimalType, LongType}
   * over the shuffle the join needed anyway — bounded downside, same
   * reasoning Spark applies to its always-on partial aggregation.
   *
+  * COST-GUARDED: the rewrite only fires when the group side exceeds
+  * the broadcast threshold. In the broadcast regime the naive plan
+  * already shuffles just ~|G| partial-aggregated rows (the join itself
+  * is exchange-free), so pre-aggregating would ADD a join-key exchange
+  * — strictly worse, and `EagerAggSpec` measures exactly that. In the
+  * shuffle-join regime — the only regime a 100 TB fact-to-fact query
+  * lives in — the rewrite converts the fact side's join exchange into
+  * one carrying a row per join key.
+  *
   * The match is deliberately narrow (AutoLocalTopK's philosophy):
   *  - INNER join, condition EXACTLY a conjunction of simple
   *    `leftCol = rightCol` attribute equalities (no residual, no
@@ -119,6 +128,16 @@ object RewriteEagerAgg extends Rule[LogicalPlan] {
         // this rule already fired (the batch runs to fixpoint) or the
         // user pre-aggregated — both already reduced
         aggSide.isInstanceOf[Aggregate]) return None
+    // COST GUARD: if the group side fits the broadcast threshold, the
+    // naive plan is broadcast-join + partial-aggregate — ZERO join
+    // shuffle, final exchange ~|G| rows — and the rewrite would ADD a
+    // join-key exchange (measured: 1483 vs 10 records on exactly this
+    // shape). Eager aggregation only pays in the shuffle-join regime,
+    // where it converts the fact side's join exchange into a
+    // pre-aggregated one. threshold < 0 (broadcast disabled) means the
+    // shuffle regime unconditionally.
+    val thr = conf.autoBroadcastJoinThreshold
+    if (thr >= 0 && groupSide.stats.sizeInBytes <= thr) return None
 
     // one partial per distinct aggregate call (instance identity is
     // enough — duplicated calls just get duplicated partials)

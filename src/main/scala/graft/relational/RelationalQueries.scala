@@ -1914,14 +1914,28 @@ object RelationalQueries {
       |  SUM(l_quantity) AS total_qty, MAX(l_extendedprice) AS max_price
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
-    li(s, d).select("l_orderkey", "l_quantity", "l_extendedprice")
-      .join(ord(s, d).select("o_orderkey", "o_orderpriority"),
-        col("l_orderkey") === col("o_orderkey"))
-      .groupBy("o_orderpriority")
-      .agg(count(lit(1)).as("n_items"),
-        sum(col("l_quantity")).as("total_qty"),
-        max(col("l_extendedprice")).as("max_price"))
-      .orderBy("o_orderpriority")
+    // broadcast disabled: the entry models the 100 TB fact-to-fact
+    // regime the rule is FOR — RewriteEagerAgg's cost guard refuses to
+    // fire while the group side fits a broadcast (where the naive
+    // broadcast+partial-agg plan shuffles strictly less; measured in
+    // EagerAggSpec). Conf scoped to plan construction: the guard reads
+    // it at optimization time, forced inside the scope (q53's pinning
+    // pattern); AQE is still free to broadcast at runtime — by then the
+    // pre-aggregate is already below the join.
+    val saved = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = li(s, d).select("l_orderkey", "l_quantity", "l_extendedprice")
+        .join(ord(s, d).select("o_orderkey", "o_orderpriority"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity")).as("total_qty"),
+          max(col("l_extendedprice")).as("max_price"))
+        .orderBy("o_orderpriority")
+      df.queryExecution.executedPlan // force optimization under the conf
+      df
+    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
   val all: Seq[Q] = Seq(

@@ -7,11 +7,14 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** RewriteEagerAgg behavior:
-  *  - the naive join-then-group shape gets its decomposable aggregates
-  *    pushed below the join (pre-aggregate on the fact side);
-  *  - rows are identical with the rule removed;
+  *  - in the shuffle-join regime the naive join-then-group shape gets
+  *    its decomposable aggregates pushed below the join;
+  *  - the rewrite REDUCES shuffled records there (measured, not just
+  *    plan shape) and rows are identical with the rule removed;
+  *  - the COST GUARD keeps the naive plan when the group side
+  *    broadcasts (where the naive plan shuffles strictly less);
   *  - non-conforming shapes (outer join, DISTINCT agg, mixed-side
-  *    group keys, decimal sum) are left untouched. */
+  *    group keys, decimal sum) are untouched even in-regime. */
 class EagerAggSpec extends AnyFunSuite {
   private lazy val s = SparkTestBase.spark
   private val d = SparkTestBase.sfDir
@@ -19,20 +22,47 @@ class EagerAggSpec extends AnyFunSuite {
   private def naive(): DataFrame =
     graft.relational.RelationalQueries.q66EagerAgg.fn(s, d)
 
-  private def aggsAndJoins(p: LogicalPlan): (Int, Int) =
-    (p.collect { case a: Aggregate => a }.size,
-      p.collect { case j: Join => j }.size)
+  /** run body with broadcast disabled (the rule's firing regime) */
+  private def noBroadcast[T](body: => T): T = {
+    val saved = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try body finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
 
   private def hasPreAggBelowJoin(p: LogicalPlan): Boolean =
     p.collect { case j: Join => j }.exists(j =>
       (j.left.collectFirst { case a: Aggregate => a } orElse
         j.right.collectFirst { case a: Aggregate => a }).isDefined)
 
-  test("naive join-then-group gets a pre-aggregate below the join") {
+  private def shuffled(body: => Unit): Long = {
+    val n = new java.util.concurrent.atomic.LongAdder
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val m = e.stageInfo.taskMetrics
+        if (m != null) n.add(m.shuffleWriteMetrics.recordsWritten)
+      }
+    }
+    s.sparkContext.addSparkListener(listener)
+    try { body; graft.SparkTestBase.drainListener(() => n.sum); n.sum }
+    finally s.sparkContext.removeSparkListener(listener)
+  }
+
+  test("naive join-then-group gets a pre-aggregate below the join (no-broadcast regime)") {
+    // q66's fn pins its own no-broadcast scope
     val plan = naive().queryExecution.optimizedPlan
-    val (na, _) = aggsAndJoins(plan)
+    val na = plan.collect { case a: Aggregate => a }.size
     assert(na == 2, s"expected final + pre aggregate, got $na:\n$plan")
     assert(hasPreAggBelowJoin(plan), s"no aggregate under the join:\n$plan")
+  }
+
+  test("cost guard: with the group side broadcastable the plan stays naive") {
+    val li = graft.Tables.t(s, d, "lineitem")
+    val ord = graft.Tables.t(s, d, "orders")
+    val df = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority").agg(sum(col("l_quantity")).as("q"))
+    assert(!hasPreAggBelowJoin(df.queryExecution.optimizedPlan),
+      "rule fired in the broadcast regime — the guard should refuse")
   }
 
   test("rule-off rows match rule-on rows") {
@@ -48,25 +78,38 @@ class EagerAggSpec extends AnyFunSuite {
     } finally s.experimental.extraOptimizations = saved
   }
 
-  test("non-conforming shapes are untouched") {
-    val li = graft.Tables.t(s, d, "lineitem")
-    val ord = graft.Tables.t(s, d, "orders")
-    // outer join
-    val outer = li.join(ord, col("l_orderkey") === col("o_orderkey"), "left")
-      .groupBy("o_orderpriority").agg(sum(col("l_quantity")).as("q"))
-    assert(!hasPreAggBelowJoin(outer.queryExecution.optimizedPlan), "outer join rewritten")
-    // DISTINCT aggregate
-    val dist = li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .groupBy("o_orderpriority").agg(countDistinct(col("l_quantity")).as("q"))
-    assert(!hasPreAggBelowJoin(dist.queryExecution.optimizedPlan), "distinct agg rewritten")
-    // group keys from BOTH sides
-    val mixed = li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .groupBy("o_orderpriority", "l_linenumber").agg(sum(col("l_quantity")).as("q"))
-    assert(!hasPreAggBelowJoin(mixed.queryExecution.optimizedPlan), "mixed groups rewritten")
-    // decimal sum (Det kit) — precision would widen twice
-    val dec = li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .groupBy("o_orderpriority").agg(graft.Det.dsum(col("l_quantity")).as("q"))
-    assert(!hasPreAggBelowJoin(dec.queryExecution.optimizedPlan), "decimal sum rewritten")
+  test("the rewrite reduces shuffled records in its regime") {
+    // both sides measured under no-broadcast: naive = join exchanges
+    // carry every lineitem row; rewritten = one row per orderkey
+    val on = shuffled { naive().collect(); () }
+    val saved = s.experimental.extraOptimizations
+    s.experimental.extraOptimizations = saved.filterNot(_ == RewriteEagerAgg)
+    val off = try shuffled { naive().collect(); () }
+      finally s.experimental.extraOptimizations = saved
+    assert(on < off,
+      s"eager agg did not reduce shuffle volume: $on vs $off records")
   }
 
+  test("non-conforming shapes are untouched even in-regime") {
+    noBroadcast {
+      val li = graft.Tables.t(s, d, "lineitem")
+      val ord = graft.Tables.t(s, d, "orders")
+      // outer join
+      val outer = li.join(ord, col("l_orderkey") === col("o_orderkey"), "left")
+        .groupBy("o_orderpriority").agg(sum(col("l_quantity")).as("q"))
+      assert(!hasPreAggBelowJoin(outer.queryExecution.optimizedPlan), "outer join rewritten")
+      // DISTINCT aggregate
+      val dist = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").agg(countDistinct(col("l_quantity")).as("q"))
+      assert(!hasPreAggBelowJoin(dist.queryExecution.optimizedPlan), "distinct agg rewritten")
+      // group keys from BOTH sides
+      val mixed = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority", "l_linenumber").agg(sum(col("l_quantity")).as("q"))
+      assert(!hasPreAggBelowJoin(mixed.queryExecution.optimizedPlan), "mixed groups rewritten")
+      // decimal sum (Det kit) — precision would widen twice
+      val dec = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").agg(graft.Det.dsum(col("l_quantity")).as("q"))
+      assert(!hasPreAggBelowJoin(dec.queryExecution.optimizedPlan), "decimal sum rewritten")
+    }
+  }
 }
