@@ -409,9 +409,17 @@ object TextQueries {
     * breaks cross-engine hashing (t11's reasoning) — while the mean
     * frequency is Σcount/n: integer sums < 2^53 and ONE correctly-
     * rounded division, bit-identical everywhere, and rank-usable the
-    * same way. Scale shape = t11's: one corpus-count shuffle, then a
-    * vocabulary join (trigram-keyed, Zipf-skewed — q44/q31 territory)
-    * and a per-doc re-agg; the doc text itself never shuffles. */
+    * same way. Scale shape: unlike t11's word vocabulary, the CHAR
+    * trigram space is bounded (≤ |alphabet|³ ≈ 20k over lowercase+
+    * space), so the count table BROADCASTS and the join-back is a
+    * map-side hash probe — the exploded trigram stream never crosses
+    * the wire; the only shuffles are the count aggregation (partial-
+    * agged down to the bounded vocab) and the per-doc re-agg. Measured
+    * dead end worth recording: folding a broadcast map COLUMN with
+    * element_at instead of the join is 7x SLOWER (4 s → 30 s) —
+    * Catalyst MapData has no hash lookup, so element_at linear-scans
+    * the vocabulary per trigram; the broadcast hash JOIN is the O(1)
+    * probe. */
   val t14LmScore: Q = Q(
     "t14_lm_score",
     """WITH tri AS (
@@ -426,12 +434,10 @@ object TextQueries {
     val tris = explode(transform(
       sequence(lit(1), length(col("text")) - 2),
       i => col("text").substr(i, lit(3))))
-    val tri = graft.Stage.materialize(s,
-      docs(s, d).filter(length(col("text")) >= 3)
-        .select(col("doc_id"), tris.as("g")),
-      "t14tri")
+    val tri = docs(s, d).filter(length(col("text")) >= 3)
+      .select(col("doc_id"), tris.as("g"))
     val counts = tri.groupBy("g").agg(count(lit(1)).as("cnt"))
-    tri.join(counts, "g")
+    tri.join(broadcast(counts), "g")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tris"),
         (sum(col("cnt")).cast("long") / count(lit(1))).as("mean_freq"))
