@@ -1938,6 +1938,51 @@ object RelationalQueries {
     } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  /** Incremental JOIN-view maintenance — q57's materialized-view loop
+    * extended to joins, the other half of classic IVM: with base
+    * relations A, B and arriving deltas dA, dB, the view delta is
+    *
+    *   d(A ⋈ B) = dA ⋈ B  ∪  A ⋈ dB  ∪  dA ⋈ dB
+    *
+    * (disjoint by construction: each pair lands in exactly one term by
+    * whether its sides are base or delta). The entry splits orders and
+    * lineitem into base/delta by the portable hash-mod (q47), computes
+    * the maintained view as base⋈base plus the three delta terms, and
+    * aggregates — the oracle recomputes the FULL join directly, so the
+    * hash match proves the delta algebra exactly (the 100 TB payoff:
+    * each refresh joins deltas against bases instead of recomputing a
+    * full fact-fact join; at 1% daily churn that is ~50x less join
+    * work). Scale: every term joins on the same orderkey, so one
+    * co-partitioning serves all four joins (q32's bucketing note). */
+  val q67DeltaJoinView: Q = Q(
+    "q67_delta_join_view",
+    """WITH j AS (
+      |  SELECT o_orderpriority, l_quantity
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
+      |SELECT o_orderpriority, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+      |FROM j GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    def mod(c: Column): Column =
+      conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long") % 10
+    val o = ord(s, d).select("o_orderkey", "o_orderpriority")
+    val l = li(s, d).select("l_orderkey", "l_quantity")
+    val (oBase, oDelta) = (o.filter(mod(col("o_orderkey")) =!= 0),
+      o.filter(mod(col("o_orderkey")) === 0))
+    val (lBase, lDelta) = (l.filter(mod(col("l_orderkey") * 7) =!= 0),
+      l.filter(mod(col("l_orderkey") * 7) === 0))
+    def j(a: DataFrame, b: DataFrame): DataFrame =
+      a.join(b, col("o_orderkey") === col("l_orderkey"))
+    val maintained = j(oBase, lBase)
+      .unionAll(j(oDelta, lBase))
+      .unionAll(j(oBase, lDelta))
+      .unionAll(j(oDelta, lDelta))
+    maintained
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("long")).as("total_qty"))
+      .orderBy("o_orderpriority")
+  }
+
   val all: Seq[Q] = Seq(
     q01ScanProject, q02Predicates, q03AggBasic, q04AggDistinct, q05Rollup,
     q06Cube, q07JoinBroadcast, q08JoinMultiway, q09JoinOuter, q10JoinFull,
@@ -1952,5 +1997,6 @@ object RelationalQueries {
     q49KmvDistinct, q50AsofNative, q51TpchComposite, q52StratifiedSample,
     q53CboReorder, q54Dpp, q55RuntimeFilter, q56Scd2Merge, q57IncrementalAgg,
     q58NotInNullAware, q59ShuffleHashJoin, q60BinnedRangeJoin, q61BandJoinAuto,
-    q62GapFill, q63Funnel, q64WeightedSample, q65Zorder, q66EagerAgg)
+    q62GapFill, q63Funnel, q64WeightedSample, q65Zorder, q66EagerAgg,
+    q67DeltaJoinView)
 }
