@@ -1983,6 +1983,59 @@ object RelationalQueries {
       .orderBy("o_orderpriority")
   }
 
+  /** KMV sketch MERGEABILITY — the property that makes sketches a
+    * distributed-systems primitive rather than a single-node trick:
+    * bottomK(A ∪ B) = bottomK(bottomK(A) ∪ bottomK(B)) exactly (the
+    * k smallest of a union are among each side's k smallest), so
+    * per-partition/per-day/per-source sketches roll up losslessly —
+    * the pattern behind every pre-aggregated distinct-count dashboard
+    * at 100 TB (store 2 KB per segment, union at query time, never
+    * rescan). The entry builds PER-GROUP sketches (q49's portable
+    * md5 + graft_bottomk), merges them by re-sketching the union of
+    * their elements, and derives the (k-1)·M/h_k estimate; the oracle
+    * sketches the distinct union DIRECTLY — the hash match proves the
+    * merge identity, not just a close estimate. */
+  val q68KmvSketchMerge: Q = Q(
+    "q68_kmv_sketch_merge",
+    """WITH hs AS (SELECT DISTINCT l_returnflag,
+      |              ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 8))::BIGINT AS h
+      |            FROM lineitem),
+      |per AS (SELECT l_returnflag, h,
+      |          row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
+      |        FROM hs),
+      |u AS (SELECT DISTINCT h FROM per WHERE rn <= 256),
+      |r AS (SELECT h, row_number() OVER (ORDER BY h) AS rn, count(*) OVER () AS nh
+      |      FROM u),
+      |ex AS (SELECT COUNT(DISTINCT l_orderkey) AS n_exact FROM lineitem)
+      |SELECT ex.n_exact,
+      |  CASE WHEN (SELECT max(nh) FROM r) < 256 THEN (SELECT max(nh) FROM r)
+      |       ELSE CAST(FLOOR(255.0 * 4294967296.0 /
+      |              (SELECT h FROM r WHERE rn = 256)) AS BIGINT) END AS n_est
+      |FROM ex""".stripMargin) { (s, d) =>
+    graft.functions.BottomKHashes.register(s)
+    val k = 256
+    val h = conv(substring(md5(col("l_orderkey").cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    // stage 1: per-group sketches (the "per segment" rollup state)
+    val perGroup = li(s, d)
+      .select(col("l_returnflag"), col("l_orderkey")).distinct()
+      .select(col("l_returnflag"), h.as("h"))
+      .groupBy("l_returnflag")
+      .agg(expr(s"graft_bottomk(h, $k)").as("sk"))
+    // stage 2: merge = re-sketch the union of sketch elements (distinct
+    // first: one orderkey can appear under several flags)
+    val merged = perGroup
+      .select(explode(col("sk")).as("h")).distinct()
+      .agg(expr(s"graft_bottomk(h, $k)").as("sk"))
+    val exact = li(s, d).agg(countDistinct(col("l_orderkey")).as("n_exact"))
+    exact.crossJoin(broadcast(merged))
+      .select(col("n_exact"),
+        when(size(col("sk")) < k, size(col("sk")).cast("long"))
+          .otherwise(floor(lit((k - 1).toDouble * 4294967296.0) /
+            element_at(col("sk"), k)).cast("long"))
+          .as("n_est"))
+  }
+
   val all: Seq[Q] = Seq(
     q01ScanProject, q02Predicates, q03AggBasic, q04AggDistinct, q05Rollup,
     q06Cube, q07JoinBroadcast, q08JoinMultiway, q09JoinOuter, q10JoinFull,
@@ -1998,5 +2051,5 @@ object RelationalQueries {
     q53CboReorder, q54Dpp, q55RuntimeFilter, q56Scd2Merge, q57IncrementalAgg,
     q58NotInNullAware, q59ShuffleHashJoin, q60BinnedRangeJoin, q61BandJoinAuto,
     q62GapFill, q63Funnel, q64WeightedSample, q65Zorder, q66EagerAgg,
-    q67DeltaJoinView)
+    q67DeltaJoinView, q68KmvSketchMerge)
 }
