@@ -25,7 +25,11 @@ class SpillSpec extends AnyFunSuite {
     "q01_scan_project", "q03_agg_pricing_summary", "q07_join_broadcast",
     "q08_join_multiway", "q19_topk_global", "q20_topk_per_group",
     "q37_stats_exact", "q48_topk_auto", "q51_tpch_composite",
-    "d05_ngram_jaccard", "v04_embedding_neardup", "t09_decontamination")
+    "d05_ngram_jaccard", "v04_embedding_neardup", "t09_decontamination",
+    // round-7 heavies: the iterative graph pair, the trigram LM sweep,
+    // the rewritten join-agg shapes, and the within-cell pairwise dedup
+    "p03_pagerank", "p04_triangles", "t14_lm_score", "q66_eager_agg",
+    "q67_delta_join_view", "d10_semantic_dedup", "v12_certified_rerank")
 
   test("hot queries run spill-free at the verify SF") {
     val spilled = new LongAdder
