@@ -166,6 +166,80 @@ object DedupQueries {
       .orderBy("i", "j")
   }
 
+  /** Portable SimHash — d04's algorithm re-grounded on md5 so the whole
+    * computation is engine-checkable, mirroring the d03→d06 graduation:
+    * d04 stays the fast engine-native xxhash64 variant; THIS entry
+    * derives every per-token hash from the first 8 md5 hex digits
+    * (d06/q47's portable-hash idiom), votes each of 16 signature bits
+    * by sign (+1 if the token hash has the bit set, −1 otherwise, over
+    * DISTINCT tokens — exact integer arithmetic, so the vote sum and
+    * its sign are bit-identical in any engine), and emits near-dup
+    * pairs at hamming ≤ 3. The Spark side blocks on 4×4-bit signature
+    * chunks — pigeonhole-LOSSLESS at this threshold (3 differing bits
+    * leave ≥1 of 4 chunks equal), so the blocked plan returns EXACTLY
+    * the all-pairs answer the DuckDB oracle computes; the doc_id scope
+    * bounds the oracle's quadratic side the way d06's does. At corpus
+    * scale the same plan widens the signature and the chunks (64-bit,
+    * 4×16) — the shape (per-row signature, chunk bucket join, no
+    * all-pairs) is d04's proven one. */
+  val d11SimHashPortable: Q = Q(
+    "d11_simhash_portable",
+    {
+      val bitVal = (j: Int) =>
+        s"""(CASE WHEN list_sum(list_transform(hs,
+           |    x -> CASE WHEN ((x >> $j) & 1) = 1 THEN 1 ELSE -1 END)) > 0
+           |  THEN ${1 << j} ELSE 0 END)""".stripMargin
+      s"""WITH t AS (
+         |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+         |  FROM documents WHERE doc_id < 200),
+         |h AS (
+         |  SELECT doc_id, list_transform(toks,
+         |    t -> ('0x' || substr(md5(t), 1, 8))::BIGINT) AS hs FROM t),
+         |sig AS (
+         |  SELECT doc_id,
+         |${(0 until 16).map(bitVal).mkString("  ", "\n  + ", "")} AS sig
+         |  FROM h)
+         |SELECT a.doc_id AS i, b.doc_id AS j,
+         |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+         |ORDER BY i, j""".stripMargin
+    }) { (s, d) =>
+    val votes = expr(
+      """aggregate(
+        |  transform(array_distinct(split(text, ' ')),
+        |    t -> cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint)),
+        |  array_repeat(0L, 16),
+        |  (acc, h) -> zip_with(acc,
+        |    transform(sequence(0, 15), j -> IF(((h >> j) & 1) = 1, 1L, -1L)),
+        |    (a, b) -> a + b))""".stripMargin)
+    val sig = expr(
+      """aggregate(
+        |  transform(sequence(0, 15), j -> IF(element_at(votes, j + 1) > 0, shiftleft(1L, j), 0L)),
+        |  0L, (acc, x) -> acc | x)""".stripMargin)
+    // votes materialize before bit packing — same projection-collapse
+    // trap as d04 (the O(tokens*16) aggregate would inline into each of
+    // the 16 bit lambdas)
+    val votesDf = Stage.materialize(s,
+      docs(s, d).filter(col("doc_id") < 200)
+        .select(col("doc_id"), votes.as("votes")), "d11votes")
+    val withSig = Stage.materialize(s,
+      votesDf.select(col("doc_id"), sig.as("sig")), "d11sig")
+    val blocks = withSig.select(col("doc_id"), col("sig"),
+      posexplode(array((0 until 4).map(b =>
+        shiftrightunsigned(col("sig"), b * 4).bitwiseAND(lit(0xFL))): _*))
+        .as(Seq("blk", "blkval")))
+    blocks.as("a")
+      .join(blocks.as("b"),
+        col("a.blk") === col("b.blk") && col("a.blkval") === col("b.blkval")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
+        expr("bit_count(a.sig ^ b.sig)").cast("long").as("hamming"))
+      .dropDuplicates("i", "j")
+      .filter(col("hamming") <= 3)
+      .orderBy("i", "j")
+  }
+
   /** Exact n-gram-Jaccard similarity join at θ=0.6 with lossless prefix
     * filtering: only pairs sharing a token in their length
     * |s|-⌈θ|s|⌉+1 sorted-shingle prefix can reach θ, so the bucket join
@@ -608,5 +682,5 @@ object DedupQueries {
 
   val all: Seq[Q] = Seq(d01ExactDedup, d02HashDedup, d03MinHashLsh, d04SimHash,
     d05NgramJaccard, d06MinHashPortable, d07CcClusters, d08BloomIncremental,
-    d09ShardedBloom, d10SemanticDedup)
+    d09ShardedBloom, d10SemanticDedup, d11SimHashPortable)
 }
