@@ -1,11 +1,11 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Coalesce, EqualTo, Expression, Literal, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Coalesce, Divide, EqualTo, EvalMode, Expression, If, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Complete, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{DecimalType, LongType}
+import org.apache.spark.sql.types.{ByteType, DecimalType, DoubleType, IntegerType, LongType, ShortType}
 
 /** Optimizer extension: EAGER AGGREGATION (Yan & Larson, VLDB 1995) —
   * push a decomposable aggregate through an inner equi join:
@@ -55,10 +55,13 @@ import org.apache.spark.sql.types.{DecimalType, LongType}
   *    references non-key right columns would be unsound);
   *  - group expressions reference ONE side only, every aggregate
   *    input the OTHER side only (both orientations handled);
-  *  - aggregate functions from the decomposable set sum/count/min/max,
-  *    non-DISTINCT, un-FILTERed; SUM over DecimalType is excluded
+  *  - aggregate functions from the decomposable set sum/count/min/max/
+  *    avg, non-DISTINCT, un-FILTERed; SUM over DecimalType is excluded
   *    because re-summing partial sums widens the result precision a
-  *    second time and would change the output schema;
+  *    second time and would change the output schema; AVG decomposes
+  *    as (sum, count) partials merged to sum/count above the join,
+  *    restricted to integral inputs where that is bit-exact (see
+  *    decompose());
   *  - aggregate-side join keys are bare attributes (their exprIds
   *    survive into the pre-aggregate's output, so the join condition
   *    transfers verbatim).
@@ -95,9 +98,62 @@ object RewriteEagerAgg extends Rule[LogicalPlan] {
     !ae.isDistinct && ae.filter.isEmpty && (ae.aggregateFunction match {
       case s: Sum => !s.child.dataType.isInstanceOf[DecimalType] &&
         s.references.subsetOf(side.outputSet)
+      // AVG decomposes as (sum, count) — but only over INTEGRAL inputs,
+      // where the partial long sums are exact and the final sum/count
+      // division is the one correctly-rounded FP op, so rule-on output
+      // is bit-identical to rule-off. A double input would re-associate
+      // the FP summation (ulp drift vs the naive plan); decimal AVG
+      // widens precision like decimal SUM.
+      case a: Average => (a.child.dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }) && a.references.subsetOf(side.outputSet)
       case f @ (_: Count | _: Min | _: Max) => f.references.subsetOf(side.outputSet)
       case _ => false
     })
+
+  /** One pushed-down decomposition: partial aggregates computed per
+    * join key BELOW the join, and the expression re-assembling the
+    * original aggregate's value from their merged (re-aggregated)
+    * attributes ABOVE it. */
+  private case class Decomp(partials: Seq[Alias], merged: Expression)
+
+  private def decompose(ae: AggregateExpression): Decomp = {
+    def total(p: Alias) = AggregateExpression(Sum(p.toAttribute), Complete, isDistinct = false)
+    ae.aggregateFunction match {
+      case avg: Average =>
+        // exact long partial sums (input is integral per pushable());
+        // count partial mirrors AVG's non-null semantics. Merge is
+        // sum/count with AVG's own null-on-empty: If guards the LEGACY
+        // divide so an all-null group yields NULL, never an ANSI error.
+        val sumP = Alias(
+          AggregateExpression(Sum(Cast(avg.child, LongType)), Complete, isDistinct = false),
+          s"__graft_ea_s_${ae.resultId.id}")()
+        val cntP = Alias(
+          AggregateExpression(Count(Seq(avg.child)), Complete, isDistinct = false),
+          s"__graft_ea_c_${ae.resultId.id}")()
+        val cntTot = Coalesce(Seq(total(cntP), Literal(0L, LongType)))
+        Decomp(Seq(sumP, cntP),
+          If(EqualTo(cntTot, Literal(0L, LongType)),
+            Literal(null, DoubleType),
+            Divide(Cast(total(sumP), DoubleType), Cast(cntTot, DoubleType),
+              EvalMode.LEGACY)))
+      case _: Sum =>
+        val p = Alias(ae, s"__graft_ea_${ae.resultId.id}")()
+        Decomp(Seq(p), total(p))
+      case _: Count =>
+        val p = Alias(ae, s"__graft_ea_${ae.resultId.id}")()
+        Decomp(Seq(p), Coalesce(Seq(total(p), Literal(0L, LongType))))
+      case _: Min =>
+        val p = Alias(ae, s"__graft_ea_${ae.resultId.id}")()
+        Decomp(Seq(p), AggregateExpression(Min(p.toAttribute), Complete, isDistinct = false))
+      case _: Max =>
+        val p = Alias(ae, s"__graft_ea_${ae.resultId.id}")()
+        Decomp(Seq(p), AggregateExpression(Max(p.toAttribute), Complete, isDistinct = false))
+      case other =>
+        throw new IllegalStateException(s"unpushable aggregate reached decompose: $other")
+    }
+  }
 
   private def tryRewrite(
       agg: Aggregate,
@@ -139,28 +195,20 @@ object RewriteEagerAgg extends Rule[LogicalPlan] {
     val thr = conf.autoBroadcastJoinThreshold
     if (thr >= 0 && groupSide.stats.sizeInBytes <= thr) return None
 
-    // one partial per distinct aggregate call (instance identity is
-    // enough — duplicated calls just get duplicated partials)
-    val partials = aggCalls.map(ae => ae -> Alias(ae, s"__graft_ea_${ae.resultId.id}")())
-    val partialFor = partials.toMap
+    // one decomposition per distinct aggregate call, in stable catalog
+    // order (a Map's value order would make the pre-aggregate's column
+    // order nondeterministic across runs); duplicated identical calls
+    // share one decomposition via the lookup map
+    val decompSeq = aggCalls.distinct.map(ae => ae -> decompose(ae))
+    val decompFor = decompSeq.toMap
     val preAgg = Aggregate(
       aggSideKeys,
-      (aggSideKeys: Seq[NamedExpression]) ++ partials.map(_._2),
+      (aggSideKeys: Seq[NamedExpression]) ++ decompSeq.flatMap(_._2.partials),
       aggSide, None)
     // transformUp: a top-down transform would descend into the freshly
     // built replacement and re-match its inner Sum-over-partial node
     val merged = agg.aggregateExpressions.map(_.transformUp {
-      case ae: AggregateExpression if partialFor.contains(ae) =>
-        val p = partialFor(ae).toAttribute
-        ae.aggregateFunction match {
-          case _: Sum => AggregateExpression(Sum(p), Complete, isDistinct = false)
-          case _: Count => Coalesce(Seq(
-            AggregateExpression(Sum(p), Complete, isDistinct = false),
-            Literal(0L, LongType)))
-          case _: Min => AggregateExpression(Min(p), Complete, isDistinct = false)
-          case _: Max => AggregateExpression(Max(p), Complete, isDistinct = false)
-          case other => ae // unreachable given pushable()
-        }
+      case ae: AggregateExpression if decompFor.contains(ae) => decompFor(ae).merged
     }.asInstanceOf[NamedExpression])
     Some(agg.copy(aggregateExpressions = merged, child = buildJoin(preAgg)))
   }

@@ -2036,6 +2036,40 @@ object RelationalQueries {
           .as("n_est"))
   }
 
+  /** q66's eager-aggregation shape with AVG in the aggregate list — the
+    * aggregate real rollups lean on most (VERDICT r7 #4). RewriteEagerAgg
+    * decomposes avg(l_linenumber) into exact (long-sum, count) partials
+    * per orderkey BELOW the join and re-assembles sum/count above it;
+    * over an integral input every partial is exact integer arithmetic
+    * and the final division is the one correctly-rounded FP op, so the
+    * rewritten plan is bit-identical to both the naive plan (EagerAggSpec
+    * parity test) and the DuckDB oracle. Same no-broadcast scope as q66:
+    * the cost guard refuses the rewrite in the broadcast regime, and the
+    * 100 TB payoff is the fact-side join exchange carrying one (sum,
+    * count, count, sum) row per orderkey instead of every lineitem. */
+  val q69EagerAvg: Q = Q(
+    "q69_eager_avg",
+    """SELECT o_orderpriority, COUNT(*) AS n_items,
+      |  CAST(AVG(l_linenumber) AS DOUBLE) AS avg_line,
+      |  CAST(SUM(l_linenumber) AS BIGINT) AS total_line
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    val saved = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = li(s, d).select("l_orderkey", "l_linenumber")
+        .join(ord(s, d).select("o_orderkey", "o_orderpriority"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          avg(col("l_linenumber")).as("avg_line"),
+          sum(col("l_linenumber")).as("total_line"))
+        .orderBy("o_orderpriority")
+      df.queryExecution.executedPlan // force optimization under the conf
+      df
+    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   val all: Seq[Q] = Seq(
     q01ScanProject, q02Predicates, q03AggBasic, q04AggDistinct, q05Rollup,
     q06Cube, q07JoinBroadcast, q08JoinMultiway, q09JoinOuter, q10JoinFull,
@@ -2051,5 +2085,5 @@ object RelationalQueries {
     q53CboReorder, q54Dpp, q55RuntimeFilter, q56Scd2Merge, q57IncrementalAgg,
     q58NotInNullAware, q59ShuffleHashJoin, q60BinnedRangeJoin, q61BandJoinAuto,
     q62GapFill, q63Funnel, q64WeightedSample, q65Zorder, q66EagerAgg,
-    q67DeltaJoinView, q68KmvSketchMerge)
+    q67DeltaJoinView, q68KmvSketchMerge, q69EagerAvg)
 }

@@ -90,6 +90,28 @@ class EagerAggSpec extends AnyFunSuite {
       s"eager agg did not reduce shuffle volume: $on vs $off records")
   }
 
+  test("avg decomposes to (sum, count) partials below the join, bit-identical rule-off") {
+    // q69's fn pins its own no-broadcast scope
+    val df = graft.relational.RelationalQueries.q69EagerAvg.fn(s, d)
+    val plan = df.queryExecution.optimizedPlan
+    assert(hasPreAggBelowJoin(plan), s"no aggregate under the join:\n$plan")
+    // the pushed pre-aggregate must carry BOTH avg partials
+    val pre = plan.collect { case j: Join => j }.flatMap(j =>
+      j.left.collectFirst { case a: Aggregate => a } orElse
+        j.right.collectFirst { case a: Aggregate => a }).head
+    val names = pre.aggregateExpressions.map(_.name)
+    assert(names.exists(_.startsWith("__graft_ea_s_")) &&
+      names.exists(_.startsWith("__graft_ea_c_")),
+      s"avg partials missing from pre-aggregate: $names")
+    val on = df.collect().map(_.toSeq)
+    val saved = s.experimental.extraOptimizations
+    s.experimental.extraOptimizations = saved.filterNot(_ == RewriteEagerAgg)
+    try {
+      val off = graft.relational.RelationalQueries.q69EagerAvg.fn(s, d).collect().map(_.toSeq)
+      assert(on.toSeq == off.toSeq, "eager avg changed the answer (must be bit-identical)")
+    } finally s.experimental.extraOptimizations = saved
+  }
+
   test("non-conforming shapes are untouched even in-regime") {
     noBroadcast {
       val li = graft.Tables.t(s, d, "lineitem")
@@ -110,6 +132,11 @@ class EagerAggSpec extends AnyFunSuite {
       val dec = li.join(ord, col("l_orderkey") === col("o_orderkey"))
         .groupBy("o_orderpriority").agg(graft.Det.dsum(col("l_quantity")).as("q"))
       assert(!hasPreAggBelowJoin(dec.queryExecution.optimizedPlan), "decimal sum rewritten")
+      // avg over a DOUBLE input — re-associating the FP partial sums
+      // would drift from the naive plan by ulps; must stay naive
+      val davg = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").agg(avg(col("l_quantity")).as("q"))
+      assert(!hasPreAggBelowJoin(davg.queryExecution.optimizedPlan), "double avg rewritten")
     }
   }
 }
