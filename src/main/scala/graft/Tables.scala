@@ -105,8 +105,26 @@ object Stage {
     * (Spark sizes scan partitions by BYTES, which is right for IO-bound
     * scans and wrong for a few-MB signature table feeding a
     * compute-bound map). */
-  def materialize(spark: SparkSession, df: DataFrame, tag: String): DataFrame = {
-    val out = df.repartition(spark.sparkContext.defaultParallelism).localCheckpoint()
+  def materialize(spark: SparkSession, df: DataFrame, tag: String): DataFrame =
+    track(df.repartition(spark.sparkContext.defaultParallelism).localCheckpoint())
+
+  /** Pin hash-partitioned BY KEY: `repartition(n, cols)` (explicit n, so
+    * AQE cannot coalesce it away) then checkpoint. localCheckpoint
+    * preserves the physical outputPartitioning into the LogicalRDD, so
+    * a later equi join on the same keys with the same width needs NO
+    * exchange on this side — the pinned-fact / moving-delta pattern
+    * (p03's per-round rank join; q32's bucketing note). */
+  def materializeBy(spark: SparkSession, df: DataFrame, n: Int,
+      cols: Seq[org.apache.spark.sql.Column], tag: String): DataFrame =
+    track(df.repartition(n, cols: _*).localCheckpoint())
+
+  /** Pin WITHOUT re-spreading: preserves whatever partitioning the
+    * plan produced (e.g. an aggregate's hash(key) exchange output), so
+    * the next iteration's join can reuse it. */
+  def materializeKeeping(spark: SparkSession, df: DataFrame, tag: String): DataFrame =
+    track(df.localCheckpoint())
+
+  private def track(out: DataFrame): DataFrame = {
     org.apache.spark.sql.GraftPlanShim.logicalPlan(out) match {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         live.add(new java.lang.ref.WeakReference(lr.rdd))

@@ -106,17 +106,21 @@ object PipelineQueries {
     * oracle, so an ITERATIVE double-valued fixpoint computation
     * hash-checks exactly (each round's 8-decimal rounding is part of
     * the algorithm, applied identically by both engines).
-    * Scale shape: the EDGES NEVER MOVE after their one materialization —
-    * ranks are O(vertices) (16 bytes each; here ~16k rows, and up to
-    * ~10^8 vertices on a real cluster) and BROADCAST into each round,
-    * so a round costs one map-side join over pinned edges plus a
-    * partial-aggregated shuffle of O(vertices) sums (the first cut
-    * shuffled the edge table on src every round: 5.6 s at sf0.1; this
-    * form is ~3x cheaper and the gap widens with edge count). Past
-    * broadcastable vertex counts, the same loop pre-hash-partitions
-    * edges by src once and lets only ranks shuffle per round — the plan
-    * structure is identical, only the exchange choice flips (q32's
-    * bucketing note). Ranks rematerialize per round (localCheckpoint —
+    * Scale shape — the BEYOND-BROADCAST form (VERDICT r7 #2): the
+    * (src, dst, deg) edge table hash-partitions on src ONCE and NEVER
+    * MOVES again; each round's contribution join streams the pinned
+    * edges against the rank table co-partitioned on the same key, so
+    * the only per-round exchange is the O(vertices) rank delta — first
+    * into the join (round k's ranks arrive partitioned by hash(v) from
+    * round k-1's aggregation exchange, so even that is usually free)
+    * and then out of the partial-aggregated groupBy(dst). NOTHING here
+    * is broadcast (PageRankSpec asserts zero BroadcastExchange across
+    * every round execution): a billion-vertex rank vector that could
+    * never fit a broadcast budget flows through the same plan, the
+    * exact graduation d08→d09 made for the bloom filters. The earlier
+    * broadcast-rank form was ~equal at bench SF (ranks fit trivially);
+    * this shape is what survives when they don't. Ranks rematerialize
+    * per round via a partitioning-PRESERVING checkpoint (lineage cut,
     * d07's reliable-storage tradeoff note applies); rounds are fixed,
     * so plan depth is bounded — converge-to-epsilon runs the same loop
     * with a driver-side residual check (d07's convergence pattern). */
@@ -140,30 +144,60 @@ object PipelineQueries {
          |${iterSql("r1", "r2")},
          |${iterSql("r2", "r3")}
          |SELECT v, r FROM r3 ORDER BY r DESC, v LIMIT 50""".stripMargin) { (s, d) =>
-      val raw = Tables.t(s, d, "lineitem").select("l_orderkey", "l_suppkey")
-        .join(Tables.t(s, d, "orders").select("o_orderkey", "o_custkey"),
-          col("l_orderkey") === col("o_orderkey"))
-        .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
-        .distinct()
-      val edgesM = graft.Stage.materialize(s,
-        raw.select(col("c").as("src"), col("s").as("dst"))
-          .unionAll(raw.select(col("s").as("src"), col("c").as("dst"))),
-        "p03edges")
-      val degM = graft.Stage.materialize(s,
-        edgesM.groupBy(col("src")).agg(count(lit(1)).as("deg")), "p03deg")
-      // static per-edge (src, dst, deg): a map-side broadcast enrich over
-      // the pinned edges — re-derived per round at zero shuffle cost
-      val edgesDeg = edgesM.join(broadcast(degM), "src")
-      var ranks = degM.select(col("src").as("v"), lit(1.0).as("r"))
-      for (i <- 1 to 3) {
-        ranks = graft.Stage.materialize(s,
-          edgesDeg.join(broadcast(ranks), col("src") === col("v"))
-            .groupBy(col("dst"))
-            .agg((lit(0.15) + lit(0.85) * graft.Det.dsum(col("r") / col("deg"))).as("r"))
-            .withColumnRenamed("dst", "v"),
-          s"p03r$i")
+      // no broadcast anywhere in the loop — the whole point of the
+      // beyond-broadcast form; conf-scoped so AQE can't re-introduce one
+      // at runtime either (every round executes eagerly inside the scope
+      // via the checkpoint). The final top-50 over the last rank table
+      // is join-free, so its lazy execution outside the scope is safe.
+      val confs = Seq(
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        // unset by default (falls back to the non-adaptive threshold) —
+        // restore via unset, not set(null)
+        "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+        // AQE off for the loop: under AQE the checkpoint captures its
+        // partitioning from an AdaptiveSparkPlanExec LEAF, which reports
+        // Unknown — losing the hash(src)/hash(v) layout and re-shuffling
+        // BOTH join sides every round (observed in PageRank spec). The
+        // loop's whole design is a static co-partitioned layout; runtime
+        // re-planning has nothing to improve here and everything to
+        // break, the same reason storage-partitioned iterative jobs pin
+        // their layout on a cluster.
+        "spark.sql.adaptive.enabled" -> "false")
+      val saved = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
+      def restore(): Unit = saved.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
       }
-      ranks.orderBy(col("r").desc, col("v")).limit(50)
+      try {
+        val raw = Tables.t(s, d, "lineitem").select("l_orderkey", "l_suppkey")
+          .join(Tables.t(s, d, "orders").select("o_orderkey", "o_custkey"),
+            col("l_orderkey") === col("o_orderkey"))
+          .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+          .distinct()
+        val edges = raw.select(col("c").as("src"), col("s").as("dst"))
+          .unionAll(raw.select(col("s").as("src"), col("c").as("dst")))
+        val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        // one-time setup shuffle: enrich edges with src degree and PIN
+        // hash(src) at an explicit width AQE won't coalesce — after this,
+        // the edge table never moves again
+        val n = s.sparkContext.defaultParallelism
+        val edgesDeg = graft.Stage.materializeBy(s,
+          edges.join(deg, "src"), n, Seq(col("src")), "p03edeg")
+        var ranks = graft.Stage.materializeBy(s,
+          deg.select(col("src").as("v"), lit(1.0).as("r")), n, Seq(col("v")), "p03r0")
+        for (i <- 1 to 3) {
+          // shuffle_hash: a sort-merge join would add per-round sorts the
+          // hash join doesn't need (neither side's order is reusable)
+          ranks = graft.Stage.materializeKeeping(s,
+            edgesDeg.join(ranks.hint("shuffle_hash"), col("src") === col("v"))
+              .groupBy(col("dst"))
+              .agg((lit(0.15) + lit(0.85) * graft.Det.dsum(col("r") / col("deg"))).as("r"))
+              .withColumnRenamed("dst", "v"),
+            s"p03r$i")
+        }
+        ranks.orderBy(col("r").desc, col("v")).limit(50)
+      } finally restore()
     }
   }
 

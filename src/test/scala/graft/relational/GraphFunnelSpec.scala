@@ -40,6 +40,72 @@ class GraphFunnelSpec extends AnyFunSuite {
     } finally { e.unpersist(); () }
   }
 
+  test("pagerank broadcasts nothing and keeps the edge side pinned per round") {
+    import scala.jdk.CollectionConverters._
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[
+      org.apache.spark.sql.execution.SparkPlan]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit = {
+        plans.add(qe.executedPlan); ()
+      }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, ex: Exception): Unit = ()
+    }
+    s.listenerManager.register(listener)
+    val result = try {
+      val r = graft.pipeline.PipelineQueries.p03Pagerank.fn(s, d).collect()
+      SparkTestBase.drainListener(() => plans.size.toLong)
+      r
+    } finally s.listenerManager.unregister(listener)
+
+    val flat = plans.asScala.toSeq.map(SparkTestBase.flattenPlan)
+    // beyond-broadcast: NO broadcast exchange in any round/setup execution
+    assert(!flat.flatten.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.BroadcastExchangeExec]),
+      "pagerank plan broadcast something — the rank vector must flow as a shuffle")
+    // each round join streams the PINNED edges (output has dst+deg)
+    // against the rank table (output has r): the edge side must carry no
+    // exchange — only ranks may move
+    val roundJoins = flat.flatten.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+          if (j.left.output.map(_.name).contains("dst") &&
+              j.right.output.map(_.name).contains("r")) ||
+             (j.right.output.map(_.name).contains("dst") &&
+              j.left.output.map(_.name).contains("r")) => j
+    }
+    assert(roundJoins.size >= 3, s"expected >=3 rank-round joins, saw ${roundJoins.size}")
+    roundJoins.foreach { j =>
+      val edgesSide = if (j.left.output.map(_.name).contains("dst")) j.left else j.right
+      assert(!SparkTestBase.flattenPlan(edgesSide).exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike]),
+        s"edge side re-shuffled in a rank round:\n$j")
+    }
+    // graduation must not change the answer: the broadcast-form loop
+    // (r7's implementation) computes the identical fixpoint
+    val raw = graft.Tables.t(s, d, "lineitem").select("l_orderkey", "l_suppkey")
+      .join(graft.Tables.t(s, d, "orders").select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+      .distinct()
+    val edges = raw.select(col("c").as("src"), col("s").as("dst"))
+      .unionAll(raw.select(col("s").as("src"), col("c").as("dst"))).cache()
+    try {
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      val edgesDeg = edges.join(broadcast(deg), "src")
+      var ranks = deg.select(col("src").as("v"), lit(1.0).as("r"))
+      for (_ <- 1 to 3) {
+        ranks = edgesDeg.join(broadcast(ranks), col("src") === col("v"))
+          .groupBy(col("dst"))
+          .agg((lit(0.15) + lit(0.85) * graft.Det.dsum(col("r") / col("deg"))).as("r"))
+          .withColumnRenamed("dst", "v")
+      }
+      val expected = ranks.orderBy(col("r").desc, col("v")).limit(50).collect()
+      assert(result.map(_.toSeq).toSeq == expected.map(_.toSeq).toSeq,
+        "co-partitioned pagerank diverged from the broadcast-form fixpoint")
+    } finally { edges.unpersist(); () }
+  }
+
   test("funnel state machine equals the per-stage min-join formulation") {
     val row = RelationalQueries.q63Funnel.fn(s, d).collect()(0)
     val ev = graft.Tables.t(s, d, "events")
