@@ -1776,18 +1776,65 @@ object RelationalQueries {
       .orderBy("day")
   }
 
+  /** Per-user greedy-earliest funnel depth over (user_id, ts, stage)
+    * events, as a TWO-PHASE chunked state machine (skew hardening,
+    * VERDICT r7 #6). Phase 1 groups by (user, day) and reduces each
+    * chunk to a 4-entry DEPTH-TRANSITION VECTOR out[d] — the depth the
+    * in-chunk automaton reaches when entered at depth d. The vector is
+    * exact segment composition, not an approximation: chunks partition
+    * the timeline, so every event in chunk k+1 is strictly later than
+    * every event in chunk k — the cross-chunk "strictly later"
+    * constraint holds automatically and the only state that crosses a
+    * boundary is the depth (the within-chunk automaton still enforces
+    * strictness against its own events via a null-initialized last-ts).
+    * Phase 2 folds each user's date-sorted vectors: depth ← out[depth].
+    *
+    * Why two-phase: the single-array form collects EVERY event of a
+    * user into one task — a power user with 10^7 events is a
+    * one-task OOM at 100 TB. Here the collected array is bounded by
+    * events-per-user-PER-DAY, and the phase-2 array by the calendar
+    * (≤ days in the window, independent of user volume); a still-hot
+    * day just narrows the chunk to hours — the composition argument
+    * only needs chunk boundaries monotone in ts. Cost: one extra
+    * shuffle of per-(user, day) summary rows — 4 ints each, O(users ×
+    * days), a rounding error next to the event shuffle it bounds. */
+  private[relational] def funnelDepths(ev: DataFrame): DataFrame = {
+    val chunkTrans = transform(sequence(lit(0), lit(3)), d =>
+      aggregate(
+        col("es"),
+        struct(d.as("depth"), lit(null).cast("timestamp").as("last")),
+        (acc, e) =>
+          when(e("stage") === acc("depth") + 1
+              && (acc("last").isNull || e("ts") > acc("last")),
+            struct(e("stage").as("depth"), e("ts").as("last")))
+          .otherwise(acc),
+        acc => acc("depth")))
+    val perChunk = ev
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"),
+        struct(col("ts"), col("stage")).as("e"))
+      .groupBy("user_id", "day")
+      .agg(array_sort(collect_list(col("e"))).as("es"))
+      .select(col("user_id"), struct(col("day"), chunkTrans.as("t")).as("c"))
+    perChunk
+      .groupBy("user_id")
+      .agg(array_sort(collect_list(col("c"))).as("cs"))
+      .select(col("user_id"),
+        aggregate(col("cs"), lit(0), (acc, c) => element_at(c("t"), acc + 1))
+          .as("depth"))
+  }
+
   /** Sequential funnel — the product-analytics staple (view → click →
-    * purchase, each stage strictly after the previous): implemented as
-    * ONE shuffle on user_id + a per-user sorted-array state machine
-    * (array_sort over (ts, type) structs, then a higher-order
-    * `aggregate` that advances depth only on the next stage with a
-    * strictly later timestamp). The naive form is one join + re-agg
-    * PER STAGE — k shuffles of the event table for a k-stage funnel —
-    * which is exactly what doesn't survive 100 TB of events; this form
-    * is one shuffle regardless of funnel depth, and per-user state is
-    * one (depth, ts) pair. The oracle computes the same greedy-earliest
-    * chain with per-stage MIN joins (affordable at sf0.01), so the two
-    * genuinely different algorithms must agree row for row. */
+    * purchase, each stage strictly after the previous): the chunked
+    * two-phase state machine above, aggregated to per-stage counts.
+    * The naive form is one join + re-agg PER STAGE — k shuffles of the
+    * event table for a k-stage funnel — which is exactly what doesn't
+    * survive 100 TB of events; this form shuffles the events once into
+    * day chunks plus one summary-row shuffle regardless of funnel
+    * depth. The oracle computes the same greedy-earliest chain with
+    * per-stage MIN joins (affordable at sf0.01), so two genuinely
+    * different algorithms must agree; FunnelChunkSpec additionally
+    * property-tests the chunk composition against the single-array
+    * fold under a synthetic power-user distribution. */
   val q63Funnel: Q = Q(
     "q63_funnel",
     """WITH t1 AS (SELECT user_id, MIN(ts) AS ts1 FROM events
@@ -1804,21 +1851,8 @@ object RelationalQueries {
     val stages = map(lit("view"), lit(1), lit("click"), lit(2), lit("purchase"), lit(3))
     val ev = Tables.t(s, d, "events")
       .filter(col("event_type").isin("view", "click", "purchase"))
-      .select(col("user_id"),
-        struct(col("ts"), stages(col("event_type")).as("stage")).as("e"))
-    val perUser = ev.groupBy("user_id").agg(array_sort(collect_list(col("e"))).as("es"))
-    // state = (depth reached, ts of the event that reached it); an event
-    // advances the funnel iff it is the NEXT stage and strictly later.
-    val depth = aggregate(
-      col("es"),
-      struct(lit(0).as("depth"), lit(null).cast("timestamp").as("last")),
-      (acc, e) =>
-        when(e("stage") === acc("depth") + 1
-            && (acc("depth") === 0 || e("ts") > acc("last")),
-          struct(e("stage").as("depth"), e("ts").as("last")))
-        .otherwise(acc),
-      acc => acc("depth"))
-    perUser.select(depth.as("depth"))
+      .select(col("user_id"), col("ts"), stages(col("event_type")).as("stage"))
+    funnelDepths(ev)
       .agg(
         sum(when(col("depth") >= 1, 1L).otherwise(0L)).as("n_view"),
         sum(when(col("depth") >= 2, 1L).otherwise(0L)).as("n_view_click"),
