@@ -2104,6 +2104,95 @@ object RelationalQueries {
     } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  private lazy val q70Dir: String = graft.TempDirs.newTempDir("graft_capstone_")
+
+  /** Composition capstone (VERDICT r7 #5): the four runtime-pruning /
+    * plan-shaping channels the engine provides — each proven separately
+    * by q54/q55/q66/q48 — firing together in ONE optimized plan, the way
+    * a real 100 TB rollup would use them:
+    *  1. DPP: the partitioned fact (orders by o_year) is scanned with a
+    *     DynamicPruningExpression fed by the filtered year dim — only
+    *     the odd-year directories are read;
+    *  2. runtime bloom filter: the selective o_orderstatus filter on the
+    *     pruned orders side builds a bloom filter of surviving orderkeys
+    *     that is probed on the lineitem side BEFORE its shuffle;
+    *  3. eager aggregation: RewriteEagerAgg pushes the (count, sum)
+    *     partials below the lineitem⋈orders join, so the join exchange
+    *     carries one row per orderkey — stacked ON TOP of the bloom
+    *     probe (partials aggregate only rows that can match);
+    *  4. AutoLocalTopK: the final top-2-priorities-per-year rank-filter
+    *     window collapses to the LocalTopKPerGroup physical operator.
+    * The oracle recomputes the whole thing as plain SQL — every channel
+    * is IO/plan-shape-only, so the composed plan must stay hash-green.
+    * CapstoneComposeSpec asserts all four artifacts in the one plan. */
+  val q70PruningCapstone: Q = Q(
+    "q70_pruning_capstone",
+    """WITH dim AS (
+      |  SELECT DISTINCT CAST(year(o_orderdate) AS INT) AS y,
+      |    CASE WHEN year(o_orderdate) % 2 = 1 THEN 'odd' ELSE 'even' END AS y_tag
+      |  FROM orders),
+      |agg AS (
+      |  SELECT CAST(year(o.o_orderdate) AS INT) AS o_year, o.o_orderpriority,
+      |    COUNT(*) AS n_items, SUM(l.l_quantity) AS total_qty
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN dim ON CAST(year(o.o_orderdate) AS INT) = dim.y
+      |  WHERE dim.y_tag = 'odd' AND o.o_orderstatus = 'F'
+      |  GROUP BY 1, 2)
+      |SELECT o_year, o_orderpriority, n_items, total_qty, CAST(rn AS BIGINT) AS rn
+      |FROM (SELECT *, row_number() OVER (PARTITION BY o_year
+      |        ORDER BY total_qty DESC, o_orderpriority) AS rn FROM agg)
+      |WHERE rn <= 2 ORDER BY o_year, rn""".stripMargin) { (s, d) =>
+    graft.plans.GraftEngine.install(s)
+    val dir = java.nio.file.Paths.get(q70Dir)
+    val factPath = dir.resolve("orders_by_year").toString
+    ord(s, d).withColumn("o_year", year(col("o_orderdate")))
+      .repartition(col("o_year"))
+      .write.mode("overwrite").partitionBy("o_year").parquet(factPath)
+    val fact = s.read.parquet(factPath)
+    val dimPath = dir.resolve("year_dim").toString
+    ord(s, d).select(year(col("o_orderdate")).as("y")).distinct()
+      .withColumn("y_tag", when(col("y") % 2 === 1, "odd").otherwise("even"))
+      .coalesce(1).write.mode("overwrite").parquet(dimPath)
+    val dim = s.read.parquet(dimPath)
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1KB",
+      // shuffle regime for the fact join (bloom + eager agg's regime);
+      // the year dim still broadcasts via its explicit hint
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      // the bloom build subquery duplicates the orders⋈dim subtree, and
+      // that duplication defeats DPP's broadcast-EXCHANGE-reuse check
+      // (measured: bloom on → dynamicpruningexpression(true), 7/7 year
+      // dirs read; bloom off → 4/7). Allowing the non-reuse channel
+      // plans the dim filter as its own tiny subquery execution — at
+      // 100 TB, re-running a KB-sized dim query to skip entire fact
+      // partitions is exactly the right trade, which is why the conf
+      // exists.
+      "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly" -> "false")
+    val saved = confs.map { case (k, _) => k -> s.conf.get(k) }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      val pruned = fact.filter(col("o_orderstatus") === "F")
+        .join(broadcast(dim), col("o_year") === col("y"))
+        .filter(col("y_tag") === "odd")
+        .select("o_orderkey", "o_orderpriority", "o_year")
+      val agg = li(s, d).select("l_orderkey", "l_quantity")
+        .join(pruned, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_year", "o_orderpriority")
+        .agg(count(lit(1)).as("n_items"), sum(col("l_quantity")).as("total_qty"))
+      val w = Window.partitionBy("o_year")
+        .orderBy(col("total_qty").desc, col("o_orderpriority"))
+      val df = agg.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)
+        .select(col("o_year"), col("o_orderpriority"), col("n_items"),
+          col("total_qty"), col("rn").cast("long").as("rn"))
+        .orderBy("o_year", "rn")
+      df.queryExecution.executedPlan // force optimization while confs are on
+      df
+    } finally saved.foreach { case (k, v) => s.conf.set(k, v) }
+  }
+
   val all: Seq[Q] = Seq(
     q01ScanProject, q02Predicates, q03AggBasic, q04AggDistinct, q05Rollup,
     q06Cube, q07JoinBroadcast, q08JoinMultiway, q09JoinOuter, q10JoinFull,
@@ -2119,5 +2208,5 @@ object RelationalQueries {
     q53CboReorder, q54Dpp, q55RuntimeFilter, q56Scd2Merge, q57IncrementalAgg,
     q58NotInNullAware, q59ShuffleHashJoin, q60BinnedRangeJoin, q61BandJoinAuto,
     q62GapFill, q63Funnel, q64WeightedSample, q65Zorder, q66EagerAgg,
-    q67DeltaJoinView, q68KmvSketchMerge, q69EagerAvg)
+    q67DeltaJoinView, q68KmvSketchMerge, q69EagerAvg, q70PruningCapstone)
 }
