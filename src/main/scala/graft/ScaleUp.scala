@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-proof data generator (dev/bench aid; not part of the shipped
+  * library surface). Blows up an existing test-data directory by an
+  * integer factor while keeping the statistical SHAPE of the data linear
+  * in the factor — the property a real 10× corpus has and a verbatim
+  * `UNION ALL` of copies does not:
+  *
+  *  - Every surrogate key (custkey/orderkey/partkey/suppkey/event_id/
+  *    user_id/doc_id/vec_id) is offset by `rep * 10_000_000`, so foreign
+  *    keys stay consistent WITHIN a replica and never collide ACROSS
+  *    replicas. Entity populations (customers, users, docs, vectors)
+  *    scale ×factor with per-entity cardinalities (orders per customer,
+  *    events per user — including the skew tail) preserved exactly.
+  *  - Document text is decorrelated across replicas by suffixing every
+  *    whitespace token with an alphanumeric replica tag ("xN"): within a
+  *    replica the shingle/duplicate structure is identical to the source,
+  *    across replicas token sets are disjoint. Near-dup candidate volume
+  *    therefore scales ×factor (like a real corpus), not ×factor² (like
+  *    verbatim copies, which would turn every dup cluster into a clique
+  *    across replicas and misattribute quadratic candidate blowup to the
+  *    engine). n_chars is recomputed to keep its length(text) invariant.
+  *  - Embedding vectors are decorrelated by rotating the 64 dimensions by
+  *    `rep` positions: rotation preserves norms and all within-replica
+  *    pair geometry bit-for-bit, while cross-replica cosines drop to the
+  *    background level of unrelated vectors — again ×factor near-dup
+  *    volume, not ×factor².
+  *  - Fixed dimension tables (region, nation) copy through unchanged, as
+  *    they would at any real scale factor.
+  *  - Timestamps are NOT shifted: a 10× corpus over the same wall-clock
+  *    window means 10× traffic density, which is the scale story the
+  *    windowed/streaming entries need to survive.
+  *
+  * Usage: graft.ScaleUp <srcDir> <destDir> [factor=10]
+  * Writes Spark-style `<table>.parquet/` directories (Tables.t reads
+  * either layout; tools/check.py globs both).
+  */
+object ScaleUp {
+  private val Stride = 10000000L
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: graft.ScaleUp <srcDir> <destDir> [factor]")
+    val (src, dst) = (args(0), args(1))
+    val factor = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
+    def write(df: DataFrame, t: String): Unit =
+      df.write.mode("overwrite").parquet(s"$dst/$t.parquet")
+
+    // Cross product with replica ids 0..factor-1, then per-column remap.
+    // The `rep` column is dropped before writing.
+    def scaled(t: String, keyCols: Seq[String])(extra: DataFrame => DataFrame): Unit = {
+      val base = read(t)
+      val reps = base.withColumn("rep", explode(sequence(lit(0L), lit(factor - 1L))))
+      val remapped = keyCols.foldLeft(reps) { (df, k) =>
+        df.withColumn(k, col(k) + col("rep") * Stride)
+      }
+      write(extra(remapped).select(base.columns.map(col).toSeq: _*), t)
+    }
+
+    Seq("region", "nation").foreach(t => write(read(t), t))
+    scaled("customer", Seq("c_custkey"))(identity)
+    scaled("supplier", Seq("s_suppkey"))(identity)
+    scaled("part", Seq("p_partkey"))(identity)
+    scaled("orders", Seq("o_orderkey", "o_custkey"))(identity)
+    scaled("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"))(identity)
+    // This session reads the source's timestamp[ns] ts as int64 nanos
+    // (nanosAsLong); write it back as a REAL timestamp (micros) so the
+    // scaled table keeps the timestamp-typed contract every ts-consuming
+    // oracle (epoch_us etc.) relies on. Micros truncation is consistent
+    // for both engines since both read the same scaled file.
+    scaled("events", Seq("event_id", "user_id")) { df =>
+      if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else df
+    }
+    scaled("documents", Seq("doc_id")) { df =>
+      df.withColumn("text",
+          when(col("rep") === 0, col("text")).otherwise(array_join(
+            transform(split(col("text"), " "),
+              w => concat(w, lit("x"), col("rep").cast("string"))), " ")))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    }
+    scaled("embeddings", Seq("vec_id")) { df =>
+      val dim = 64
+      df.withColumn("embedding",
+        when(col("rep") === 0, col("embedding")).otherwise(concat(
+          slice(col("embedding"), col("rep").cast("int") + 1, lit(dim) - col("rep").cast("int")),
+          slice(col("embedding"), lit(1), col("rep").cast("int")))))
+    }
+    spark.stop()
+  }
+}

@@ -121,6 +121,37 @@ object UdfQueries {
       .orderBy("source", "pos")
   }
 
+  /** Certified heavy hitters via the native Misra-Gries aggregate (see
+    * [[FreqSketch]]): one bounded-state pass narrows the token stream to
+    * ≤ k candidates (guaranteed a superset of every token with frequency
+    * > n/(k+1)), a second pass counts ONLY candidate tokens via a
+    * broadcast join, and the exact-threshold filter makes the output
+    * deterministic — which is what lets a sketch whose raw contents are
+    * merge-order-dependent verify hash-exact against a plain GROUP BY
+    * oracle. Scale shape: no token ever shuffles (the sketch pass ships
+    * one O(k) buffer per partition, the certify pass broadcasts ≤ k
+    * candidate strings); the oracle shuffles the whole token stream. */
+  val u06HeavyHitters: Q = Q(
+    "u06_heavy_hitters",
+    """WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |SELECT w, COUNT(*) AS cnt FROM w GROUP BY w
+      |HAVING COUNT(*) * 65 > (SELECT COUNT(*) FROM w)
+      |ORDER BY cnt DESC, w""".stripMargin) { (s, d) =>
+    FreqSketch.register(s)
+    val words = Tables.t(s, d, "documents")
+      // limit -1 keeps trailing empty tokens (u03's string_split parity)
+      .select(explode(split(col("text"), " ", -1)).as("w"))
+    // one pass: MG candidate set and the exact token total together
+    val sketch = words.agg(
+      expr("graft_topfreq(w, 64)").as("cands"), count(lit(1)).as("n"))
+    val cands = sketch.select(explode(col("cands")).as("w"), col("n"))
+    words.join(broadcast(cands), "w")
+      .groupBy("w", "n").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") * 65 > col("n"))
+      .select("w", "cnt")
+      .orderBy(col("cnt").desc, col("w"))
+  }
+
   val all: Seq[Q] = Seq(u01Udaf, u02ScalarUdf, u03TypedFlatMap, u04Generator,
-    u05BottomKSketch)
+    u05BottomKSketch, u06HeavyHitters)
 }

@@ -290,5 +290,95 @@ object PipelineQueries {
         .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
   }
 
-  val all: Seq[Q] = Seq(p01TrainingPipeline, p02CurationPipeline, p03Pagerank, p04Triangles)
+  /** Semi-naive BFS (single-source hop distances) — the third classic
+    * graph kernel next to p03's label-propagation fixpoint and p04's
+    * wedge counting, and the one that exercises SEMI-NAIVE evaluation:
+    * each round joins the edge table against only the FRONTIER (vertices
+    * discovered last round), not the whole reach set — the Datalog
+    * delta-evaluation trick that turns an O(rounds × reached) cost into
+    * O(edges touched once). Graph: p03's bipartite customer/supplier
+    * co-occurrence; source: the minimum order-placing customer.
+    *
+    * Per round: frontier neighbors (co-partitioned shuffle-hash join on
+    * the pinned hash(src) edge layout — no broadcast, p03's
+    * beyond-broadcast discipline), minus already-visited (left anti on
+    * the hash(v)-pinned visited table), becomes the next frontier.
+    * Rounds cap at 8 to match the oracle's recursion bound; emptiness
+    * early-stop is a bounded per-round action like d07's convergence
+    * sum. Output: vertices per hop distance.
+    *
+    * Oracle: DuckDB recursive CTE enumerating (v, dist) pairs to depth 8
+    * then MIN(dist) per vertex — the transitive-closure shape whose
+    * intermediate is O(V × depth), exactly what the frontier form
+    * avoids at scale. */
+  val p05BfsHops: Q = Q(
+    "p05_bfs_hops",
+    """WITH RECURSIVE raw AS (
+      |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |edges AS (SELECT c AS src, s AS dst FROM raw
+      |          UNION ALL SELECT s AS src, c AS dst FROM raw),
+      |reach(v, dist) AS (
+      |  SELECT 2 * (SELECT MIN(o_custkey) FROM orders), 0
+      |  UNION
+      |  SELECT e.dst, r.dist + 1 FROM edges e JOIN reach r ON e.src = r.v
+      |  WHERE r.dist < 8),
+      |d AS (SELECT v, MIN(dist) AS dist FROM reach GROUP BY v)
+      |SELECT dist, COUNT(*) AS n_vertices FROM d
+      |GROUP BY dist ORDER BY dist""".stripMargin) { (s, d) =>
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      // AQE off for the loop — same reason as p03: the per-round
+      // checkpoints must keep their pinned hash layout, and under AQE
+      // the captured partitioning reports Unknown
+      "spark.sql.adaptive.enabled" -> "false")
+    val saved = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    def restore(): Unit = saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+    try {
+      val raw = Tables.t(s, d, "lineitem").select("l_orderkey", "l_suppkey")
+        .join(Tables.t(s, d, "orders").select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+        .distinct()
+      val n = s.sparkContext.defaultParallelism
+      val edges = graft.Stage.materializeBy(s,
+        raw.select(col("c").as("src"), col("s").as("dst"))
+          .unionAll(raw.select(col("s").as("src"), col("c").as("dst"))),
+        n, Seq(col("src")), "p05edges")
+      // bounded scalar (st14's watermark-scalar precedent): the source id
+      val src0 = Tables.t(s, d, "orders")
+        .agg(min(col("o_custkey"))).head().getLong(0) * 2
+      var visited = graft.Stage.materializeBy(s,
+        s.range(1).select(lit(src0).as("v"), lit(0).as("dist")),
+        n, Seq(col("v")), "p05v0")
+      var frontier = visited
+      var round = 1
+      var done = false
+      while (round <= 8 && !done) {
+        val next = graft.Stage.materializeBy(s,
+          edges.join(frontier.hint("shuffle_hash"), col("src") === col("v"))
+            .select(col("dst").as("v")).distinct()
+            .join(visited.select("v"), Seq("v"), "left_anti")
+            .select(col("v"), lit(round).as("dist")),
+          n, Seq(col("v")), s"p05f$round")
+        if (next.isEmpty) done = true
+        else {
+          visited = graft.Stage.materializeBy(s,
+            visited.unionAll(next), n, Seq(col("v")), s"p05v$round")
+          frontier = next
+        }
+        round += 1
+      }
+      visited.groupBy("dist").agg(count(lit(1)).as("n_vertices"))
+        .orderBy("dist")
+    } finally restore()
+  }
+
+  val all: Seq[Q] = Seq(p01TrainingPipeline, p02CurationPipeline, p03Pagerank, p04Triangles,
+    p05BfsHops)
 }

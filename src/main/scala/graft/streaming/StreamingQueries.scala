@@ -36,8 +36,17 @@ object StreamingQueries {
     * batch reader in Tables). */
   private def replayedEvents(s: SparkSession, d: String): DataFrame = {
     val dir = java.nio.file.Paths.get(graft.TempDirs.newTempDir("graft_stream_events_"))
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$d/events.parquet"), dir.resolve("events.parquet"))
+    // events.parquet is a single file at driver SFs but a Spark-written
+    // DIRECTORY of part files for ScaleUp output — Files.copy on a
+    // directory copies only the (empty) dir entry, silently starving the
+    // stream, so stage each data file explicitly
+    val src = java.nio.file.Paths.get(s"$d/events.parquet")
+    if (java.nio.file.Files.isDirectory(src)) {
+      val listing = java.nio.file.Files.list(src)
+      try listing.filter(_.getFileName.toString.endsWith(".parquet"))
+        .forEach(p => { java.nio.file.Files.copy(p, dir.resolve(p.getFileName)); () })
+      finally listing.close()
+    } else java.nio.file.Files.copy(src, dir.resolve("events.parquet"))
     val raw = s.read.parquet(s"$d/events.parquet").schema
     val df = s.readStream.schema(raw).parquet(dir.toString)
     if (raw("ts").dataType == org.apache.spark.sql.types.LongType)

@@ -32,7 +32,10 @@ def main():
     only = set(sys.argv[3:])
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # ScaleUp writes Spark-style <t>.parquet/ directories; glob those.
+        p = f"{sf_dir}/{t}.parquet"
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_bad = 0
     # Q.noOracle entries get a rows>0 smoke. Driven by the explicit manifest
