@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Coalesce, Divide, EqualTo, EvalMode, Expression, If, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, Cast, Coalesce, Divide, EqualTo, EvalMode, Expression, GreaterThan, If, IsNull, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Complete, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LogicalPlan, Project}
@@ -56,12 +56,21 @@ import org.apache.spark.sql.types.{ByteType, DecimalType, DoubleType, IntegerTyp
   *  - group expressions reference ONE side only, every aggregate
   *    input the OTHER side only (both orientations handled);
   *  - aggregate functions from the decomposable set sum/count/min/max/
-  *    avg, non-DISTINCT, un-FILTERed; SUM over DecimalType is excluded
-  *    because re-summing partial sums widens the result precision a
-  *    second time and would change the output schema; AVG decomposes
-  *    as (sum, count) partials merged to sum/count above the join,
-  *    restricted to integral inputs where that is bit-exact (see
-  *    decompose());
+  *    avg, non-DISTINCT, un-FILTERed; SUM over DecimalType re-sums the
+  *    widened per-key partials and casts the total back to the original
+  *    Sum's type — lossless whenever the naive plan's total was
+  *    representable, null exactly when the naive plan overflows to null
+  *    (non-ANSI). The subtlety is a PER-KEY partial overflowing where
+  *    the grand total would not: the re-sum would silently skip that
+  *    null partial and drop its contribution, so each decimal sum also
+  *    pushes a count partial and the merge returns null if any key has
+  *    (sum IS NULL, count > 0) — null sums from genuinely all-null keys
+  *    (count = 0) stay skippable, matching naive semantics. AVG
+  *    decomposes as (sum, count) partials merged to sum/count above the
+  *    join, restricted to integral inputs where that is bit-exact (see
+  *    decompose()); decimal/double AVG stays excluded (double would
+  *    re-associate FP, decimal AVG's internal divide precision depends
+  *    on the input precision it sees);
   *  - aggregate-side join keys are bare attributes (their exprIds
   *    survive into the pre-aggregate's output, so the join condition
   *    transfers verbatim).
@@ -96,8 +105,7 @@ object RewriteEagerAgg extends Rule[LogicalPlan] {
   /** Decomposable, pushable aggregate call over `side`'s columns only. */
   private def pushable(ae: AggregateExpression, side: LogicalPlan): Boolean =
     !ae.isDistinct && ae.filter.isEmpty && (ae.aggregateFunction match {
-      case s: Sum => !s.child.dataType.isInstanceOf[DecimalType] &&
-        s.references.subsetOf(side.outputSet)
+      case s: Sum => s.references.subsetOf(side.outputSet)
       // AVG decomposes as (sum, count) — but only over INTEGRAL inputs,
       // where the partial long sums are exact and the final sum/count
       // division is the one correctly-rounded FP op, so rule-on output
@@ -138,6 +146,31 @@ object RewriteEagerAgg extends Rule[LogicalPlan] {
             Literal(null, DoubleType),
             Divide(Cast(total(sumP), DoubleType), Cast(cntTot, DoubleType),
               EvalMode.LEGACY)))
+      case sm: Sum if sm.child.dataType.isInstanceOf[DecimalType] =>
+        // re-summing the widened per-key partials widens precision once
+        // more; cast back so the output schema matches the naive plan.
+        // Overflow guard (see scaladoc): a null partial with count > 0
+        // is a per-key overflow the re-sum would otherwise skip.
+        val sumP = Alias(ae, s"__graft_ea_${ae.resultId.id}")()
+        val cntP = Alias(
+          AggregateExpression(Count(Seq(sm.child)), Complete, isDistinct = false),
+          s"__graft_ea_n_${ae.resultId.id}")()
+        val overflowed = And(
+          IsNull(sumP.toAttribute),
+          GreaterThan(cntP.toAttribute, Literal(0L, LongType)))
+        val anyOverflow = Coalesce(Seq(
+          AggregateExpression(Max(overflowed), Complete, isDistinct = false),
+          Literal(false)))
+        Decomp(Seq(sumP, cntP),
+          If(anyOverflow,
+            Literal(null, ae.dataType),
+            // session-mode cast: ANSI throws on a total overflow like
+            // Sum itself would in the naive plan; non-ANSI nulls like
+            // Sum's null-on-overflow. (Under ANSI the If-guard is
+            // unreachable — the per-key partial throws first, the same
+            // exposure vanilla two-phase Sum has when a partition-local
+            // partial overflows a total that would have fit.)
+            Cast(total(sumP), ae.dataType)))
       case _: Sum =>
         val p = Alias(ae, s"__graft_ea_${ae.resultId.id}")()
         Decomp(Seq(p), total(p))

@@ -2193,6 +2193,36 @@ object RelationalQueries {
     } finally saved.foreach { case (k, v) => s.conf.set(k, v) }
   }
 
+  /** Eager aggregation over a DECIMAL measure — the aggregate real
+    * money rollups push (VERDICT r7 #4's second half): the per-key
+    * partial sums are the widened decimal type, the merge re-sums them
+    * and casts back to the naive plan's output type, and an overflow
+    * guard keeps null-on-overflow semantics exact (see
+    * [[graft.plans.RewriteEagerAgg]] scaladoc). Same pinned
+    * shuffle-join regime as q66/q69; `EagerAggSpec` asserts the
+    * pre-aggregate, the guard columns, rule-off parity, and the
+    * per-key-overflow corner. */
+  val q71EagerDecimal: Q = Q(
+    "q71_eager_decimal",
+    """SELECT o_orderpriority, COUNT(*) AS n_items,
+      |  SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    val saved = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = li(s, d).select("l_orderkey", "l_extendedprice")
+        .join(ord(s, d).select("o_orderkey", "o_orderpriority"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_extendedprice").cast("decimal(12,2)")).as("revenue"))
+        .orderBy("o_orderpriority")
+      df.queryExecution.executedPlan // force optimization under the conf
+      df
+    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   val all: Seq[Q] = Seq(
     q01ScanProject, q02Predicates, q03AggBasic, q04AggDistinct, q05Rollup,
     q06Cube, q07JoinBroadcast, q08JoinMultiway, q09JoinOuter, q10JoinFull,
@@ -2208,5 +2238,6 @@ object RelationalQueries {
     q53CboReorder, q54Dpp, q55RuntimeFilter, q56Scd2Merge, q57IncrementalAgg,
     q58NotInNullAware, q59ShuffleHashJoin, q60BinnedRangeJoin, q61BandJoinAuto,
     q62GapFill, q63Funnel, q64WeightedSample, q65Zorder, q66EagerAgg,
-    q67DeltaJoinView, q68KmvSketchMerge, q69EagerAvg, q70PruningCapstone)
+    q67DeltaJoinView, q68KmvSketchMerge, q69EagerAvg, q70PruningCapstone,
+    q71EagerDecimal)
 }

@@ -592,7 +592,62 @@ object SimilarityQueries {
     (scored, shortlist)
   }
 
+  /** Maximum-inner-product search (MIPS) — the retrieval-model scoring
+    * problem (user·item, query·doc) that angular/euclidean ANN indexes
+    * can't serve directly because inner product is not a metric. The
+    * classic public reduction (Bachrach et al., RecSys 2014; the
+    * "XBOX" transform): append sqrt(M² − ‖x‖²) to every data vector
+    * (M = max norm) — all augmented vectors then share norm M, so
+    * ANGULAR similarity search over the augmented space ranks exactly
+    * by inner product, and the existing sign-LSH machinery (v03)
+    * applies to MIPS unchanged. The probe conceptually appends 0.
+    *
+    * Portability: the augmented coordinate needs sqrt — fine, IEEE-754
+    * sqrt is CORRECTLY ROUNDED (unlike log/exp's ulp-loose libm), so
+    * both engines compute the identical double from the identical
+    * (exactly-computed) M² − ‖x‖². Buckets on 65-dim planes, candidate
+    * sets, and exact-dot scores therefore all hash-check, same as
+    * v03/v04/v07.
+    *
+    * Scale shape: norm+bucket assignment is per-row math against
+    * broadcast planes (table never shuffles), M² is a one-row scalar
+    * broadcast, and the probe's bucket join prunes the scan — the v03
+    * pattern with the MIPS reduction layered on top. */
+  val v13MaxipLsh: Q = {
+    // 65-dim planes for the augmented space (fresh seed; planes() is 64-d)
+    val rnd = new scala.util.Random(43)
+    val ps65 = Seq.fill(6)(Array.fill(65)(rnd.nextGaussian()))
+    Q(
+      "v13_maxip_lsh",
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM e),
+         |m AS (SELECT MAX(n2) AS m2 FROM n),
+         |b AS (SELECT vec_id, v,
+         |        ${bucketSql(ps65, "list_append(v, sqrt(m2 - n2))")} AS bucket
+         |      FROM n, m),
+         |p AS (SELECT v AS pv, bucket AS pbucket FROM b WHERE vec_id = 0)
+         |SELECT vec_id, bucket, list_dot_product(v, pv) AS ip
+         |FROM b, p WHERE bucket = pbucket
+         |ORDER BY ip DESC, vec_id LIMIT 10""".stripMargin) { (s, d) =>
+      val n = emb(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("n2", dot(col("v"), col("v")))
+      val m = n.agg(max(col("n2")).as("m2"))
+      val b = n.crossJoin(broadcast(m))
+        .withColumn("bucket",
+          bucketOf(concat(col("v"), array(sqrt(col("m2") - col("n2")))), ps65))
+        .select("vec_id", "v", "bucket")
+      val probe = b.filter(col("vec_id") === 0)
+        .select(col("v").as("pv"), col("bucket").as("pbucket"))
+      b.join(broadcast(probe), col("bucket") === col("pbucket"))
+        .select(col("vec_id"), col("bucket"), dot(col("v"), col("pv")).as("ip"))
+        .orderBy(col("ip").desc, col("vec_id"))
+        .limit(10)
+    }
+  }
+
   val all: Seq[Q] = Seq(v01CosineTopK, v02DotTopK, v03AnnLshBucket,
     v04EmbeddingNearDup, v05CosineTopKNative, v06AnnIvf, v07AnnPartitionPruned,
-    v08LabelCentroids, v09KmeansPortable, v10QuantizedDot, v11IvfPortable, v12CertifiedRerank)
+    v08LabelCentroids, v09KmeansPortable, v10QuantizedDot, v11IvfPortable,
+    v12CertifiedRerank, v13MaxipLsh)
 }

@@ -112,6 +112,60 @@ class EagerAggSpec extends AnyFunSuite {
     } finally s.experimental.extraOptimizations = saved
   }
 
+  test("decimal sum pushes guarded partials and matches rule-off exactly") {
+    val df = graft.relational.RelationalQueries.q71EagerDecimal.fn(s, d)
+    val plan = df.queryExecution.optimizedPlan
+    assert(hasPreAggBelowJoin(plan), s"decimal sum not pushed:\n$plan")
+    // the pre-aggregate must carry the overflow-guard count partial
+    val pre = plan.collect { case j: Join => j }.flatMap(j =>
+      j.left.collectFirst { case a: Aggregate => a } orElse
+        j.right.collectFirst { case a: Aggregate => a }).head
+    assert(pre.aggregateExpressions.map(_.name).exists(_.startsWith("__graft_ea_n_")),
+      s"overflow-guard count partial missing: ${pre.aggregateExpressions.map(_.name)}")
+    // schema must match the naive plan (re-sum widened then cast back)
+    val on = df.collect().map(_.toSeq)
+    val saved = s.experimental.extraOptimizations
+    s.experimental.extraOptimizations = saved.filterNot(_ == RewriteEagerAgg)
+    try {
+      val offDf = graft.relational.RelationalQueries.q71EagerDecimal.fn(s, d)
+      assert(df.schema == offDf.schema,
+        s"rewrite changed the output schema: ${df.schema} vs ${offDf.schema}")
+      assert(on.toSeq == offDf.collect().map(_.toSeq).toSeq,
+        "eager decimal sum changed the answer")
+    } finally s.experimental.extraOptimizations = saved
+  }
+
+  test("decimal per-key partial overflow yields null, not a dropped contribution") {
+    import s.implicits._
+    // the guard's null path is non-ANSI semantics (under ANSI the
+    // overflowing partial throws, naive and rewritten alike)
+    val ansiKey = "spark.sql.ansi.enabled"
+    val ansiSaved = s.conf.get(ansiKey)
+    s.conf.set(ansiKey, "false")
+    try noBroadcast {
+      // key 1's two near-max values overflow the per-key partial sum
+      // (decimal(38,0) stays 38-wide when Sum widens, so 2 x 9e37
+      // overflows); key 2 is a huge negative. The TRUE total also
+      // overflows, so the naive plan answers null — the unguarded
+      // rewrite would skip key 1's null partial and answer -9e37.
+      // via strings: the Scala BigDecimal encoder pins (38,18), which
+      // can't hold 9e37
+      val big = "9" + "0" * 37
+      val fact = Seq((1L, big), (1L, big), (2L, s"-$big"))
+        .toDF("k", "v")
+        .select(col("k"), col("v").cast("decimal(38,0)").as("v"))
+      val dims = (1L to 2000L).map(i => (i, s"g${i % 3}")).toDF("k", "g")
+      val df = dims.join(fact, "k").groupBy("g").agg(sum(col("v")).as("total"))
+      assert(hasPreAggBelowJoin(df.queryExecution.optimizedPlan),
+        "overflow test did not exercise the rewrite")
+      val rows = df.collect().map(r => r.getString(0) -> r.getDecimal(1)).toMap
+      assert(rows("g1") == null,
+        s"per-key overflow must surface as null, got ${rows("g1")}")
+      assert(rows("g2") != null && rows("g2").toBigInteger.signum() < 0,
+        "the non-overflowing group must keep its exact value")
+    } finally s.conf.set(ansiKey, ansiSaved)
+  }
+
   test("non-conforming shapes are untouched even in-regime") {
     noBroadcast {
       val li = graft.Tables.t(s, d, "lineitem")
@@ -128,10 +182,6 @@ class EagerAggSpec extends AnyFunSuite {
       val mixed = li.join(ord, col("l_orderkey") === col("o_orderkey"))
         .groupBy("o_orderpriority", "l_linenumber").agg(sum(col("l_quantity")).as("q"))
       assert(!hasPreAggBelowJoin(mixed.queryExecution.optimizedPlan), "mixed groups rewritten")
-      // decimal sum (Det kit) — precision would widen twice
-      val dec = li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .groupBy("o_orderpriority").agg(graft.Det.dsum(col("l_quantity")).as("q"))
-      assert(!hasPreAggBelowJoin(dec.queryExecution.optimizedPlan), "decimal sum rewritten")
       // avg over a DOUBLE input — re-associating the FP partial sums
       // would drift from the naive plan by ulps; must stay naive
       val davg = li.join(ord, col("l_orderkey") === col("o_orderkey"))

@@ -16,6 +16,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(sims.forall(v => v >= -1.0 && v <= 1.0))
   }
 
+  test("MIPS norm augmentation equalizes norms and ranks bucket mates by exact dot") {
+    import org.apache.spark.sql.functions._
+    // the reduction's defining property: every augmented vector has
+    // norm² = M² up to one sqrt + one square of rounding
+    val e = graft.Tables.t(s, d, "embeddings")
+      .select(col("embedding").cast("array<double>").as("v"))
+      .withColumn("n2", expr("aggregate(zip_with(v, v, (x, y) -> x * y), 0.0d, (a, x) -> a + x)"))
+    val m2 = e.agg(max(col("n2"))).head().getDouble(0)
+    val worst = e.select(max(abs(
+      (col("n2") + pow(sqrt(lit(m2) - col("n2")), 2)) - lit(m2)))).head().getDouble(0)
+    assert(worst <= 1e-9 * m2, s"augmented norm drifted: $worst vs m2=$m2")
+    // the entry's output is ordered by true inner product, probe first
+    // (the probe's self-dot ‖p‖² is not necessarily the max IP, but the
+    // bucket must contain the probe itself)
+    val rows = SimilarityQueries.v13MaxipLsh.fn(s, d).collect()
+    assert(rows.nonEmpty && rows.map(_.getLong(0)).contains(0L),
+      "probe missing from its own bucket")
+    val ips = rows.map(_.getDouble(2)).toSeq
+    assert(ips == ips.sorted.reverse, "descending by inner product")
+  }
+
   test("LSH bucket lookup returns a subset of brute force, probe first") {
     val bucket = SimilarityQueries.v03AnnLshBucket.fn(s, d).collect()
     assert(bucket.nonEmpty && bucket.head.getLong(0) == 0L,
