@@ -203,6 +203,62 @@ object MultimodalQueries {
       .orderBy("asset_id", "chunk_idx")
   }
 
+  /** Binary near-duplicate detection by CHUNK-HASH Jaccard — the
+    * content-addressable-storage dedup every blob store runs (and the
+    * binary analog of d05's shingle Jaccard): assets shred into the
+    * m06 fixed 64-byte chunks, each chunk reduced to its md5 AT THE
+    * SCAN (payload bytes never travel again), candidate pairs blocked
+    * by shared chunk hash (equality join — only assets sharing at
+    * least one block ever meet), exact Jaccard over the distinct chunk
+    * sets, pairs >= 0.5 kept. COMMON-BLOCK SUPPRESSION first: chunks
+    * present in more than 50 assets (the all-zeros block / boilerplate
+    * header problem) are dropped from every set before sizing and
+    * intersection — production dedup stores do exactly this because a
+    * universal block makes every pair a candidate (quadratic blowup)
+    * while carrying no identity signal. Exact integer counts + one
+    * correctly-rounded division keep the score hash-exact (d05's
+    * arithmetic discipline). */
+  val m07BinaryNearDup: Q = Q(
+    "m07_binary_neardup",
+    """WITH a AS (SELECT doc_id AS asset_id, text FROM documents WHERE doc_id < 300),
+      |c0 AS (SELECT DISTINCT asset_id,
+      |         md5(substr(text, CAST(i*64 + 1 AS INT), 64)) AS h
+      |       FROM a, LATERAL unnest(range(0, (octet_length(encode(text)) + 63) // 64)) AS t(i)),
+      |pop AS (SELECT h FROM c0 GROUP BY h HAVING COUNT(*) <= 50),
+      |c AS (SELECT asset_id, h FROM c0 WHERE h IN (SELECT h FROM pop)),
+      |s AS (SELECT asset_id, COUNT(*) AS n FROM c GROUP BY asset_id),
+      |x AS (SELECT p.asset_id AS i, q.asset_id AS j, COUNT(*) AS nc
+      |      FROM c p JOIN c q ON p.h = q.h AND p.asset_id < q.asset_id
+      |      GROUP BY 1, 2)
+      |SELECT i, j, nc / (si.n + sj.n - nc) AS jac
+      |FROM x JOIN s si ON si.asset_id = i JOIN s sj ON sj.asset_id = j
+      |WHERE nc / (si.n + sj.n - nc) >= 0.5
+      |ORDER BY i, j""".stripMargin) { (s, d) =>
+    val chunk = expr("substring(payload, CAST(chunk_idx*64 + 1 AS INT), 64)")
+    val c0 = assets(s, d)
+      .filter(col("asset_id") < 300)
+      .select(col("asset_id"), col("payload"),
+        explode(sequence(lit(0L), expr("(length(payload) + 63) div 64") - 1))
+          .as("chunk_idx"))
+      .select(col("asset_id"), md5(chunk).as("h"))
+      .distinct()
+    val pop = c0.groupBy("h").agg(count(lit(1)).as("na"))
+      .filter(col("na") <= 50).select("h")
+    val c = c0.join(pop, "h") // inner join on the unique-h keep list
+    val sizes = c.groupBy("asset_id").agg(count(lit(1)).as("n"))
+    val inter = c.as("p").join(c.as("q"),
+        col("p.h") === col("q.h") && col("p.asset_id") < col("q.asset_id"))
+      .groupBy(col("p.asset_id").as("i"), col("q.asset_id").as("j"))
+      .agg(count(lit(1)).as("nc"))
+    inter
+      .join(broadcast(sizes.select(col("asset_id").as("i"), col("n").as("ni"))), "i")
+      .join(broadcast(sizes.select(col("asset_id").as("j"), col("n").as("nj"))), "j")
+      .withColumn("jac", col("nc") / (col("ni") + col("nj") - col("nc")))
+      .filter(col("jac") >= 0.5)
+      .select(col("i"), col("j"), col("jac"))
+      .orderBy("i", "j")
+  }
+
   val all: Seq[Q] = Seq(m01AssetCatalog, m02DecodeMeta, m03ResizeBatch,
-    m04FrameSample, m05TypedMetaByKind, m06AssetChunking)
+    m04FrameSample, m05TypedMetaByKind, m06AssetChunking, m07BinaryNearDup)
 }

@@ -646,8 +646,55 @@ object SimilarityQueries {
     }
   }
 
+  /** Batched ANN serving — the deployment shape the single-probe entries
+    * (v01/v03/v07) build toward: a TABLE of probes answered in ONE
+    * declarative plan, not a per-probe driver loop. Every vector's
+    * bucket computes once (per-row math against broadcast planes); the
+    * probe set broadcasts and equi-joins on bucket (each data row meets
+    * only the probes that share its bucket); per-probe exact-cosine
+    * top-5 comes from the row_number()<=k idiom — which the engine's own
+    * AutoLocalTopK rule turns into bounded-heap partition pruning below
+    * the exchange (q48's behavior, firing here on a REAL workload).
+    * At 100 TB: queries arrive in batches of thousands; this plan costs
+    * one scan + one broadcast join + one k-bounded shuffle regardless of
+    * batch size, where a per-probe loop costs a scan per query. */
+  val v14BatchedAnn: Q = {
+    val ps = planes(6)
+    Q(
+      "v14_batched_ann",
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |b AS (SELECT vec_id, v, ${bucketSql(ps, "v")} AS bucket FROM e),
+         |p AS (SELECT vec_id AS probe_id, v AS pv, bucket AS pbucket
+         |      FROM b WHERE vec_id < 8),
+         |sc AS (SELECT probe_id, vec_id, list_cosine_similarity(v, pv) AS cos_sim
+         |       FROM b JOIN p ON bucket = pbucket),
+         |r AS (SELECT probe_id, vec_id, cos_sim, row_number() OVER (
+         |        PARTITION BY probe_id ORDER BY cos_sim DESC, vec_id) AS rn
+         |      FROM sc)
+         |SELECT probe_id, vec_id, cos_sim, rn FROM r WHERE rn <= 5
+         |ORDER BY probe_id, rn""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val b = emb(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("bucket", bucketOf(col("v"), ps))
+      val probes = b.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+          col("bucket").as("pbucket"))
+      val scored = b.join(broadcast(probes), col("bucket") === col("pbucket"))
+        .select(col("probe_id"), col("vec_id"),
+          cosine(col("v"), col("pv")).as("cos_sim"))
+      val w = Window.partitionBy("probe_id")
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("probe_id"), col("vec_id"), col("cos_sim"),
+          col("rn").cast("long").as("rn"))
+        .orderBy("probe_id", "rn")
+    }
+  }
+
   val all: Seq[Q] = Seq(v01CosineTopK, v02DotTopK, v03AnnLshBucket,
     v04EmbeddingNearDup, v05CosineTopKNative, v06AnnIvf, v07AnnPartitionPruned,
     v08LabelCentroids, v09KmeansPortable, v10QuantizedDot, v11IvfPortable,
-    v12CertifiedRerank, v13MaxipLsh)
+    v12CertifiedRerank, v13MaxipLsh, v14BatchedAnn)
 }

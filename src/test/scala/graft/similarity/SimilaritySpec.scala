@@ -37,6 +37,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ips == ips.sorted.reverse, "descending by inner product")
   }
 
+  test("batched ANN serves every probe and gets the auto heap prune") {
+    val df = SimilarityQueries.v14BatchedAnn.fn(s, d)
+    val rows = df.collect() // finalize AQE before inspecting the plan
+    // the row_number()<=5 idiom must hand per-partition pruning to the
+    // engine's LocalTopK (q48's rule, firing on a real workload)
+    assert(SparkTestBase.flattenPlan(df.queryExecution.executedPlan)
+      .exists(_.isInstanceOf[graft.plans.LocalTopKPerGroupExec]),
+      "AutoLocalTopK did not fire on the batched-ANN window filter")
+    // every probe answers (its own bucket always contains itself), in
+    // rank order, at most 5 deep
+    val byProbe = rows.groupBy(_.getLong(0))
+    assert(byProbe.keySet == (0L until 8L).toSet, s"probes missing: ${byProbe.keySet}")
+    byProbe.foreach { case (p, rs) =>
+      assert(rs.length <= 5 && rs.map(_.getLong(3)).toSeq == (1L to rs.length),
+        s"probe $p ranks broken")
+    }
+  }
+
   test("LSH bucket lookup returns a subset of brute force, probe first") {
     val bucket = SimilarityQueries.v03AnnLshBucket.fn(s, d).collect()
     assert(bucket.nonEmpty && bucket.head.getLong(0) == 0L,
