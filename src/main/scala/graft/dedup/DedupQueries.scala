@@ -680,7 +680,64 @@ object DedupQueries {
       .orderBy("cell")
   }
 
+  /** Canonical-representative selection — the step a dedup pipeline
+    * runs AFTER clustering (d07): each component keeps exactly one
+    * document, chosen by QUALITY rather than by arbitrary min-id —
+    * here the type-token ratio (p01's quality criterion), ties to the
+    * lower doc_id. Composes the d07 component computation verbatim
+    * (its fn is reused directly — the catalog entries are building
+    * blocks, not silos), joins the per-doc score, and takes the
+    * row_number()=1 representative per component — which the
+    * AutoLocalTopK rule prunes with bounded heaps below the exchange.
+    * Scale shape: components and scores are (id, number) pairs; doc
+    * text is touched only in the scoring scan. Oracle: d07's
+    * recursive-CTE components extended with the same score + window. */
+  val d12CanonicalSelect: Q = Q(
+    "d12_canonical_select",
+    """WITH RECURSIVE t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |p AS (
+      |  SELECT doc_id, array_to_string(toks[1:3], ' ') AS pre,
+      |         array_to_string(toks[-3:], ' ') AS suf FROM t),
+      |e0 AS (
+      |  SELECT a.doc_id AS u, b.doc_id AS v FROM p a
+      |    JOIN p b ON a.pre = b.pre AND a.doc_id < b.doc_id
+      |  UNION
+      |  SELECT a.doc_id, b.doc_id FROM p a
+      |    JOIN p b ON a.suf = b.suf AND a.doc_id < b.doc_id),
+      |e AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+      |reach(id, r) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.id),
+      |comp AS (SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id),
+      |q AS (SELECT doc_id,
+      |        len(list_distinct(string_split(text, ' '))) /
+      |          len(string_split(text, ' ')) AS ttr
+      |      FROM documents),
+      |sz AS (SELECT component, COUNT(*) AS n_docs FROM comp GROUP BY component),
+      |r2 AS (SELECT comp.component, comp.doc_id, q.ttr, row_number() OVER (
+      |         PARTITION BY comp.component ORDER BY q.ttr DESC, comp.doc_id) AS rn
+      |       FROM comp JOIN q USING (doc_id))
+      |SELECT r2.component, sz.n_docs, r2.doc_id AS rep_doc_id, r2.ttr AS rep_ttr
+      |FROM r2 JOIN sz USING (component)
+      |WHERE rn <= 1 ORDER BY component""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val comp = d07CcClusters.fn(s, d).select("doc_id", "component")
+    val q = docs(s, d).select(col("doc_id"),
+      (size(array_distinct(toks)) / size(toks)).as("ttr"))
+    val sizes = comp.groupBy("component").agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("component").orderBy(col("ttr").desc, col("doc_id"))
+    comp.join(q, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 1)
+      .join(sizes, "component")
+      .select(col("component"), col("n_docs"),
+        col("doc_id").as("rep_doc_id"), col("ttr").as("rep_ttr"))
+      .orderBy("component")
+  }
+
   val all: Seq[Q] = Seq(d01ExactDedup, d02HashDedup, d03MinHashLsh, d04SimHash,
     d05NgramJaccard, d06MinHashPortable, d07CcClusters, d08BloomIncremental,
-    d09ShardedBloom, d10SemanticDedup, d11SimHashPortable)
+    d09ShardedBloom, d10SemanticDedup, d11SimHashPortable, d12CanonicalSelect)
 }

@@ -479,11 +479,78 @@ object IngestQueries {
       .orderBy("doc_id")
   }
 
+  /** MERGE-ON-READ — the lakehouse table layout (Hudi MOR / Iceberg
+    * v2 deletes) that makes upserts cheap at 100 TB: writers append
+    * small SEQUENCED delta files (full-row updates + tombstones)
+    * instead of rewriting the base, and readers reconstruct current
+    * state as base ∪ deltas → latest sequence per key wins → drop
+    * tombstones. Complements the WRITE-side upsert family (q45
+    * write-time merge, q56 SCD2, i14 partition overwrite) with the
+    * READ side, and pairs with i17: compaction is exactly what folds
+    * these deltas back into a new base when the per-read window cost
+    * grows. Real files: base snapshot + two delta generations land in
+    * a temp dir as parquet (derived deterministically from orders, so
+    * the oracle reconstructs the identical final state from the source
+    * table), then ONE read-side plan does the merge. The per-key
+    * latest-wins window shuffles only (key, seq) + carried columns of
+    * base∪delta — deltas are small, and at scale the window prunes to
+    * updated keys' groups via the same two-phase top-k machinery
+    * (AutoLocalTopK fires on the row_number()=1 idiom). */
+  val i20MergeOnRead: Q = Q(
+    "i20_merge_on_read",
+    """WITH live AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderkey BETWEEN 500 AND 799 THEN 'X-URGENT'
+      |         ELSE o_orderpriority END AS o_orderpriority,
+      |    CASE WHEN o_orderkey BETWEEN 600 AND 699 THEN o_totalprice * 1.1 * 0.5
+      |         WHEN o_orderkey BETWEEN 500 AND 799 THEN o_totalprice * 1.1
+      |         ELSE o_totalprice END AS o_totalprice
+      |  FROM orders
+      |  WHERE o_orderkey < 2000 AND o_orderkey NOT BETWEEN 800 AND 899)
+      |SELECT o_orderpriority, COUNT(*) AS n_live,
+      |""".stripMargin + s"  ${Det.sqlSum("o_totalprice")} AS total\n" +
+      """FROM live GROUP BY o_orderpriority ORDER BY o_orderpriority""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val dir = graft.TempDirs.newTempDir("graft_mor_")
+    val ord = graft.Tables.t(s, d, "orders")
+      .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    // base snapshot: seq 0, no tombstones
+    ord.filter(col("o_orderkey") < 2000)
+      .withColumn("_seq", lit(0L)).withColumn("_deleted", lit(false))
+      .write.mode("overwrite").parquet(s"$dir/base")
+    // delta 1: full-row updates for keys 500-799 (priority + 10% price),
+    // tombstones for keys 800-899
+    ord.filter(col("o_orderkey").between(500, 899))
+      .withColumn("o_orderpriority",
+        when(col("o_orderkey") <= 799, lit("X-URGENT")).otherwise(col("o_orderpriority")))
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") <= 799, col("o_totalprice") * 1.1).otherwise(col("o_totalprice")))
+      .withColumn("_seq", lit(1L))
+      .withColumn("_deleted", col("o_orderkey").between(800, 899))
+      .write.mode("overwrite").parquet(s"$dir/delta1")
+    // delta 2: read-modify-write on top of delta 1 for keys 600-699
+    // (half the already-bumped price; carries delta 1's priority)
+    ord.filter(col("o_orderkey").between(600, 699))
+      .withColumn("o_orderpriority", lit("X-URGENT"))
+      .withColumn("o_totalprice", col("o_totalprice") * 1.1 * 0.5)
+      .withColumn("_seq", lit(2L)).withColumn("_deleted", lit(false))
+      .write.mode("overwrite").parquet(s"$dir/delta2")
+    // READ SIDE: one plan — union, latest seq per key, drop tombstones
+    val merged = s.read.parquet(s"$dir/base", s"$dir/delta1", s"$dir/delta2")
+    val w = Window.partitionBy("o_orderkey").orderBy(col("_seq").desc)
+    merged.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 1)
+      .filter(!col("_deleted"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_live"), Det.dsum(col("o_totalprice")).as("total"))
+      .orderBy("o_orderpriority")
+  }
+
   val all: Seq[Q] = Seq(
     i01PageScan, i02TimestampParse, i03WatermarkFilter, i04RunningMax,
     i05PartitionedSink, i06BackfillCursor, i07DailyCounts,
     i08JsonlPermissive, i09CsvScan, i10V2SourceScan, i11CorruptRetention,
     i12SchemaEvolution, i13StreamingSource, i14DynamicOverwrite,
     i15OrcRoundtrip, i16SortedSkipping, i17Compaction, i18V2AtomicSink,
-    i19ParquetBloom)
+    i19ParquetBloom, i20MergeOnRead)
 }

@@ -2223,6 +2223,39 @@ object RelationalQueries {
     } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  /** Cohort retention — the third classic product-analytics kernel next
+    * to q62's gap-fill and q63's funnel: users bucketed by FIRST-active
+    * week (their cohort), each later active week attributed to (cohort,
+    * weeks-since-first), cells counting distinct users — the retention
+    * triangle every growth dashboard renders. Plan shape: the event
+    * stream collapses to distinct (user, week) AT THE SCAN-side
+    * aggregate (the only pass over raw events; at 10^12 events this is
+    * the partial-agged shuffle that matters), first-week derives from
+    * that compact activity table, and the cell count is a COUNT(*) over
+    * (user, week) rows — already distinct, so no second distinct pass.
+    * Week truncation (Monday-start) and day-diff/7 arithmetic are
+    * engine-portable integers; no session/timezone dependence (UTC
+    * pinned). */
+  val q72CohortRetention: Q = Q(
+    "q72_cohort_retention",
+    """WITH a AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS w
+      |           FROM events),
+      |f AS (SELECT user_id, MIN(w) AS cw FROM a GROUP BY user_id)
+      |SELECT cw AS cohort_week, CAST((a.w - f.cw) // 7 AS BIGINT) AS week_n,
+      |  COUNT(*) AS n_users
+      |FROM a JOIN f USING (user_id)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    val a = Tables.t(s, d, "events")
+      .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("w"))
+      .distinct()
+    val f = a.groupBy("user_id").agg(min(col("w")).as("cw"))
+    a.join(f, "user_id")
+      .groupBy(col("cw").as("cohort_week"),
+        expr("datediff(w, cw) div 7").cast("long").as("week_n"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_week", "week_n")
+  }
+
   val all: Seq[Q] = Seq(
     q01ScanProject, q02Predicates, q03AggBasic, q04AggDistinct, q05Rollup,
     q06Cube, q07JoinBroadcast, q08JoinMultiway, q09JoinOuter, q10JoinFull,
@@ -2239,5 +2272,5 @@ object RelationalQueries {
     q58NotInNullAware, q59ShuffleHashJoin, q60BinnedRangeJoin, q61BandJoinAuto,
     q62GapFill, q63Funnel, q64WeightedSample, q65Zorder, q66EagerAgg,
     q67DeltaJoinView, q68KmvSketchMerge, q69EagerAvg, q70PruningCapstone,
-    q71EagerDecimal)
+    q71EagerDecimal, q72CohortRetention)
 }

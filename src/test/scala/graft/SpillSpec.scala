@@ -29,7 +29,12 @@ class SpillSpec extends AnyFunSuite {
     // round-7 heavies: the iterative graph pair, the trigram LM sweep,
     // the rewritten join-agg shapes, and the within-cell pairwise dedup
     "p03_pagerank", "p04_triangles", "t14_lm_score", "q66_eager_agg",
-    "q67_delta_join_view", "d10_semantic_dedup", "v12_certified_rerank")
+    "q67_delta_join_view", "d10_semantic_dedup", "v12_certified_rerank",
+    // round-8 heavies: frontier BFS, batched ANN serving, chunk-hash
+    // binary dedup, the MOR read, and the clustering+representative
+    // composition
+    "p05_bfs_hops", "v14_batched_ann", "m07_binary_neardup",
+    "i20_merge_on_read", "d12_canonical_select")
 
   test("hot queries run spill-free at the verify SF") {
     val spilled = new LongAdder
