@@ -2188,7 +2188,22 @@ object RelationalQueries {
         .select(col("o_year"), col("o_orderpriority"), col("n_items"),
           col("total_qty"), col("rn").cast("long").as("rn"))
         .orderBy("o_year", "rn")
-      df.queryExecution.executedPlan // force optimization while confs are on
+      // Force optimization while the confs are on — via the FORMATTED
+      // explain, whose node walk also initializes every plan node's
+      // lazy description fields. That pre-warm is load-bearing, not
+      // cosmetic: executeQuery is synchronized on the plan node and
+      // BLOCKS inside waitForSubqueries, and a concurrent
+      // SQL-execution-start event computing the same node's verbose
+      // string takes the same monitor through the metadata lazy-val
+      // init. With this entry's non-reuse DPP channel + runtime-bloom
+      // subqueries, that pairing can cycle (observed once: the
+      // shuffle-exchange thread held the fact scan's monitor waiting on
+      // the DPP subquery, whose nested execution's explain blocked on
+      // that very monitor — three-thread deadlock). Initializing the
+      // lazies here, before any concurrent execution exists, leaves
+      // nothing for the racing threads to lock.
+      df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
       df
     } finally saved.foreach { case (k, v) => s.conf.set(k, v) }
   }
@@ -2256,6 +2271,54 @@ object RelationalQueries {
       .orderBy("cohort_week", "week_n")
   }
 
+  /** Interval OVERLAP join — the two-endpoint generalization of q60/q61's
+    * band join (reservations×outages, genomic ranges, session×incident):
+    * pairs where [s1,e1] ∩ [s2,e2] ≠ ∅. No equi key exists, so naive
+    * Spark plans a nested-loop scan of every pair; the scale path BINS
+    * time into windows at least as wide as the longest interval (30 days
+    * here, intervals ≤ 29), explodes each interval into its ≤ 2 covering
+    * bins (one `sequence`, exact integer day arithmetic), equi-joins on
+    * bin, applies the exact overlap predicate as a residual, and
+    * de-duplicates pairs found in both shared bins — shuffle volume
+    * O(rows × bins-per-row) on bare keys + two dates, vs O(|A|×|B|)
+    * comparisons. Oracle: the naive theta join DuckDB can afford at
+    * verify SF. The bound-the-length precondition is the documented
+    * contract (real systems split longer intervals first). */
+  val q73IntervalOverlap: Q = Q(
+    "q73_interval_overlap",
+    """WITH o AS (SELECT o_orderkey AS k, CAST(o_orderdate AS DATE) AS s1,
+      |             CAST(o_orderdate AS DATE) + CAST(o_orderkey % 30 AS INT) AS e1,
+      |             o_orderpriority
+      |           FROM orders),
+      |a AS (SELECT k, s1, e1 FROM o WHERE o_orderpriority = '1-URGENT' AND k % 7 = 0),
+      |b AS (SELECT k AS bk, s1 AS s2, e1 AS e2 FROM o WHERE k % 3 = 0)
+      |SELECT a.k AS a_key, COUNT(*) AS n_overlap
+      |FROM a JOIN b ON a.s1 <= b.e2 AND b.s2 <= a.e1
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val o = ord(s, d).select(
+      col("o_orderkey").as("k"),
+      col("o_orderdate").cast("date").as("s1"),
+      date_add(col("o_orderdate").cast("date"),
+        (col("o_orderkey") % 30).cast("int")).as("e1"),
+      col("o_orderpriority"))
+    val a = o.filter(col("o_orderpriority") === "1-URGENT" && col("k") % 7 === 0)
+      .select(col("k"), col("s1"), col("e1"))
+    val b = o.filter(col("k") % 3 === 0)
+      .select(col("k").as("bk"), col("s1").as("s2"), col("e1").as("e2"))
+    // bin = epoch-day div 30; an interval of length <= 29 covers <= 2 bins
+    // (positive epoch days, so the double-divide truncation is floor)
+    def bin(c: org.apache.spark.sql.Column) =
+      (datediff(c, lit("1970-01-01").cast("date")).cast("long") / 30).cast("long")
+    val aB = a.withColumn("bin", explode(sequence(bin(col("s1")), bin(col("e1")))))
+    val bB = b.withColumn("bin", explode(sequence(bin(col("s2")), bin(col("e2")))))
+    aB.join(bB, Seq("bin"))
+      .filter(col("s1") <= col("e2") && col("s2") <= col("e1"))
+      .select(col("k"), col("bk")).distinct()
+      .groupBy(col("k").as("a_key"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .orderBy("a_key")
+  }
+
   val all: Seq[Q] = Seq(
     q01ScanProject, q02Predicates, q03AggBasic, q04AggDistinct, q05Rollup,
     q06Cube, q07JoinBroadcast, q08JoinMultiway, q09JoinOuter, q10JoinFull,
@@ -2272,5 +2335,5 @@ object RelationalQueries {
     q58NotInNullAware, q59ShuffleHashJoin, q60BinnedRangeJoin, q61BandJoinAuto,
     q62GapFill, q63Funnel, q64WeightedSample, q65Zorder, q66EagerAgg,
     q67DeltaJoinView, q68KmvSketchMerge, q69EagerAvg, q70PruningCapstone,
-    q71EagerDecimal, q72CohortRetention)
+    q71EagerDecimal, q72CohortRetention, q73IntervalOverlap)
 }

@@ -598,16 +598,104 @@ object StreamingQueries {
     } finally s.conf.set(key, saved)
   }
 
+  /** Event-time TIMERS under transformWithState (see
+    * [[SessionExpiryProcessor]]): emit each user's session summary only
+    * when the watermark proves their silence exceeded the 2 h gap —
+    * output is produced exclusively by handleExpiredTimer, never by
+    * input processing, which is the capability (emit-on-absence) no
+    * join/window/agg shape can express. Users active within the last
+    * (gap + watermark delay) of the stream never expire and must NOT
+    * appear — the oracle states exactly that cutoff in batch SQL. */
+  val st16TimerExpiry: Q = Q(
+    "st16_timer_session_expiry",
+    """WITH m AS (SELECT epoch_ms(MAX(ts)) AS mx FROM events),
+      |u AS (SELECT user_id, COUNT(*) AS n, epoch_ms(MAX(ts)) AS last_ms
+      |      FROM events GROUP BY user_id)
+      |SELECT user_id, n, last_ms FROM u, m
+      |WHERE last_ms + 7200000 < mx - 3600000
+      |ORDER BY user_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = s.conf.get(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try withCappedStateWidth(s) {
+      val input = replayedEvents(s, d)
+        .withWatermark("ts", "1 hour")
+        .select(col("user_id"), unix_millis(col("ts")).as("ms"))
+        .as[(Long, Long)]
+      val out = input
+        .groupByKey(_._1)
+        .transformWithState(
+          new SessionExpiryProcessor(7200000L),
+          org.apache.spark.sql.streaming.TimeMode.EventTime(),
+          org.apache.spark.sql.streaming.OutputMode.Append(),
+          implicitly[org.apache.spark.sql.Encoder[(Long, Long, Long)]])
+        .toDF("user_id", "n", "last_ms")
+      runToTable(s, out, "append")
+        .orderBy("user_id")
+    } finally s.conf.set(key, saved)
+  }
+
   val all: Seq[Q] = Seq(st01Tumbling, st02Sliding, st03Session, st04Dedup,
     st05Stateful, st06FileSink, st07StreamJoin, st08ForeachBatch,
     st09StreamStaticJoin, st10UpdateMode, st11StreamDedup, st12StreamAnnRoute,
-    st13RocksdbState, st14StreamLeftOuter, st15TransformWithState)
+    st13RocksdbState, st14StreamLeftOuter, st15TransformWithState, st16TimerExpiry)
 }
 
 /** st15's processor: named per-key ValueState holding (count, cents),
   * folded per input batch, current total emitted per update. Top-level
   * class (not an entry-local anonymous one) because the processor is
   * serialized into the streaming query. */
+/** st16's processor: per-user session finalization via EVENT-TIME TIMERS
+  * — the half of the transformWithState API st15's ValueState entry
+  * doesn't touch. Each input batch advances the user's (count, last-ts)
+  * state and re-arms a timer at last-ts + gap (the previous timer is
+  * deleted — exactly one armed timer per key); when the WATERMARK passes
+  * a timer, handleExpiredTimer emits the final session summary and
+  * clears state — the emit-on-silence pattern (cart abandonment,
+  * session end, SLA breach) that polling can't express. Nothing is
+  * emitted from handleInputRows; output exists ONLY via timers. */
+class SessionExpiryProcessor(gapMs: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Long), (Long, Long, Long)] {
+  @transient private var state: org.apache.spark.sql.streaming.ValueState[(Long, Long)] = _
+
+  override def init(
+      outputMode: org.apache.spark.sql.streaming.OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    state = getHandle.getValueState[(Long, Long)](
+      "sess",
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong),
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+  override def handleInputRows(
+      key: Long,
+      rows: Iterator[(Long, Long)],
+      timers: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[(Long, Long, Long)] = {
+    var (n, last) = Option(state.get()).getOrElse((0L, Long.MinValue))
+    rows.foreach { case (_, ms) => n += 1; if (ms > last) last = ms }
+    // re-arm: exactly one live timer per key
+    getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+    getHandle.registerTimer(last + gapMs)
+    state.update((n, last))
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(
+      key: Long,
+      timers: org.apache.spark.sql.streaming.TimerValues,
+      expired: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+      : Iterator[(Long, Long, Long)] = {
+    val out = Option(state.get()).map { case (n, last) => (key, n, last) }
+    state.clear()
+    out.iterator
+  }
+}
+
 class RunningCentsProcessor
     extends org.apache.spark.sql.streaming.StatefulProcessor[
       Long, (Long, Long), (Long, Long, Long)] {
