@@ -546,11 +546,64 @@ object IngestQueries {
       .orderBy("o_orderpriority")
   }
 
+  /** STORAGE-PARTITIONED JOIN — the final DSv2 surface next to the O1
+    * read source and the i18 atomic sink: a scan that REPORTS its
+    * partitioning (see [[graft.sources.KeyedSourceProvider]]) lets two
+    * co-bucketed tables join with ZERO shuffle on either side, the
+    * Iceberg/Hudi mechanism that makes a daily 100 TB fact⋈fact join
+    * affordable. Orders and customer project into the keyed-CSV layout
+    * bucketed by custkey; both scans declare
+    * KeyGroupedPartitioning(identity(bucket), 8); under
+    * spark.sql.sources.v2.bucketing.enabled (+ broadcast off, else the
+    * small side would broadcast and the question is moot)
+    * EnsureRequirements plans the equi join exchange-free —
+    * `SpjSpec` asserts zero shuffles below the join and that switching
+    * the conf off brings the exchanges back. The oracle joins the same
+    * projections on the source tables. */
+  val i21SpjJoin: Q = Q(
+    "i21_spj_join",
+    s"""WITH o AS (SELECT o_custkey AS k, o_totalprice AS num FROM orders),
+       |c AS (SELECT c_custkey AS k, c_mktsegment AS tag FROM customer)
+       |SELECT tag, COUNT(*) AS n, ${Det.sqlSum("num")} AS total
+       |FROM o JOIN c USING (k)
+       |GROUP BY tag ORDER BY tag""".stripMargin) { (s, d) =>
+    val dir = graft.TempDirs.newTempDir("graft_spj_")
+    graft.Tables.t(s, d, "orders")
+      .select(col("o_custkey"), col("o_totalprice"), lit("-"))
+      .write.option("header", "false").csv(s"$dir/orders")
+    graft.Tables.t(s, d, "customer")
+      .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+      .write.option("header", "false").csv(s"$dir/customer")
+    def keyed(sub: String) = s.read
+      .format("graft.sources.KeyedSourceProvider")
+      .option("path", s"$dir/$sub").option("buckets", "8").load()
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      // the join clusters on (bucket, k); the reported partition key is
+      // only (bucket) — allow co-partitioning on the subset
+      "spark.sql.requireAllClusterKeysForCoPartition" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> s.conf.get(k) }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      val o = keyed("orders").select(
+        col("k"), col("num").as("o_num"), col("bucket"))
+      val c = keyed("customer").select(
+        col("k"), col("tag"), col("bucket"))
+      val df = o.join(c, Seq("bucket", "k"))
+        .groupBy("tag")
+        .agg(count(lit(1)).as("n"), Det.dsum(col("o_num")).as("total"))
+        .orderBy("tag")
+      df.queryExecution.executedPlan // pin the exchange-free plan in-scope
+      df
+    } finally saved.foreach { case (k, v) => s.conf.set(k, v) }
+  }
+
   val all: Seq[Q] = Seq(
     i01PageScan, i02TimestampParse, i03WatermarkFilter, i04RunningMax,
     i05PartitionedSink, i06BackfillCursor, i07DailyCounts,
     i08JsonlPermissive, i09CsvScan, i10V2SourceScan, i11CorruptRetention,
     i12SchemaEvolution, i13StreamingSource, i14DynamicOverwrite,
     i15OrcRoundtrip, i16SortedSkipping, i17Compaction, i18V2AtomicSink,
-    i19ParquetBloom, i20MergeOnRead)
+    i19ParquetBloom, i20MergeOnRead, i21SpjJoin)
 }
