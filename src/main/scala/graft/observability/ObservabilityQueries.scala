@@ -89,5 +89,45 @@ object ObservabilityQueries {
       .toDF("n_rows", "total_price", "n_discounted")
   }
 
-  val all: Seq[Q] = Seq(o01QueryMetrics, o02Observe)
+  /** observe() on a STREAMING query — o02's in-plan audit channel in
+    * the deployment where it matters most: a long-running stream whose
+    * per-batch data-quality metrics land in every
+    * StreamingQueryProgress (the feed a monitoring pipeline tails).
+    * The metrics are pure data aggregates in exact integer arithmetic
+    * (count, cents sum, threshold tally), summed across batches on the
+    * driver — batch boundaries can't change a sum of longs — so the
+    * entry is fully ORACLE-CHECKED against DuckDB computing the same
+    * aggregates over the same events. The stream runs to a noop sink:
+    * the metrics ride the real streaming engine (offsets, progress
+    * reporting), not a batch shortcut. */
+  val o03StreamObserve: Q = Q(
+    "o03_stream_observe",
+    """SELECT COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+      |  CAST(COUNT(CASE WHEN CAST(round(value * 100) AS BIGINT) > 5000
+      |             THEN 1 END) AS BIGINT) AS n_big
+      |FROM events WHERE event_type = 'purchase'""".stripMargin) { (s, d) =>
+    val obsName = s"graft_o03_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+    val stream = graft.streaming.StreamingQueries.replayedEvents(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(expr("cast(round(value * 100) as long)").as("c"))
+      .observe(obsName,
+        count(lit(1)).as("n_rows"),
+        sum(col("c")).as("cents"),
+        count(when(col("c") > 5000, 1)).as("n_big"))
+    val q = stream.writeStream.format("noop")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val batches = q.recentProgress.toSeq
+      .flatMap(p => Option(p.observedMetrics.get(obsName)))
+    val n = batches.map(_.getAs[Long]("n_rows")).sum
+    val cents = batches.flatMap(r => Option(r.getAs[Any]("cents")))
+      .map(_.asInstanceOf[Long]).sum
+    val big = batches.map(_.getAs[Long]("n_big")).sum
+    import s.implicits._
+    Seq((n, cents, big)).toDF("n_rows", "cents", "n_big")
+  }
+
+  val all: Seq[Q] = Seq(o01QueryMetrics, o02Observe, o03StreamObserve)
 }

@@ -34,7 +34,7 @@ object StreamingQueries {
   /** events replayed as a bounded file stream (ts arrives as int64 nanos
     * under the session's nanosAsLong conf, converted exactly like the
     * batch reader in Tables). */
-  private def replayedEvents(s: SparkSession, d: String): DataFrame = {
+  private[graft] def replayedEvents(s: SparkSession, d: String): DataFrame = {
     val dir = java.nio.file.Paths.get(graft.TempDirs.newTempDir("graft_stream_events_"))
     // events.parquet is a single file at driver SFs but a Spark-written
     // DIRECTORY of part files for ScaleUp output — Files.copy on a
