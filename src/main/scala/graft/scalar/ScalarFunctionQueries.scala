@@ -278,27 +278,33 @@ object ScalarFunctionQueries {
   }
 
   /** Conditional / argument aggregates: count_if, bool_or/bool_and,
-    * max_by/min_by (DuckDB arg_max/arg_min). max_by ties are
-    * nondeterministic on BOTH engines — here the ordering key
-    * (o_totalprice within priority group) is tie-free at every shipped
-    * SF (checked 0.001/0.01/0.1), so the argmax is well-defined. */
+    * max_by/min_by (DuckDB arg_max/arg_min). Raw max_by ties are
+    * nondeterministic on BOTH engines, so the arg extraction runs as
+    * max/min over the COMPOSITE struct (o_totalprice, o_orderkey) with
+    * the key projected out — structs compare lexicographically on both
+    * engines (DuckDB's arg_max itself rejects struct ordering), making
+    * the argmax well-defined even on data with exact price ties (the
+    * shipped SFs are tie-free, but the 10× ScaleUp layer replicates
+    * prices under new keys and caught the raw form diverging —
+    * SCALE.md). */
   val s12ConditionalAgg: Q = Q(
     "s12_conditional_agg",
     """SELECT o_orderpriority,
       |  CAST(count_if(o_totalprice > 300000) AS BIGINT) AS n_big,
       |  bool_or(o_totalprice > 500000) AS any_huge,
       |  bool_and(o_totalprice > 0) AS all_positive,
-      |  arg_max(o_orderkey, o_totalprice) AS top_order,
-      |  arg_min(o_orderkey, o_totalprice) AS bottom_order
+      |  (max(struct_pack(p := o_totalprice, k := o_orderkey))).k AS top_order,
+      |  (min(struct_pack(p := o_totalprice, k := o_orderkey))).k AS bottom_order
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    val pk = struct(col("o_totalprice").as("p"), col("o_orderkey").as("k"))
     ord(s, d)
       .groupBy("o_orderpriority")
       .agg(
         count_if(col("o_totalprice") > 300000).as("n_big"),
         bool_or(col("o_totalprice") > 500000).as("any_huge"),
         bool_and(col("o_totalprice") > 0).as("all_positive"),
-        max_by(col("o_orderkey"), col("o_totalprice")).as("top_order"),
-        min_by(col("o_orderkey"), col("o_totalprice")).as("bottom_order"))
+        max(pk).getField("k").as("top_order"),
+        min(pk).getField("k").as("bottom_order"))
       .orderBy("o_orderpriority")
   }
 

@@ -34,19 +34,26 @@ object StreamingQueries {
   /** events replayed as a bounded file stream (ts arrives as int64 nanos
     * under the session's nanosAsLong conf, converted exactly like the
     * batch reader in Tables). */
-  private[graft] def replayedEvents(s: SparkSession, d: String): DataFrame = {
-    val dir = java.nio.file.Paths.get(graft.TempDirs.newTempDir("graft_stream_events_"))
-    // events.parquet is a single file at driver SFs but a Spark-written
-    // DIRECTORY of part files for ScaleUp output — Files.copy on a
-    // directory copies only the (empty) dir entry, silently starving the
-    // stream, so stage each data file explicitly
-    val src = java.nio.file.Paths.get(s"$d/events.parquet")
+  /** Stage one table's parquet into a fresh replay dir. The table is a
+    * single file at driver SFs but a Spark-written DIRECTORY of part
+    * files for ScaleUp output — Files.copy on a directory copies only
+    * the (empty) dir entry, silently starving the stream, so stage each
+    * data file explicitly. */
+  private def stageForReplay(d: String, name: String, prefix: String): String = {
+    val dir = java.nio.file.Paths.get(graft.TempDirs.newTempDir(prefix))
+    val src = java.nio.file.Paths.get(s"$d/$name.parquet")
     if (java.nio.file.Files.isDirectory(src)) {
       val listing = java.nio.file.Files.list(src)
       try listing.filter(_.getFileName.toString.endsWith(".parquet"))
         .forEach(p => { java.nio.file.Files.copy(p, dir.resolve(p.getFileName)); () })
       finally listing.close()
-    } else java.nio.file.Files.copy(src, dir.resolve("events.parquet"))
+    } else java.nio.file.Files.copy(src, dir.resolve(s"$name.parquet"))
+    dir.toString
+  }
+
+  private[graft] def replayedEvents(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Paths.get(
+      stageForReplay(d, "events", "graft_stream_events_"))
     val raw = s.read.parquet(s"$d/events.parquet").schema
     val df = s.readStream.schema(raw).parquet(dir.toString)
     if (raw("ts").dataType == org.apache.spark.sql.types.LongType)
@@ -484,19 +491,15 @@ object StreamingQueries {
   }
 
   private def replayedEmbeddings(s: SparkSession, d: String): DataFrame = {
-    val dir = java.nio.file.Paths.get(graft.TempDirs.newTempDir("graft_stream_emb_"))
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$d/embeddings.parquet"), dir.resolve("embeddings.parquet"))
+    val dir = stageForReplay(d, "embeddings", "graft_stream_emb_")
     val schema = s.read.parquet(s"$d/embeddings.parquet").schema
-    s.readStream.schema(schema).parquet(dir.toString)
+    s.readStream.schema(schema).parquet(dir)
   }
 
   private def replayedDocuments(s: SparkSession, d: String): DataFrame = {
-    val dir = java.nio.file.Paths.get(graft.TempDirs.newTempDir("graft_stream_docs_"))
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$d/documents.parquet"), dir.resolve("documents.parquet"))
+    val dir = stageForReplay(d, "documents", "graft_stream_docs_")
     val schema = s.read.parquet(s"$d/documents.parquet").schema
-    s.readStream.schema(schema).parquet(dir.toString)
+    s.readStream.schema(schema).parquet(dir)
   }
 
   /** Stream-stream LEFT OUTER interval join — st07's attribution shape
