@@ -185,7 +185,8 @@ object MultimodalQueries {
     * md5 per chunk on both engines. */
   val m06AssetChunking: Q = Q(
     "m06_asset_chunking",
-    """WITH a AS (SELECT doc_id AS asset_id, text FROM documents WHERE doc_id < 100)
+    """WITH a AS (SELECT doc_id AS asset_id, text FROM documents
+      |           WHERE doc_id < 100 AND octet_length(encode(text)) > 0)
       |SELECT asset_id, CAST(i AS BIGINT) AS chunk_idx,
       |  CAST(octet_length(encode(substr(text, CAST(i*64 + 1 AS INT), 64))) AS BIGINT) AS chunk_len,
       |  md5(substr(text, CAST(i*64 + 1 AS INT), 64)) AS chunk_md5
@@ -193,7 +194,10 @@ object MultimodalQueries {
       |ORDER BY asset_id, chunk_idx""".stripMargin) { (s, d) =>
     val chunk = expr("substring(payload, CAST(chunk_idx*64 + 1 AS INT), 64)")
     assets(s, d)
-      .filter(col("asset_id") < 100)
+      // empty-payload guard on BOTH engines: Spark's sequence(0, -1)
+      // DEFAULTS step to -1 when start > stop and yields [0, -1] — two
+      // spurious chunk rows — where DuckDB's range(0, 0) yields none.
+      .filter(col("asset_id") < 100 && length(col("payload")) > 0)
       .select(col("asset_id"), col("payload"),
         explode(sequence(lit(0L), expr("(length(payload) + 63) div 64") - 1))
           .as("chunk_idx"))
@@ -220,7 +224,8 @@ object MultimodalQueries {
     * arithmetic discipline). */
   val m07BinaryNearDup: Q = Q(
     "m07_binary_neardup",
-    """WITH a AS (SELECT doc_id AS asset_id, text FROM documents WHERE doc_id < 300),
+    """WITH a AS (SELECT doc_id AS asset_id, text FROM documents
+      |           WHERE doc_id < 300 AND octet_length(encode(text)) > 0),
       |c0 AS (SELECT DISTINCT asset_id,
       |         md5(substr(text, CAST(i*64 + 1 AS INT), 64)) AS h
       |       FROM a, LATERAL unnest(range(0, (octet_length(encode(text)) + 63) // 64)) AS t(i)),
@@ -236,7 +241,8 @@ object MultimodalQueries {
       |ORDER BY i, j""".stripMargin) { (s, d) =>
     val chunk = expr("substring(payload, CAST(chunk_idx*64 + 1 AS INT), 64)")
     val c0 = assets(s, d)
-      .filter(col("asset_id") < 300)
+      // same empty-payload guard as m06 (sequence(0, -1) is DESCENDING)
+      .filter(col("asset_id") < 300 && length(col("payload")) > 0)
       .select(col("asset_id"), col("payload"),
         explode(sequence(lit(0L), expr("(length(payload) + 63) div 64") - 1))
           .as("chunk_idx"))

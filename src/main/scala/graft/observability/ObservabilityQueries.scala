@@ -115,12 +115,41 @@ object ObservabilityQueries {
         count(lit(1)).as("n_rows"),
         sum(col("c")).as("cents"),
         count(when(col("c") > 5000, 1)).as("n_big"))
-    val q = stream.writeStream.format("noop")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    val batches = q.recentProgress.toSeq
-      .flatMap(p => Option(p.observedMetrics.get(obsName)))
+    // Collect per-batch metrics through a StreamingQueryListener, NOT
+    // q.recentProgress: the progress buffer is capped at
+    // spark.sql.streaming.numRecentProgressUpdates (default 100), so a
+    // replay splitting into >100 batches would silently drop the
+    // earliest batches from the sum. The listener sees every progress
+    // event; batchId keying dedups any redelivery. obsName is
+    // UUID-unique, so filtering on its presence needs no query-id
+    // handshake with the (async) listener bus.
+    val perBatch = new java.util.concurrent.ConcurrentHashMap[
+      java.lang.Long, org.apache.spark.sql.Row]()
+    val terminated = new java.util.concurrent.CountDownLatch(1)
+    val ourId = new java.util.concurrent.atomic.AtomicReference[java.util.UUID]()
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit =
+        Option(e.progress.observedMetrics.get(obsName))
+          .foreach(r => perBatch.put(e.progress.batchId, r))
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+        if (e.id == ourId.get) terminated.countDown()
+    }
+    s.streams.addListener(listener)
+    try {
+      val q = stream.writeStream.format("noop")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      ourId.set(q.id)
+      q.awaitTermination()
+      // the listener bus is async; the terminated event is delivered
+      // after every progress event for this query, so waiting for it
+      // guarantees perBatch is complete.
+      terminated.await(60, java.util.concurrent.TimeUnit.SECONDS)
+    } finally s.streams.removeListener(listener)
+    import scala.jdk.CollectionConverters._
+    val batches = perBatch.values.asScala.toSeq
     val n = batches.map(_.getAs[Long]("n_rows")).sum
     val cents = batches.flatMap(r => Option(r.getAs[Any]("cents")))
       .map(_.asInstanceOf[Long]).sum

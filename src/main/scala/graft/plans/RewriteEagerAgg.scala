@@ -59,13 +59,22 @@ import org.apache.spark.sql.types.{ByteType, DecimalType, DoubleType, IntegerTyp
   *    avg, non-DISTINCT, un-FILTERed; SUM over DecimalType re-sums the
   *    widened per-key partials and casts the total back to the original
   *    Sum's type — lossless whenever the naive plan's total was
-  *    representable, null exactly when the naive plan overflows to null
-  *    (non-ANSI). The subtlety is a PER-KEY partial overflowing where
+  *    representable. The subtlety is a PER-KEY partial overflowing where
   *    the grand total would not: the re-sum would silently skip that
   *    null partial and drop its contribution, so each decimal sum also
   *    pushes a count partial and the merge returns null if any key has
   *    (sum IS NULL, count > 0) — null sums from genuinely all-null keys
-  *    (count = 0) stay skippable, matching naive semantics. AVG
+  *    (count = 0) stay skippable, matching naive semantics. That guard
+  *    is CONSERVATIVE, a one-sided divergence from the naive plan: if a
+  *    per-key partial overflows but the keys cancel so the naive grand
+  *    total was representable, rule-on returns null where rule-off
+  *    returned a number (never the converse, and never a wrong number).
+  *    The only regime where a per-key overflow without a total overflow
+  *    is plausible is a saturated widening — child precision + 10 >= 38
+  *    leaves under 10 digits of headroom — so pushable() excludes
+  *    decimal sums in that regime entirely; below it a per-key overflow
+  *    needs ~1e10 max-magnitude rows on one key and the conservative
+  *    null is a practically unreachable fail-safe. AVG
   *    decomposes as (sum, count) partials merged to sum/count above the
   *    join, restricted to integral inputs where that is bit-exact (see
   *    decompose()); decimal/double AVG stays excluded (double would
@@ -105,7 +114,15 @@ object RewriteEagerAgg extends Rule[LogicalPlan] {
   /** Decomposable, pushable aggregate call over `side`'s columns only. */
   private def pushable(ae: AggregateExpression, side: LogicalPlan): Boolean =
     !ae.isDistinct && ae.filter.isEmpty && (ae.aggregateFunction match {
-      case s: Sum => s.references.subsetOf(side.outputSet)
+      case s: Sum => (s.child.dataType match {
+        // Saturated decimal widening (result precision capped at 38)
+        // leaves < 10 digits of per-key headroom — the one regime where
+        // a per-key partial can overflow while the naive grand total
+        // fits, turning the conservative null guard from unreachable
+        // fail-safe into a plausible divergence. Skip it (see scaladoc).
+        case d: DecimalType => d.precision + 10 < DecimalType.MAX_PRECISION
+        case _ => true
+      }) && s.references.subsetOf(side.outputSet)
       // AVG decomposes as (sum, count) — but only over INTEGRAL inputs,
       // where the partial long sums are exact and the final sum/count
       // division is the one correctly-rounded FP op, so rule-on output

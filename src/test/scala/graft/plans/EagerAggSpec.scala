@@ -135,34 +135,53 @@ class EagerAggSpec extends AnyFunSuite {
     } finally s.experimental.extraOptimizations = saved
   }
 
-  test("decimal per-key partial overflow yields null, not a dropped contribution") {
+  test("saturated-precision decimal sums are excluded from the rewrite") {
     import s.implicits._
-    // the guard's null path is non-ANSI semantics (under ANSI the
-    // overflowing partial throws, naive and rewritten alike)
+    // decimal(38,0): Sum's widening is capped at 38, leaving < 10
+    // digits of per-key headroom — the one regime where a per-key
+    // partial can overflow while the naive grand total stays
+    // representable (keys cancel), which would force the merge's
+    // conservative null where the naive plan answers a number.
+    // pushable() therefore refuses saturated widening outright; the
+    // naive plan runs and its semantics (including true-overflow null
+    // under non-ANSI) hold by construction.
     val ansiKey = "spark.sql.ansi.enabled"
     val ansiSaved = s.conf.get(ansiKey)
     s.conf.set(ansiKey, "false")
     try noBroadcast {
-      // key 1's two near-max values overflow the per-key partial sum
-      // (decimal(38,0) stays 38-wide when Sum widens, so 2 x 9e37
-      // overflows); key 2 is a huge negative. The TRUE total also
-      // overflows, so the naive plan answers null — the unguarded
-      // rewrite would skip key 1's null partial and answer -9e37.
-      // via strings: the Scala BigDecimal encoder pins (38,18), which
-      // can't hold 9e37
+      // key 1's partial would overflow (2 x 9e37 > decimal(38,0)); key
+      // 4 — same group g1 — cancels it, so g1's TRUE total is exactly
+      // 0, representable. Pre-fix, the rewrite fired here and answered
+      // the conservative null; now it must not fire and the exact total
+      // must come back. via strings: the Scala BigDecimal encoder pins
+      // (38,18), which can't hold 9e37.
       val big = "9" + "0" * 37
-      val fact = Seq((1L, big), (1L, big), (2L, s"-$big"))
+      val fact = Seq((1L, big), (1L, big), (4L, s"-$big"), (4L, s"-$big"))
         .toDF("k", "v")
         .select(col("k"), col("v").cast("decimal(38,0)").as("v"))
       val dims = (1L to 2000L).map(i => (i, s"g${i % 3}")).toDF("k", "g")
       val df = dims.join(fact, "k").groupBy("g").agg(sum(col("v")).as("total"))
-      assert(hasPreAggBelowJoin(df.queryExecution.optimizedPlan),
-        "overflow test did not exercise the rewrite")
-      val rows = df.collect().map(r => r.getString(0) -> r.getDecimal(1)).toMap
-      assert(rows("g1") == null,
-        s"per-key overflow must surface as null, got ${rows("g1")}")
-      assert(rows("g2") != null && rows("g2").toBigInteger.signum() < 0,
-        "the non-overflowing group must keep its exact value")
+      assert(!hasPreAggBelowJoin(df.queryExecution.optimizedPlan),
+        "saturated decimal(38,0) sum must not be rewritten")
+      // No value assertion on g1: at this precision even VANILLA Spark's
+      // two-phase Sum is accumulation-order-dependent (a partition-local
+      // partial of +9e37 +9e37 overflows to null before the cancelling
+      // negatives arrive), so "the naive plan answers a number" is not a
+      // stable fact to pin. The contract under test is purely that the
+      // rule declines the regime and leaves whatever Spark does alone —
+      // rule-on output below must equal rule-off by construction.
+      val ruleOnRows = df.collect().map(_.toSeq).toSet
+      val saved = s.experimental.extraOptimizations
+      s.experimental.extraOptimizations = saved.filterNot(_ == RewriteEagerAgg)
+      val ruleOff = try dims.join(fact, "k")
+        .groupBy("g").agg(sum(col("v")).as("total")).collect().map(_.toSeq).toSet
+        finally s.experimental.extraOptimizations = saved
+      assert(ruleOnRows == ruleOff, "declined rewrite must be a no-op")
+      // sub-saturation decimal sums still rewrite (q71's regime)
+      val factOk = fact.select(col("k"), col("v").cast("decimal(20,0)").as("v"))
+      val dfOk = dims.join(factOk, "k").groupBy("g").agg(sum(col("v")).as("total"))
+      assert(hasPreAggBelowJoin(dfOk.queryExecution.optimizedPlan),
+        "decimal(20,0) sum (28 digits of widened headroom) must still rewrite")
     } finally s.conf.set(ansiKey, ansiSaved)
   }
 

@@ -60,12 +60,15 @@ class SpjSpec extends AnyFunSuite {
     assert(spjShuffles == 0,
       s"storage-partitioned join still shuffled ($spjShuffles exchanges)")
 
-    // conf off (broadcast still disabled): same rows, but exchanges return
+    // conf off (broadcast still disabled): same rows, but exchanges return.
+    // Restore the SAVED value (not unset) so a harness-pinned threshold
+    // on the shared session survives this test.
+    val savedThreshold = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
     s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     val (offRows, offShuffles) = try {
       val df = joined(dir)
       (df.collect().map(_.toSeq).toSet, shuffles(df))
-    } finally s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", savedThreshold)
     assert(offShuffles > 0, "without v2 bucketing the join should shuffle")
     assert(spjRows == offRows, "SPJ changed the join result")
     assert(spjRows.nonEmpty, "empty join — assertions vacuous")
