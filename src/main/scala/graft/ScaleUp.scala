@@ -23,6 +23,18 @@ import org.apache.spark.sql.functions._
   *    verbatim copies, which would turn every dup cluster into a clique
   *    across replicas and misattribute quadratic candidate blowup to the
   *    engine). n_chars is recomputed to keep its length(text) invariant.
+  *    The optional 4th arg `globalTokens=N` keeps the source corpus's N
+  *    most frequent tokens UNtagged in every replica — the stopword
+  *    behavior of a real corpus, where "the"/"and" are global no matter
+  *    how large the crawl grows. Without it, tagging splits every
+  *    token's count ×factor and frequency-sketch entries (u06) go
+  *    vacuous at scale: nothing can clear an n/(k+1) threshold when the
+  *    corpus is 100% replica-local vocabulary (SCALE.md r8 documents
+  *    the artifact). A handful of globals (default 8 when enabled)
+  *    keeps near-dup decorrelation intact — shingles need runs of 3+
+  *    consecutive global tokens to collide across replicas, which a
+  *    stopword-sized set makes rare — while restoring the true
+  *    heavy-hitter population the sketch exists to find.
   *  - Embedding vectors are decorrelated by rotating the 64 dimensions by
   *    `rep` positions: rotation preserves norms and all within-replica
   *    pair geometry bit-for-bit, while cross-replica cosines drop to the
@@ -34,7 +46,7 @@ import org.apache.spark.sql.functions._
   *    window means 10× traffic density, which is the scale story the
   *    windowed/streaming entries need to survive.
   *
-  * Usage: graft.ScaleUp <srcDir> <destDir> [factor=10]
+  * Usage: graft.ScaleUp <srcDir> <destDir> [factor=10] [globalTokens=0]
   * Writes Spark-style `<table>.parquet/` directories (Tables.t reads
   * either layout; tools/check.py globs both).
   */
@@ -45,6 +57,7 @@ object ScaleUp {
     require(args.length >= 2, "usage: graft.ScaleUp <srcDir> <destDir> [factor]")
     val (src, dst) = (args(0), args(1))
     val factor = if (args.length > 2) args(2).toInt else 10
+    val globalTokens = if (args.length > 3) args(3).toInt else 0
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -87,10 +100,26 @@ object ScaleUp {
       else df
     }
     scaled("documents", Seq("doc_id")) { df =>
+      // bounded driver list (N stopword-like tokens), deterministic
+      // tie-break so repeated generations are identical
+      val globals: Seq[String] =
+        if (globalTokens <= 0) Nil
+        else read("documents")
+          .select(explode(split(col("text"), " ")).as("w"))
+          .groupBy("w").count()
+          .orderBy(desc("count"), col("w"))
+          .limit(globalTokens)
+          .collect().map(_.getString(0)).toSeq
+      val tag = (w: org.apache.spark.sql.Column) =>
+        concat(w, lit("x"), col("rep").cast("string"))
+      val tagged =
+        if (globals.isEmpty) array_join(
+          transform(split(col("text"), " "), w => tag(w)), " ")
+        else array_join(
+          transform(split(col("text"), " "),
+            w => when(w.isin(globals: _*), w).otherwise(tag(w))), " ")
       df.withColumn("text",
-          when(col("rep") === 0, col("text")).otherwise(array_join(
-            transform(split(col("text"), " "),
-              w => concat(w, lit("x"), col("rep").cast("string"))), " ")))
+          when(col("rep") === 0, col("text")).otherwise(tagged))
         .withColumn("n_chars", length(col("text")).cast("long"))
     }
     scaled("embeddings", Seq("vec_id")) { df =>

@@ -379,6 +379,64 @@ object PipelineQueries {
     } finally restore()
   }
 
+  /** p05's reachability via the runtime's NATIVE `WITH RECURSIVE`
+    * (VERDICT r8 #5) — the engine's own recursion executing the same
+    * delta loop p05 hand-rolls, hash-matched against the identical
+    * DuckDB recursive oracle. Two semantic bridges:
+    *  - Spark's recursion is UNION ALL-only (no UNION dedup across the
+    *    accumulated result), so the recursive term dedups EACH LEVEL
+    *    with SELECT DISTINCT. On an undirected graph each level is then
+    *    a neighbor SET (≤ V rows, though levels revisit earlier
+    *    vertices on parity), and MIN(dist) per vertex still recovers
+    *    the true BFS distance — first appearance is at d(v).
+    *  - DuckDB's UNION-recursion dedups (v, dist) pairs globally; the
+    *    same MIN(dist) collapse makes both reductions identical.
+    * Which plan wins: p05's manual loop. The native recursion carries
+    * no visited set, so every level re-expands the full frontier
+    * INCLUDING vertices seen two levels back (the parity echo — on
+    * this graph each level is ~all vertices of one side after a couple
+    * of hops), and each level's DISTINCT is a full shuffle of a
+    * V-sized set; p05's left-anti against visited shrinks each level
+    * to the NEW vertices only and keeps one pinned hash layout across
+    * rounds. Native recursion buys generality (arbitrary SQL, no
+    * driver loop) at the cost of delta evaluation — exactly why the
+    * hand-rolled form remains the 100 TB shape (measured: p06 11.2 s
+    * vs p05 5.1 s at sf0.1/local[32] — 2.2x). */
+  val p06BfsRecursiveCte: Q = Q(
+    "p06_bfs_recursive_cte",
+    """WITH RECURSIVE raw AS (
+      |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |edges AS (SELECT c AS src, s AS dst FROM raw
+      |          UNION ALL SELECT s AS src, c AS dst FROM raw),
+      |reach(v, dist) AS (
+      |  SELECT 2 * (SELECT MIN(o_custkey) FROM orders), 0
+      |  UNION
+      |  SELECT e.dst, r.dist + 1 FROM edges e JOIN reach r ON e.src = r.v
+      |  WHERE r.dist < 8),
+      |d AS (SELECT v, MIN(dist) AS dist FROM reach GROUP BY v)
+      |SELECT dist, COUNT(*) AS n_vertices FROM d
+      |GROUP BY dist ORDER BY dist""".stripMargin) { (s, d) =>
+    Tables.t(s, d, "lineitem").createOrReplaceTempView("lineitem")
+    Tables.t(s, d, "orders").createOrReplaceTempView("orders")
+    s.sql(
+      """WITH RECURSIVE reach(v, dist) AS (
+        |  SELECT 2 * (SELECT MIN(o_custkey) FROM orders) AS v, 0 AS dist
+        |  UNION ALL
+        |  SELECT DISTINCT e.dst AS v, r.dist + 1 AS dist
+        |  FROM (
+        |    WITH raw AS (
+        |      SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+        |      FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |    SELECT c AS src, s AS dst FROM raw
+        |    UNION ALL SELECT s AS src, c AS dst FROM raw
+        |  ) e JOIN reach r ON e.src = r.v
+        |  WHERE r.dist < 8)
+        |SELECT dist, COUNT(*) AS n_vertices
+        |FROM (SELECT v, MIN(dist) AS dist FROM reach GROUP BY v)
+        |GROUP BY dist ORDER BY dist""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(p01TrainingPipeline, p02CurationPipeline, p03Pagerank, p04Triangles,
-    p05BfsHops)
+    p05BfsHops, p06BfsRecursiveCte)
 }

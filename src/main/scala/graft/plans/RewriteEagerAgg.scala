@@ -114,6 +114,11 @@ object RewriteEagerAgg extends Rule[LogicalPlan] {
   /** Decomposable, pushable aggregate call over `side`'s columns only. */
   private def pushable(ae: AggregateExpression, side: LogicalPlan): Boolean =
     !ae.isDistinct && ae.filter.isEmpty && (ae.aggregateFunction match {
+      // int128 fixed-point sum: per-key partials are unconditionally
+      // exact (no overflow regime at feasible scales — see Sum128's
+      // scaladoc), so unlike widened-decimal Sum it decomposes with no
+      // guard and no precision ceiling.
+      case s: graft.functions.Sum128 => s.references.subsetOf(side.outputSet)
       case s: Sum => (s.child.dataType match {
         // Saturated decimal widening (result precision capped at 38)
         // leaves < 10 digits of per-key headroom — the one regime where
@@ -163,6 +168,14 @@ object RewriteEagerAgg extends Rule[LogicalPlan] {
             Literal(null, DoubleType),
             Divide(Cast(total(sumP), DoubleType), Cast(cntTot, DoubleType),
               EvalMode.LEGACY)))
+      case s128: graft.functions.Sum128 =>
+        // per-key int128 partials below the join are EXACT decimals
+        // (decimal(38,s)); the merge re-sums those few-per-key rows with
+        // the stock decimal Sum — above the join, off the per-row hot
+        // path. Total overflow (> 38 digits) surfaces the same way the
+        // un-rewritten Sum128 would surface it: loudly.
+        val p = Alias(ae, s"__graft_ea_${ae.resultId.id}")()
+        Decomp(Seq(p), Cast(total(p), s128.dataType))
       case sm: Sum if sm.child.dataType.isInstanceOf[DecimalType] =>
         // re-summing the widened per-key partials widens precision once
         // more; cast back so the output schema matches the naive plan.

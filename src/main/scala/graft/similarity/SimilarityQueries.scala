@@ -693,8 +693,155 @@ object SimilarityQueries {
     }
   }
 
+  /** PRODUCT-QUANTIZATION ANN, oracle-checked END TO END (VERDICT r8
+    * #6) — the other production compression for 100 TB vector stores
+    * next to v10's scalar int8 (Jégou, Douze, Schmid, "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011). The 64-dim
+    * vector splits into M=8 sub-vectors; each subspace gets its own
+    * K=16-centroid codebook; a vector's code is 8 x 4 bits = 4 bytes
+    * (64x smaller than float64). Queries score by ASYMMETRIC DISTANCE
+    * (ADC): dot(probe, centroid) precomputes into an M x K lookup
+    * table, each row's approximate score is M lookups summed, the ADC
+    * top-100 shortlist reranks with the exact dot, exact top-20 out.
+    *
+    * Every arithmetic step is pinned cross-engine (v09/v11's portable
+    * discipline, extended with the subspace dimension):
+    *  - codebooks train on a BOUNDED sample (vec_id % 20 = 0 AND
+    *    < 65536 — fixed work at any corpus scale): deterministic init
+    *    (the 16 smallest sample ids' sub-vectors, code = the id —
+    *    constant-free, window-free), one Lloyd round with
+    *    exact-decimal means (Det.davg), argmin by the IDENTICAL
+    *    ((s·s − 2·s·c) + c·c) expression with code-ascending
+    *    tie-break on both engines;
+    *  - the ADC sum folds the M lut values in m ORDER
+    *    (array_sort(collect_list(struct(m, lv)))) vs DuckDB's
+    *    list(lv ORDER BY m) through list_dot_product with a ones
+    *    vector — both sequential left folds, bit-identical);
+    *  - so qdot itself is hash-checked (v10's approximate-score
+    *    pattern), and the shortlist - ORDER BY qdot DESC, vec_id LIMIT
+    *    100 — is the same row set on both engines, making the exact
+    *    rerank hash-green INDEPENDENT of recall.
+    * `PqAnnSpec` pins the statistical properties the hash can't: the
+    * Cauchy-Schwarz certificate |dot − adc| <= ||residual||·||p||
+    * holds row-by-row, the shortlist prunes, and recall@100 of the
+    * true top-20 clears its floor.
+    *
+    * Scale shape: training touches only the bounded sample; encoding
+    * is one pass over (rows x M) sub-vectors against 128 broadcast
+    * centroids; ADC is a broadcast lut join + 8-value fold per row;
+    * only the 100-row shortlist ever touches full vectors again.
+    * Candidates are never all-pairs. (At 100 TB the lut join becomes a
+    * literal array lookup — collect the 128 trained centroids driver-
+    * side like st12's inlined centroids; the catalog keeps the
+    * declarative join so BOTH engines state the same plan.) */
+  val v15PqAdc: Q = Q(
+    "v15_pq_adc",
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |sub AS (SELECT vec_id, m, v[m*8+1 : m*8+8] AS s
+       |        FROM e, (SELECT unnest(range(0, 8)) AS m)),
+       |samp AS (SELECT * FROM sub WHERE vec_id % 20 = 0 AND vec_id < 65536),
+       |c0 AS (SELECT m, vec_id AS code, s AS c FROM samp WHERE vec_id < 320),
+       |a1 AS (SELECT vec_id, m, code, s FROM (
+       |        SELECT samp.vec_id, samp.m, c0.code, samp.s,
+       |          row_number() OVER (PARTITION BY samp.vec_id, samp.m ORDER BY
+       |            ((list_dot_product(samp.s, samp.s)
+       |              - 2 * list_dot_product(samp.s, c0.c))
+       |              + list_dot_product(c0.c, c0.c)), c0.code) AS rn
+       |        FROM samp JOIN c0 ON samp.m = c0.m)
+       |      WHERE rn = 1),
+       |cd AS (SELECT m, code, pos, ${Det.sqlAvg("x")} AS cx
+       |       FROM (SELECT m, code, unnest(s) AS x,
+       |               generate_subscripts(s, 1) AS pos FROM a1)
+       |       GROUP BY m, code, pos),
+       |c1 AS (SELECT m, code, list(cx ORDER BY pos) AS c FROM cd GROUP BY m, code),
+       |codes AS (SELECT vec_id, m, code FROM (
+       |           SELECT sub.vec_id, sub.m, c1.code,
+       |             row_number() OVER (PARTITION BY sub.vec_id, sub.m ORDER BY
+       |               ((list_dot_product(sub.s, sub.s)
+       |                 - 2 * list_dot_product(sub.s, c1.c))
+       |                 + list_dot_product(c1.c, c1.c)), c1.code) AS rn
+       |           FROM sub JOIN c1 ON sub.m = c1.m)
+       |         WHERE rn = 1),
+       |psub AS (SELECT m, s AS p_s FROM sub WHERE vec_id = 5),
+       |lut AS (SELECT c1.m, c1.code, list_dot_product(c1.c, psub.p_s) AS lv
+       |        FROM c1 JOIN psub ON c1.m = psub.m),
+       |adc AS (SELECT codes.vec_id,
+       |          list_dot_product(list(lut.lv ORDER BY lut.m),
+       |            [1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0]) AS qdot
+       |        FROM codes JOIN lut ON codes.m = lut.m AND codes.code = lut.code
+       |        GROUP BY codes.vec_id),
+       |short AS (SELECT vec_id, qdot FROM adc ORDER BY qdot DESC, vec_id LIMIT 100),
+       |p AS (SELECT v AS pv FROM e WHERE vec_id = 5)
+       |SELECT short.vec_id, qdot, list_dot_product(e.v, p.pv) AS score
+       |FROM short JOIN e ON short.vec_id = e.vec_id, p
+       |ORDER BY score DESC, short.vec_id LIMIT 20""".stripMargin) { (s, d) =>
+    val (_, _, out) = pqParts(s, d)
+    out
+  }
+
+  /** v15's pipeline, exposed for `PqAnnSpec`: returns (encoded = every
+    * row with qdot + residual err2 + v + pv, shortlist ids, final
+    * output). See [[v15PqAdc]] for the cross-engine contract. */
+  private[similarity] def pqParts(
+      s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val M = 8; val subD = 8
+    val e = emb(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val subs = e.select(col("vec_id"),
+      posexplode(array((0 until M).map(m =>
+        slice(col("v"), m * subD + 1, subD)): _*)).as(Seq("m", "s")))
+    val samp = subs.filter(col("vec_id") % 20 === 0 && col("vec_id") < 65536)
+    val c0 = samp.filter(col("vec_id") < 320)
+      .select(col("m"), col("vec_id").as("code"), col("s").as("c"))
+    // the assignment expression, char-for-char the oracle's: full d2
+    // (not the code-invariant-dropped form) so near-tie FP agrees
+    val d2 = (dot(col("s"), col("s")) - lit(2) * dot(col("s"), col("c"))) +
+      dot(col("c"), col("c"))
+    val w = Window.partitionBy("vec_id", "m").orderBy(d2.asc, col("code").asc)
+    def assign(df: DataFrame, cents: DataFrame): DataFrame = df
+      .join(broadcast(cents), Seq("m"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    val a1 = assign(samp, c0).select("vec_id", "m", "code", "s")
+    val c1 = a1
+      .select(col("m"), col("code"), posexplode(col("s")).as(Seq("pos", "x")))
+      .groupBy("m", "code", "pos")
+      .agg(Det.davg(col("x")).as("cx"))
+      .groupBy("m", "code")
+      .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("pc"))
+      .select(col("m"), col("code"),
+        transform(col("pc"), p => p.getField("cx")).as("c"))
+    // encode every row; keep the selected centroid for the residual
+    val enc = assign(subs, c1)
+      .select(col("vec_id"), col("m"), col("code"),
+        aggregate(zip_with(col("s"), col("c"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (a, x) => a + x).as("serr2"))
+    val psub = subs.filter(col("vec_id") === 5).select(col("m"), col("s").as("p_s"))
+    val lut = c1.join(broadcast(psub), Seq("m"))
+      .select(col("m"), col("code"), dot(col("c"), col("p_s")).as("lv"))
+    val adc = enc.join(broadcast(lut), Seq("m", "code"))
+      .groupBy("vec_id")
+      .agg(array_sort(collect_list(struct(col("m"), col("lv")))).as("ml"),
+        sum(col("serr2")).as("err2"))
+      .select(col("vec_id"),
+        aggregate(transform(col("ml"), x => x.getField("lv")),
+          lit(0.0), (a, x) => a + x).as("qdot"),
+        col("err2"))
+    val short = adc.orderBy(col("qdot").desc, col("vec_id")).limit(100)
+      .select("vec_id", "qdot")
+    val probe = e.filter(col("vec_id") === 5).select(col("v").as("pv"))
+    val out = short.join(e, "vec_id")
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"), col("qdot"), dot(col("v"), col("pv")).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(20)
+    val scored = adc.join(e, "vec_id").crossJoin(broadcast(probe))
+    (scored, short, out)
+  }
+
   val all: Seq[Q] = Seq(v01CosineTopK, v02DotTopK, v03AnnLshBucket,
     v04EmbeddingNearDup, v05CosineTopKNative, v06AnnIvf, v07AnnPartitionPruned,
     v08LabelCentroids, v09KmeansPortable, v10QuantizedDot, v11IvfPortable,
-    v12CertifiedRerank, v13MaxipLsh, v14BatchedAnn)
+    v12CertifiedRerank, v13MaxipLsh, v14BatchedAnn, v15PqAdc)
 }

@@ -25,4 +25,10 @@ object GraftPlanShim {
     * SortOrder) up front. */
   def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
     classic.ColumnNodeToExpressionConverter.apply(c.node)
+
+  /** Expression → Column (the reverse direction), for handing custom
+    * Catalyst expressions/aggregates straight to the DataFrame API
+    * without a function-registry round trip. */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
 }

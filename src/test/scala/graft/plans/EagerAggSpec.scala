@@ -113,7 +113,20 @@ class EagerAggSpec extends AnyFunSuite {
   }
 
   test("decimal sum pushes guarded partials and matches rule-off exactly") {
-    val df = graft.relational.RelationalQueries.q71EagerDecimal.fn(s, d)
+    // q71 itself moved to the guard-free Sum128 path; the stock
+    // widened-decimal Sum (and its overflow-guard count partial) is
+    // exercised here on the same join shape.
+    def decimalSum() = noBroadcast {
+      val df = graft.Tables.t(s, d, "lineitem").select("l_orderkey", "l_extendedprice")
+        .join(graft.Tables.t(s, d, "orders").select("o_orderkey", "o_orderpriority"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(sum(col("l_extendedprice").cast("decimal(12,2)")).as("revenue"))
+        .orderBy("o_orderpriority")
+      df.queryExecution.executedPlan
+      df
+    }
+    val df = decimalSum()
     val plan = df.queryExecution.optimizedPlan
     assert(hasPreAggBelowJoin(plan), s"decimal sum not pushed:\n$plan")
     // the pre-aggregate must carry the overflow-guard count partial
@@ -127,7 +140,7 @@ class EagerAggSpec extends AnyFunSuite {
     val saved = s.experimental.extraOptimizations
     s.experimental.extraOptimizations = saved.filterNot(_ == RewriteEagerAgg)
     try {
-      val offDf = graft.relational.RelationalQueries.q71EagerDecimal.fn(s, d)
+      val offDf = decimalSum()
       assert(df.schema == offDf.schema,
         s"rewrite changed the output schema: ${df.schema} vs ${offDf.schema}")
       assert(on.toSeq == offDf.collect().map(_.toSeq).toSeq,
@@ -183,6 +196,23 @@ class EagerAggSpec extends AnyFunSuite {
       assert(hasPreAggBelowJoin(dfOk.queryExecution.optimizedPlan),
         "decimal(20,0) sum (28 digits of widened headroom) must still rewrite")
     } finally s.conf.set(ansiKey, ansiSaved)
+  }
+
+  test("Sum128 decomposes below the join with no guard, rule-off parity") {
+    noBroadcast {
+      val df = graft.relational.RelationalQueries.q71EagerDecimal.fn(s, d)
+      assert(hasPreAggBelowJoin(df.queryExecution.optimizedPlan),
+        "int128 sum did not decompose below the join")
+      val on = df.collect().map(_.toSeq)
+      val saved = s.experimental.extraOptimizations
+      s.experimental.extraOptimizations = saved.filterNot(_ == RewriteEagerAgg)
+      val off = try {
+        val offDf = graft.relational.RelationalQueries.q71EagerDecimal.fn(s, d)
+        assert(!hasPreAggBelowJoin(offDf.queryExecution.optimizedPlan))
+        offDf.collect().map(_.toSeq)
+      } finally s.experimental.extraOptimizations = saved
+      assert(on.toSeq == off.toSeq, "Sum128 eager decomposition changed the answer")
+    }
   }
 
   test("non-conforming shapes are untouched even in-regime") {
