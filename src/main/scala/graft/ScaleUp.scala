@@ -123,11 +123,22 @@ object ScaleUp {
         .withColumn("n_chars", length(col("text")).cast("long"))
     }
     scaled("embeddings", Seq("vec_id")) { df =>
+      // 64 dims give 64 distinct rotations; factors beyond that take a
+      // second lap with NEGATION (cos(-a,-b) = cos(a,b), so
+      // within-replica pair geometry is still bit-preserved, norms
+      // unchanged; cross-lap cosines sit at the anti-podal background,
+      // never above a positive near-dup threshold). rep = 64 must not
+      // collapse onto rep = 0 — the un-negated rotation repeats exactly
+      // there, which would plant factor²-scaling cross-replica dups.
       val dim = 64
+      val rot = (col("rep") % dim).cast("int")
+      val rotated = when(rot === 0, col("embedding")).otherwise(concat(
+        slice(col("embedding"), rot + 1, lit(dim) - rot),
+        slice(col("embedding"), lit(1), rot)))
       df.withColumn("embedding",
-        when(col("rep") === 0, col("embedding")).otherwise(concat(
-          slice(col("embedding"), col("rep").cast("int") + 1, lit(dim) - col("rep").cast("int")),
-          slice(col("embedding"), lit(1), col("rep").cast("int")))))
+        when(col("rep") === 0, col("embedding"))
+          .otherwise(when(col("rep") < dim, rotated)
+            .otherwise(transform(rotated, x => negate(x)))))
     }
     spark.stop()
   }

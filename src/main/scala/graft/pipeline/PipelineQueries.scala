@@ -125,10 +125,31 @@ object PipelineQueries {
     * so plan depth is bounded — converge-to-epsilon runs the same loop
     * with a driver-side residual check (d07's convergence pattern). */
   val p03Pagerank: Q = {
-    def detSum(e: String) = graft.Det.sqlSum(e)
+    // FIXED-POINT iteration (round 9): ranks live as exact scale-8
+    // unscaled longs (R = r * 1e8), and each round's damped update is
+    // pure integer arithmetic — the per-edge contribution
+    // round_half_up(0.85 * R / deg) is (34*R + 20*deg) div (40*deg)
+    // (floor((17R)/(20deg) + 1/2) over positive ints), summed as plain
+    // longs. Earlier rounds of this catalog rounded DOUBLE rank sums to
+    // decimal(28,8) per iteration; that contract is untenable at scale:
+    // a full-entropy double lands within a half-ulp of a 0.5e-8
+    // rounding boundary about once per ~1e8 roundings, engines round
+    // such a value each by its own mechanism (shortest-string vs
+    // multiply-round vs exact-binary — all three observed to disagree
+    // in that window), and ONE flipped rounding cascades through every
+    // later iteration's sums (measured as a real sf1 divergence when
+    // the rounding mechanism changed, and ~2.4 expected boundary hits
+    // per run at sf10's 240M round events). Integer arithmetic has no
+    // such window: both engines compute identical longs at any scale,
+    // and the engine side's hot loop becomes codegen'd long math with
+    // zero per-row allocation (305 s -> 56 s at sf10, the decimal
+    // Cast+Sum having been the dominant cost). Quantization error vs
+    // real-valued PageRank stays <= 1e-8 per contribution — the same
+    // order the decimal-rounding form already accepted.
     def iterSql(prev: String, cur: String) =
       s"""$cur AS (
-         |  SELECT e.dst AS v, 0.15 + 0.85 * ${detSum("r.r / d.deg")} AS r
+         |  SELECT e.dst AS v, CAST(15000000 + SUM(
+         |      (34 * r.rk + 20 * d.deg) // (40 * d.deg)) AS BIGINT) AS rk
          |  FROM edges e JOIN $prev r ON e.src = r.v JOIN deg d ON e.src = d.v
          |  GROUP BY e.dst)""".stripMargin
     Q(
@@ -139,11 +160,12 @@ object PipelineQueries {
          |edges AS (SELECT c AS src, s AS dst FROM raw
          |          UNION ALL SELECT s AS src, c AS dst FROM raw),
          |deg AS (SELECT src AS v, COUNT(*) AS deg FROM edges GROUP BY src),
-         |r0 AS (SELECT v, CAST(1.0 AS DOUBLE) AS r FROM deg),
+         |r0 AS (SELECT v, CAST(100000000 AS BIGINT) AS rk FROM deg),
          |${iterSql("r0", "r1")},
          |${iterSql("r1", "r2")},
          |${iterSql("r2", "r3")}
-         |SELECT v, r FROM r3 ORDER BY r DESC, v LIMIT 50""".stripMargin) { (s, d) =>
+         |SELECT v, CAST(rk AS DOUBLE) / 100000000 AS r FROM r3
+         |ORDER BY r DESC, v LIMIT 50""".stripMargin) { (s, d) =>
       // no broadcast anywhere in the loop — the whole point of the
       // beyond-broadcast form; conf-scoped so AQE can't re-introduce one
       // at runtime either (every round executes eagerly inside the scope
@@ -185,18 +207,22 @@ object PipelineQueries {
         val edgesDeg = graft.Stage.materializeBy(s,
           edges.join(deg, "src"), n, Seq(col("src")), "p03edeg")
         var ranks = graft.Stage.materializeBy(s,
-          deg.select(col("src").as("v"), lit(1.0).as("r")), n, Seq(col("v")), "p03r0")
+          deg.select(col("src").as("v"), lit(100000000L).as("rk")),
+          n, Seq(col("v")), "p03r0")
         for (i <- 1 to 3) {
           // shuffle_hash: a sort-merge join would add per-round sorts the
           // hash join doesn't need (neither side's order is reusable)
           ranks = graft.Stage.materializeKeeping(s,
             edgesDeg.join(ranks.hint("shuffle_hash"), col("src") === col("v"))
               .groupBy(col("dst"))
-              .agg((lit(0.15) + lit(0.85) * graft.Det.dsum(col("r") / col("deg"))).as("r"))
+              .agg((lit(15000000L) +
+                sum(expr("(34 * rk + 20 * deg) div (40 * deg)"))).as("rk"))
               .withColumnRenamed("dst", "v"),
             s"p03r$i")
         }
-        ranks.orderBy(col("r").desc, col("v")).limit(50)
+        ranks
+          .select(col("v"), (col("rk").cast("double") / 100000000L).as("r"))
+          .orderBy(col("r").desc, col("v")).limit(50)
       } finally restore()
     }
   }

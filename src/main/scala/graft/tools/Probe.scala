@@ -24,6 +24,43 @@ object Probe {
       f.write.format("noop").mode("overwrite").save()
       println(f"[probe] $tag%-28s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
     }
+    if (sys.env.contains("PROBE_P03")) {
+      val s = spark
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      def t[T](tag: String)(f: => T): T = {
+        val t0 = System.nanoTime()
+        val r = f
+        println(f"[probe] $tag%-22s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+        r
+      }
+      val raw = graft.Tables.t(s, d, "lineitem").select("l_orderkey", "l_suppkey")
+        .join(graft.Tables.t(s, d, "orders").select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+        .distinct()
+      val edges = raw.select(col("c").as("src"), col("s").as("dst"))
+        .unionAll(raw.select(col("s").as("src"), col("c").as("dst")))
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      val n = s.sparkContext.defaultParallelism
+      val edgesDeg = t("edgesDeg materialize") {
+        graft.Stage.materializeBy(s, edges.join(deg, "src"), n, Seq(col("src")), "pe")
+      }
+      println(s"[probe] edges rows = ${t("edges count")(edgesDeg.count())}")
+      var ranks = t("ranks0") { graft.Stage.materializeBy(s,
+        deg.select(col("src").as("v"), lit(100000000L).as("rk")), n, Seq(col("v")), "pr0") }
+      for (i <- 1 to 3) {
+        ranks = t(s"round $i") { graft.Stage.materializeKeeping(s,
+          edgesDeg.join(ranks.hint("shuffle_hash"), col("src") === col("v"))
+            .groupBy(col("dst"))
+            .agg((lit(15000000L) + sum(expr("(34 * rk + 20 * deg) div (40 * deg)"))).as("rk"))
+            .withColumnRenamed("dst", "v"), s"pr$i") }
+      }
+      t("top50") { ranks.select(col("v"), (col("rk").cast("double") / 100000000L).as("r"))
+        .orderBy(col("r").desc, col("v")).limit(50).collect() }
+      spark.stop(); sys.exit(0)
+    }
     val li = graft.Tables.t(spark, d, "lineitem")
     val q = col("l_quantity"); val x = col("l_discount"); val y = col("l_tax")
     for (_ <- 1 to 2) {

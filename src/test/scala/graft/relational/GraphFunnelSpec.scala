@@ -65,14 +65,14 @@ class GraphFunnelSpec extends AnyFunSuite {
       _.isInstanceOf[org.apache.spark.sql.execution.exchange.BroadcastExchangeExec]),
       "pagerank plan broadcast something — the rank vector must flow as a shuffle")
     // each round join streams the PINNED edges (output has dst+deg)
-    // against the rank table (output has r): the edge side must carry no
+    // against the rank table (output has rk): the edge side must carry no
     // exchange — only ranks may move
     val roundJoins = flat.flatten.collect {
       case j: org.apache.spark.sql.execution.joins.BaseJoinExec
           if (j.left.output.map(_.name).contains("dst") &&
-              j.right.output.map(_.name).contains("r")) ||
+              j.right.output.map(_.name).contains("rk")) ||
              (j.right.output.map(_.name).contains("dst") &&
-              j.left.output.map(_.name).contains("r")) => j
+              j.left.output.map(_.name).contains("rk")) => j
     }
     assert(roundJoins.size >= 3, s"expected >=3 rank-round joins, saw ${roundJoins.size}")
     roundJoins.foreach { j =>
@@ -93,14 +93,17 @@ class GraphFunnelSpec extends AnyFunSuite {
     try {
       val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       val edgesDeg = edges.join(broadcast(deg), "src")
-      var ranks = deg.select(col("src").as("v"), lit(1.0).as("r"))
+      var ranks = deg.select(col("src").as("v"), lit(100000000L).as("rk"))
       for (_ <- 1 to 3) {
         ranks = edgesDeg.join(broadcast(ranks), col("src") === col("v"))
           .groupBy(col("dst"))
-          .agg((lit(0.15) + lit(0.85) * graft.Det.dsum(col("r") / col("deg"))).as("r"))
+          .agg((lit(15000000L) +
+            sum(expr("(34 * rk + 20 * deg) div (40 * deg)"))).as("rk"))
           .withColumnRenamed("dst", "v")
       }
-      val expected = ranks.orderBy(col("r").desc, col("v")).limit(50).collect()
+      val expected = ranks
+        .select(col("v"), (col("rk").cast("double") / 100000000L).as("r"))
+        .orderBy(col("r").desc, col("v")).limit(50).collect()
       assert(result.map(_.toSeq).toSeq == expected.map(_.toSeq).toSeq,
         "co-partitioned pagerank diverged from the broadcast-form fixpoint")
     } finally { edges.unpersist(); () }
