@@ -463,6 +463,117 @@ object PipelineQueries {
         |GROUP BY dist ORDER BY dist""".stripMargin)
   }
 
+  /** Training-MIX planner capstone: the step after curation — decide how
+    * many tokens to draw from each (lang, source) bucket against a fixed
+    * token budget. Composes the catalog's curation stages (quality gate →
+    * exact dedup with min-id representative → 5-gram decontamination vs
+    * the eval set, t09's semantics) and then runs LARGEST-REMAINDER
+    * apportionment over the surviving buckets: floor(B·tokens_b / total)
+    * per bucket, with the leftover budget distributed one token at a
+    * time to the largest remainders (ties broken by bucket key). Every
+    * step is integer arithmetic — B·tokens_b stays far below 2^63 — so
+    * both engines compute identical allocations and the sum of `alloc`
+    * is EXACTLY the budget, the apportionment invariant.
+    * Scale shape: the doc-level stages are the already-proven curation
+    * plans (token pin, gram explode → broadcast semi-join vs a tiny
+    * eval set, text-group dedup); the bucket table is |langs|×|sources|
+    * — tens of rows at any corpus size — so the two unpartitioned
+    * windows (rank by remainder, grand-total floor sum) run on one
+    * executor over a broadcast-sized input by construction. */
+  val p07MixAllocation: Q = {
+    val budget = 100000L
+    Q(
+      "p07_mix_allocation",
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang, source, text, string_split(text, ' ') AS toks
+         |  FROM documents),
+         |kept AS (
+         |  SELECT doc_id, lang, source, text, toks, len(toks) AS n_tokens
+         |  FROM toks
+         |  WHERE len(toks) BETWEEN 10 AND 1000
+         |    AND len(list_distinct(toks)) * 1.0 / len(toks) > 0.2),
+         |dedup AS (SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY text),
+         |g AS (
+         |  SELECT k.doc_id, k.lang, k.source, k.n_tokens,
+         |    [k.toks[i] || ' ' || k.toks[i+1] || ' ' || k.toks[i+2] || ' '
+         |       || k.toks[i+3] || ' ' || k.toks[i+4]
+         |     for i in range(1, len(k.toks) - 3)] AS grams
+         |  FROM kept k JOIN dedup USING (doc_id)),
+         |eval_g AS (
+         |  SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id < 10),
+         |contaminated AS (
+         |  SELECT DISTINCT doc_id
+         |  FROM (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id >= 10)
+         |  WHERE gram IN (SELECT gram FROM eval_g)),
+         |clean AS (
+         |  SELECT doc_id, lang, source, n_tokens FROM g
+         |  WHERE doc_id >= 10
+         |    AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
+         |buckets AS (
+         |  SELECT lang, source, COUNT(*) AS n_docs,
+         |    CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+         |  FROM clean GROUP BY lang, source),
+         |alloc AS (
+         |  SELECT lang, source, n_docs, n_tokens,
+         |    ($budget * n_tokens) // SUM(n_tokens) OVER () AS floor_alloc,
+         |    ($budget * n_tokens) % SUM(n_tokens) OVER () AS rem
+         |  FROM buckets)
+         |SELECT lang, source, n_docs, n_tokens,
+         |  CAST(floor_alloc + CASE WHEN
+         |      row_number() OVER (ORDER BY rem DESC, lang, source)
+         |        <= $budget - SUM(floor_alloc) OVER ()
+         |    THEN 1 ELSE 0 END AS BIGINT) AS alloc
+         |FROM alloc ORDER BY lang, source""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val toks = split(col("text"), " ")
+      // token pin first (t09's lesson): the quality predicates and the
+      // gram lambda reference the array many times each
+      val kept = graft.Stage.materialize(s,
+        Tables.t(s, d, "documents")
+          .select(col("doc_id"), col("lang"), col("source"), col("text"),
+            toks.as("toks"), size(toks).cast("long").as("n_tokens"))
+          .filter(col("n_tokens").between(10, 1000) &&
+            size(array_distinct(col("toks"))).cast("double") / col("n_tokens") > 0.2),
+        "p07kept")
+      val dedup = kept.groupBy("text").agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id")
+      val t = col("toks")
+      val grams = transform(
+        sequence(lit(1), size(t) - 4),
+        i => xxhash64(concat_ws(" ", (0 until 5).map(o => element_at(t, i + o)): _*)))
+      val g = graft.Stage.materialize(s,
+        kept.join(dedup, "doc_id")
+          .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"),
+            grams.as("grams")),
+        "p07g")
+      val evalG = g.filter(col("doc_id") < 10)
+        .select(explode(col("grams")).as("gh")).distinct()
+      val contaminated = g.filter(col("doc_id") >= 10)
+        .select(col("doc_id"), explode(col("grams")).as("gh"))
+        .join(broadcast(evalG), Seq("gh"), "left_semi")
+        .select("doc_id").distinct()
+      val clean = g.filter(col("doc_id") >= 10)
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"))
+      val buckets = clean.groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      val wAll = Window.partitionBy()
+      val alloc = buckets
+        .withColumn("floor_alloc",
+          expr(s"($budget * n_tokens) div sum(n_tokens) over ()"))
+        .withColumn("rem", lit(budget) * col("n_tokens") % sum(col("n_tokens")).over(wAll))
+      alloc
+        .withColumn("rn",
+          row_number().over(Window.orderBy(col("rem").desc, col("lang"), col("source"))))
+        .withColumn("alloc",
+          (col("floor_alloc") +
+            when(col("rn") <= lit(budget) - sum(col("floor_alloc")).over(wAll), 1L)
+              .otherwise(0L)).cast("long"))
+        .select("lang", "source", "n_docs", "n_tokens", "alloc")
+        .orderBy("lang", "source")
+    }
+  }
+
   val all: Seq[Q] = Seq(p01TrainingPipeline, p02CurationPipeline, p03Pagerank, p04Triangles,
-    p05BfsHops, p06BfsRecursiveCte)
+    p05BfsHops, p06BfsRecursiveCte, p07MixAllocation)
 }

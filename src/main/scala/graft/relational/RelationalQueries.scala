@@ -2388,6 +2388,45 @@ object RelationalQueries {
       .orderBy("a_key")
   }
 
+  /** Ordered-fold time-series aggregation: per-user EWMA with α = 1/2
+    * over the user's event history in (ts, event_id) order — the
+    * recurrence y_t = (y_{t-1} + x_t)/2 with y_0 = 0. EWMA is inherently
+    * sequential (each step depends on the last), which defeats both
+    * plain SUM and window frames; the engine expresses it as
+    * sort_array(collect_list(struct)) + the `aggregate` HOF — a single
+    * hash aggregation (one shuffle on user_id), the fold itself
+    * codegen'd per row with no second shuffle and no driver loop.
+    * Cross-engine exactness of a DOUBLE recurrence, deliberately: α =
+    * 1/2 makes each multiply a power-of-two scale (exponent shift,
+    * never rounds), so the only rounding is the one IEEE addition per
+    * step — and both engines fold the SAME sequence in the SAME order,
+    * so every intermediate is bit-identical. (Any other α would round
+    * at the multiply too — still deterministic, but α = 1/2 makes the
+    * entry a proof that ordered folds can be hash-exact across engines,
+    * the property the oracle check needs.)
+    * Scale: per-user history is the partition; a user's list must fit
+    * in one task (same contract as every collect_list/sessionize entry)
+    * — at 100 TB that means capping history length upstream (q43's
+    * session bounds), not a different plan. */
+  val q75Ewma: Q = Q(
+    "q75_ewma",
+    """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  list_reduce(
+      |    list_prepend(CAST(0.0 AS DOUBLE), list(value ORDER BY ts, event_id)),
+      |    (acc, x) -> (acc + x) * 0.5) AS ewma
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+    Tables.t(s, d, "events")
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sort_array(collect_list(struct(col("ts"), col("event_id"), col("value"))))
+          .as("h"))
+      .select(col("user_id"), col("n_events"),
+        aggregate(col("h"), lit(0.0),
+          (acc, x) => (acc + x.getField("value")) * lit(0.5)).as("ewma"))
+      .orderBy("user_id")
+  }
+
   val all: Seq[Q] = Seq(
     q01ScanProject, q02Predicates, q03AggBasic, q04AggDistinct, q05Rollup,
     q06Cube, q07JoinBroadcast, q08JoinMultiway, q09JoinOuter, q10JoinFull,
@@ -2404,5 +2443,6 @@ object RelationalQueries {
     q58NotInNullAware, q59ShuffleHashJoin, q60BinnedRangeJoin, q61BandJoinAuto,
     q62GapFill, q63Funnel, q64WeightedSample, q65Zorder, q66EagerAgg,
     q67DeltaJoinView, q68KmvSketchMerge, q69EagerAvg, q70PruningCapstone,
-    q71EagerDecimal, q72CohortRetention, q73IntervalOverlap, q74IntervalSplit)
+    q71EagerDecimal, q72CohortRetention, q73IntervalOverlap, q74IntervalSplit,
+    q75Ewma)
 }
