@@ -17,17 +17,29 @@ object Tables {
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    // rejects; sessions set spark.sql.legacy.parquet.nanosAsLong=true and the
-    // long is converted here. Integer `div` keeps full precision (a double
-    // round-trip would lose sub-second bits at 2^63-scale epochs); the data
-    // carries no sub-microsecond component, so the truncation is exact.
-    // Scoped to the EVENTS table by name: the nanos unit is a fact about
-    // that one table's writer, and a future table with a genuine long
-    // epoch-seconds `ts` column must not be silently rescaled.
-    val isNanosTs = name == "events" &&
-      df.schema.fields.exists(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType)
-    if (isNanosTs) df.withColumn("ts", timestamp_micros(expr("ts div 1000"))) else df
+    // events.ts normalization — every engine query sees TimestampType
+    // regardless of which writer produced the table:
+    //  - TIMESTAMP(NANOS) layouts (early driver generations) are read as
+    //    int64 under spark.sql.legacy.parquet.nanosAsLong=true; integer
+    //    `div` keeps full precision (a double round-trip would lose
+    //    sub-second bits at 2^63-scale epochs) and the data carries no
+    //    sub-microsecond component, so the truncation is exact.
+    //  - TIMESTAMP(MICROS, isAdjustedToUTC=false) layouts (current
+    //    driver generation) arrive as TIMESTAMP_NTZ; the session runs
+    //    pinned to UTC, so casting NTZ -> TIMESTAMP reinterprets the
+    //    same wall-clock fields as the same UTC instant — bit-identical
+    //    epoch micros to the nanos path, and what the DuckDB oracle
+    //    (naive timestamps throughout) computes on.
+    // Scoped to the EVENTS table by name: the unit/annotation is a fact
+    // about that one table's writers, and a future table with a genuine
+    // long epoch-seconds `ts` column must not be silently rescaled.
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.LongType) if name == "events" =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case Some(org.apache.spark.sql.types.TimestampNTZType) if name == "events" =>
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
   }
 }
 

@@ -574,6 +574,84 @@ object PipelineQueries {
     }
   }
 
+  /** SEQUENCE PACKING — the last step before tokenized text hits the
+    * trainer: greedy first-fit of documents into fixed-capacity context
+    * windows (C=256 tokens here; 2k–8k in production), the op that turns
+    * a curated corpus into dense training sequences without padding
+    * waste. Packing is inherently sequential (each placement depends on
+    * the running fill), so the engine uses the same shape real pipelines
+    * do: shard the corpus into BUCKETS and pack each bucket
+    * independently — bucket count scales with the corpus
+    * (greatest(16, ceil(N/2000)): per-bucket work is bounded at ~2000
+    * docs forever, so at 100 TB this is millions of independent
+    * constant-size folds), one shuffle on the bucket key, and the
+    * within-bucket greedy runs as a codegen'd `aggregate` HOF over the
+    * sorted (doc_id, ntok) list — no driver loop, no UDF, no state
+    * store. Docs are packed in doc_id order (not size-decreasing
+    * first-fit): deterministic shard-order packing is what reproducible
+    * data loaders use, and it is what makes the assignment
+    * oracle-checkable. A doc longer than C gets its own sequence (the
+    * fill>0 guard: an empty sequence never rolls over).
+    *
+    * Oracle: DuckDB recursive CTE advancing every bucket one row per
+    * step carrying (seq, fill) — the sequential semantics stated
+    * directly; the engine's fold must reproduce it row for row. */
+  val p08SequencePack: Q = {
+    val cap = 256L
+    Q(
+      "p08_sequence_pack",
+      s"""WITH RECURSIVE nn AS (SELECT COUNT(*) AS n FROM documents),
+         |nb AS (SELECT GREATEST(16, (n + 1999) // 2000) AS nb FROM nn),
+         |d AS (
+         |  SELECT doc_id, doc_id % nb.nb AS bucket,
+         |    len(string_split(text, ' ')) AS ntok,
+         |    ROW_NUMBER() OVER (PARTITION BY doc_id % nb.nb ORDER BY doc_id) AS rn
+         |  FROM documents, nb),
+         |pack(bucket, rn, doc_id, ntok, seq, fill) AS (
+         |  SELECT bucket, rn, doc_id, ntok, CAST(0 AS BIGINT), ntok
+         |  FROM d WHERE rn = 1
+         |  UNION ALL
+         |  SELECT d.bucket, d.rn, d.doc_id, d.ntok,
+         |    CASE WHEN p.fill + d.ntok > $cap THEN p.seq + 1 ELSE p.seq END,
+         |    CASE WHEN p.fill + d.ntok > $cap THEN d.ntok ELSE p.fill + d.ntok END
+         |  FROM d JOIN pack p ON d.bucket = p.bucket AND d.rn = p.rn + 1)
+         |SELECT doc_id, bucket, seq, ntok FROM pack
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val nb = Tables.t(s, d, "documents")
+        .agg(count(lit(1)).as("n"))
+        .select(expr("greatest(16L, (n + 1999L) div 2000L)").as("nb"))
+      val withBucket = Tables.t(s, d, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("ntok"))
+        .crossJoin(broadcast(nb))
+        .withColumn("bucket", pmod(col("doc_id"), col("nb")))
+      val emptyOut = array().cast(
+        "array<struct<doc_id:bigint,seq:bigint,ntok:bigint>>")
+      val init = struct(lit(0L).as("seq"), lit(0L).as("fill"),
+        emptyOut.as("out"))
+      withBucket
+        .groupBy("bucket")
+        .agg(sort_array(collect_list(struct(col("doc_id"), col("ntok"))))
+          .as("ds"))
+        .select(col("bucket"),
+          explode(aggregate(col("ds"), init,
+            (acc, x) => {
+              val over = acc("fill") > lit(0L) &&
+                (acc("fill") + x("ntok")) > lit(cap)
+              val ns = when(over, acc("seq") + 1L).otherwise(acc("seq"))
+              val nf = when(over, x("ntok")).otherwise(acc("fill") + x("ntok"))
+              struct(ns.as("seq"), nf.as("fill"),
+                concat(acc("out"), array(struct(
+                  x("doc_id").as("doc_id"), ns.as("seq"),
+                  x("ntok").as("ntok")))).as("out"))
+            },
+            acc => acc("out"))).as("e"))
+        .select(col("e.doc_id").as("doc_id"), col("bucket"),
+          col("e.seq").as("seq"), col("e.ntok").as("ntok"))
+        .orderBy("doc_id")
+    }
+  }
+
   val all: Seq[Q] = Seq(p01TrainingPipeline, p02CurationPipeline, p03Pagerank, p04Triangles,
-    p05BfsHops, p06BfsRecursiveCte, p07MixAllocation)
+    p05BfsHops, p06BfsRecursiveCte, p07MixAllocation, p08SequencePack)
 }

@@ -31,9 +31,6 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object StreamingQueries {
 
-  /** events replayed as a bounded file stream (ts arrives as int64 nanos
-    * under the session's nanosAsLong conf, converted exactly like the
-    * batch reader in Tables). */
   /** Stage one table's parquet into a fresh replay dir. The table is a
     * single file at driver SFs but a Spark-written DIRECTORY of part
     * files for ScaleUp output — Files.copy on a directory copies only
@@ -56,9 +53,13 @@ object StreamingQueries {
       stageForReplay(d, "events", "graft_stream_events_"))
     val raw = s.read.parquet(s"$d/events.parquet").schema
     val df = s.readStream.schema(raw).parquet(dir.toString)
-    if (raw("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    raw("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
   }
 
   /** Stateful ops write one state-store delta file per partition per

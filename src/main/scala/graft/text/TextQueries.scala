@@ -1,7 +1,7 @@
 package graft.text
 
 import graft.{Q, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -444,9 +444,90 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** BM25 ranked retrieval — the scoring function behind production
+    * keyword search (Lucene/Elasticsearch defaults k1=1.2, b=0.75),
+    * over a fixed 3-term query, top 20 docs. Exact cross-engine via
+    * t11's discipline, extended from one division to BM25's full form:
+    *  - idf drops the log: Robertson idf ln((N-df+0.5)/(df+0.5)) uses a
+    *    libm call whose last ulp differs across engines, so the entry
+    *    scores with the RATIONAL argument (2N-2df+1)/(2df+1) — exact
+    *    integers through one correctly-rounded division (monotone in
+    *    the true idf for each term, and returned per-term so a consumer
+    *    can apply log after the engine).
+    *  - the tf saturation term tf·(k1+1)/(tf + k1(1-b+b·dl/avgdl)) with
+    *    k1=6/5, b=3/4, avgdl=T/N clears denominators to pure integers:
+    *    44·tf·T / (20·tf·T + 6·T + 18·dl·N). Every product stays below
+    *    2^53 at any ScaleUp factor this repo runs (T≈2.7e7 at sf10), so
+    *    the int→double conversions are exact and the single division is
+    *    correctly rounded identically on both engines.
+    *  - score = idf · tfn is ONE IEEE multiply of two correctly-rounded
+    *    doubles; the 3-term total adds in fixed literal order. All
+    *    deterministic — the hash oracle holds on doubles.
+    * Scale shape: the exploded token stream is filtered to the 3 query
+    * terms BEFORE the (doc,term) agg, so the shuffle carries only
+    * matching postings (df and the one-row N/T corpus stats broadcast);
+    * the pivot re-agg is partial-agged on doc_id. This is the
+    * query-time path; t11 is the index-build path. */
+  val t15Bm25: Q = Q(
+    "t15_bm25",
+    """WITH b AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |n AS (SELECT COUNT(*) AS n, CAST(SUM(len(toks)) AS BIGINT) AS t FROM b),
+      |tf AS (
+      |  SELECT doc_id, tok, COUNT(*) AS tf, MAX(dl) AS dl FROM (
+      |    SELECT doc_id, len(toks) AS dl, unnest(toks) AS tok FROM b)
+      |  WHERE tok IN ('spark', 'vector', 'merge')
+      |  GROUP BY doc_id, tok),
+      |df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+      |s AS (
+      |  SELECT doc_id, tok,
+      |    (CAST(2 * n.n - 2 * df.df + 1 AS DOUBLE)
+      |       / CAST(2 * df.df + 1 AS DOUBLE))
+      |    * (CAST(44 * tf.tf * n.t AS DOUBLE)
+      |       / CAST(20 * tf.tf * n.t + 6 * n.t + 18 * tf.dl * n.n AS DOUBLE))
+      |      AS sc
+      |  FROM tf JOIN df USING (tok), n),
+      |p AS (
+      |  SELECT doc_id,
+      |    COALESCE(MAX(CASE WHEN tok = 'spark' THEN sc END), 0.0) AS s_spark,
+      |    COALESCE(MAX(CASE WHEN tok = 'vector' THEN sc END), 0.0) AS s_vector,
+      |    COALESCE(MAX(CASE WHEN tok = 'merge' THEN sc END), 0.0) AS s_merge
+      |  FROM s GROUP BY doc_id)
+      |SELECT doc_id, s_spark, s_vector, s_merge,
+      |  s_spark + s_vector + s_merge AS bm25
+      |FROM p ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
+    val terms = Seq("spark", "vector", "merge")
+    val base = docs(s, d).select(col("doc_id"), toks.as("toks"))
+    val nt = base.agg(
+      count(lit(1)).cast("long").as("n"),
+      sum(size(col("toks"))).cast("long").as("t"))
+    val tf = base
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).cast("long").as("tf"), max(col("dl")).as("dl"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).cast("long").as("df"))
+    val sc = tf.join(broadcast(dfreq), "tok").crossJoin(broadcast(nt))
+      .withColumn("sc",
+        ((lit(2L) * col("n") - lit(2L) * col("df") + lit(1L)).cast("double")
+          / (lit(2L) * col("df") + lit(1L)).cast("double"))
+          * ((lit(44L) * col("tf") * col("t")).cast("double")
+            / (lit(20L) * col("tf") * col("t") + lit(6L) * col("t")
+              + lit(18L) * col("dl") * col("n")).cast("double")))
+    def termScore(term: String): Column =
+      coalesce(max(when(col("tok") === term, col("sc"))), lit(0.0))
+    sc.groupBy("doc_id")
+      .agg(termScore("spark").as("s_spark"),
+        termScore("vector").as("s_vector"),
+        termScore("merge").as("s_merge"))
+      .withColumn("bm25", col("s_spark") + col("s_vector") + col("s_merge"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(20)
+  }
+
   val all: Seq[Q] = Seq(
     t01TermFrequency, t02NgramCounts, t03LangId, t04QualityScore,
     t05LangSourceStats, t06TokenCounting, t07FingerprintBow,
     t08FingerprintRolling, t09Decontamination, t10Redaction, t11Tfidf,
-    t12Repetition, t13BpePairs, t14LmScore)
+    t12Repetition, t13BpePairs, t14LmScore, t15Bm25)
 }
