@@ -624,53 +624,118 @@ object DedupQueries {
     * cluster step makes it scale: pairwise comparison happens only
     * WITHIN a cell, and k grows with the corpus so cells stay
     * bounded — pair volume is Σ|cell|², not N² (the same
-    * never-all-pairs contract as the rest of this module; the
-    * centroids here are the v11 seed quantizer, broadcast, so
-    * assignment is a per-row argmin — the table never shuffles for
-    * it). Keep-lowest-id is the deterministic survivor policy
-    * (SemDeDup keeps a centroid-nearest representative; id order is
-    * the reproducible analog). Every distance is the proven
-    * cross-engine fold, so cells, duplicate pairs, and survivor
-    * counts all hash-match the all-pairs-within-cell oracle. */
+    * never-all-pairs contract as the rest of this module).
+    * k = greatest(8, N div 256) keeps the EXPECTED cell at ~256
+    * members at every scale — the round-10 sf10 run caught the
+    * original fixed k=8 turning this entry quadratic (92× wall on
+    * 10× data at the 100× step), the exact failure mode SemDeDup's
+    * own k ∝ N prescription exists to prevent. With k ∝ N a FLAT
+    * assignment scan is itself O(N·k) = O(N²/256) — measured as the
+    * next bend (125 of 132 s at sf10) — so assignment is TWO-LEVEL,
+    * the v07 partition-pruning discipline applied to dedup: the k fine
+    * centroids are bucketed under g = √k coarse ones, each vector
+    * finds its coarse bucket (N·g distances) and probes only that
+    * bucket's fine centroids (N·k/g expected), O(N·√k) total. Every
+    * argmin is the native [[graft.functions.ArgMinLong]] hash
+    * aggregate on the exploded stream — flat codegen'd buffer,
+    * map-side partial aggregation, so no expansion ever crosses the
+    * wire — ranking by the reduced key |c|²-2v·c (|v|² is constant
+    * per group; both engines rank by the same reduced expression, so
+    * fp ties agree), lexicographic (dist, cell) tie-break.
+    * At extreme scale the broadcast centroid set itself outgrows the
+    * driver — that regime shards the centroid table and the coarse
+    * probe becomes v07's partition-pruned join. Keep-lowest-id is the
+    * deterministic survivor policy (SemDeDup keeps a centroid-nearest
+    * representative; id order is the reproducible analog). Every
+    * distance is the proven cross-engine fold, so cells, duplicate
+    * pairs, and survivor counts all hash-match the
+    * all-pairs-within-cell oracle. */
   val d10SemanticDedup: Q = Q(
     "d10_semantic_dedup",
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-      |c0 AS (SELECT vec_id AS cell, v AS c FROM e WHERE vec_id < 8),
-      |a1 AS (SELECT vec_id, v, cell FROM (
-      |   SELECT e.vec_id, e.v, c0.cell,
+      |kk AS (SELECT GREATEST(8, COUNT(*) // 256) AS k FROM e),
+      |gg AS (SELECT GREATEST(4, CAST(FLOOR(SQRT(k)) AS BIGINT)) AS g FROM kk),
+      |c0 AS (SELECT vec_id AS cell, v AS c, list_dot_product(v, v) AS cn
+      |       FROM e, kk WHERE vec_id < kk.k),
+      |co AS (SELECT cell AS gcell, c AS gc, cn AS gcn
+      |       FROM c0, gg WHERE cell < gg.g),
+      |f2c AS (SELECT cell, gcell FROM (
+      |   SELECT c0.cell, co.gcell,
+      |     row_number() OVER (PARTITION BY c0.cell ORDER BY
+      |       (co.gcn - 2 * list_dot_product(c0.c, co.gc)), co.gcell) AS rn
+      |   FROM c0, co) WHERE rn = 1),
+      |vg AS (SELECT vec_id, v, gcell FROM (
+      |   SELECT e.vec_id, e.v, co.gcell,
       |     row_number() OVER (PARTITION BY e.vec_id ORDER BY
-      |       ((list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c0.c))
-      |         + list_dot_product(c0.c, c0.c)), c0.cell) AS rn
-      |   FROM e, c0) WHERE rn = 1),
+      |       (co.gcn - 2 * list_dot_product(e.v, co.gc)), co.gcell) AS rn
+      |   FROM e, co) WHERE rn = 1),
+      |a1 AS (SELECT vec_id, v, cell FROM (
+      |   SELECT vg.vec_id, vg.v, c0.cell,
+      |     row_number() OVER (PARTITION BY vg.vec_id ORDER BY
+      |       (c0.cn - 2 * list_dot_product(vg.v, c0.c)), c0.cell) AS rn
+      |   FROM vg JOIN f2c ON f2c.gcell = vg.gcell
+      |           JOIN c0 ON c0.cell = f2c.cell) WHERE rn = 1),
       |dups AS (SELECT DISTINCT a.vec_id AS i FROM a1 a JOIN a1 b
       |   ON a.cell = b.cell AND b.vec_id < a.vec_id
       |   WHERE list_cosine_similarity(a.v, b.v) > 0.35)
       |SELECT cell, COUNT(*) AS n_members,
       |  COUNT(*) FILTER (WHERE vec_id NOT IN (SELECT i FROM dups)) AS n_kept
       |FROM a1 GROUP BY cell ORDER BY cell""".stripMargin) { (s, d) =>
-    import org.apache.spark.sql.expressions.Window
+    import graft.functions.ArgMinLong.argmin
     def dot(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
-    def cosine(a: Column, b: Column): Column =
-      least(greatest(dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b))), lit(-1.0)), lit(1.0))
     graft.plans.RewriteHofDotProduct.register(s)
     val e = Tables.t(s, d, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val c0 = e.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("cell"), col("v").as("c"))
-    val dist = (dot(col("v"), col("v")) - lit(2) * dot(col("v"), col("c"))) +
-      dot(col("c"), col("c"))
-    val w = Window.partitionBy("vec_id").orderBy(dist.asc, col("cell").asc)
+    val k = e.agg(count(lit(1)).as("n"))
+      .select(greatest(lit(8L), expr("n div 256")).as("k"))
+    // fine centroid table, with |c|^2 precomputed once: the per-pair
+    // ranking key is |c|^2 - 2 v.c — |v|^2 is constant within each
+    // argmin group, so it is dropped from the ORDER entirely (both
+    // engines rank by the same reduced expression, so fp ties agree)
+    val c0 = e.crossJoin(broadcast(k)).filter(col("vec_id") < col("k"))
+      .select(col("vec_id").as("cell"), col("v").as("c"),
+        dot(col("v"), col("v")).as("cn"))
+    val g = k.select(greatest(lit(4L),
+      expr("CAST(FLOOR(SQRT(k)) AS LONG)")).as("g"))
+    val co = c0.crossJoin(broadcast(g)).filter(col("cell") < col("g"))
+      .select(col("cell").as("gcell"), col("c").as("gc"), col("cn").as("gcn"))
+    val f2c = c0.crossJoin(broadcast(co))
+      .groupBy("cell")
+      .agg(argmin(col("gcn") - lit(2) * dot(col("c"), col("gc")),
+        col("gcell")).as("gcell"))
+    // coarse assignment: N x g distances, argmin partial-agged map-side
+    val vg = e.crossJoin(broadcast(co))
+      .groupBy("vec_id")
+      .agg(argmin(col("gcn") - lit(2) * dot(col("v"), col("gc")),
+        col("gcell")).as("gcell"))
+    // fine assignment probes only the vector's own coarse bucket:
+    // N x (k/g) distances instead of N x k. eg is hash(vec_id)
+    // partitioned after the vg join; the broadcast probe preserves that
+    // partitioning, so the fine argmin and the join-back below add no
+    // further exchange.
+    val bcand = f2c.join(c0, "cell")
+      .select(col("gcell"), col("cell"), col("c"), col("cn"))
+    val eg = e.join(vg, "vec_id")
+    val fine = eg.join(broadcast(bcand), "gcell")
+      .groupBy("vec_id")
+      .agg(argmin(col("cn") - lit(2) * dot(col("v"), col("c")),
+        col("cell")).as("cell"))
     val cells = Stage.materialize(s,
-      e.crossJoin(broadcast(c0))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select("vec_id", "v", "cell"),
+      eg.select(col("vec_id"), col("v")).join(fine, "vec_id")
+        .select(col("vec_id"), col("v"), col("cell"),
+          sqrt(dot(col("v"), col("v"))).as("nrm")),
       "d10cells")
-    val a = cells.select(col("cell"), col("vec_id").as("i"), col("v").as("vi"))
-    val b = cells.select(col("cell"), col("vec_id").as("j"), col("v").as("vj"))
+    // pair stage: norms precomputed per vector above; dot/(ni*nj) is
+    // bit-identical to the sqrt(dot)*sqrt(dot) denominator it replaces
+    val a = cells.select(col("cell"), col("vec_id").as("i"),
+      col("v").as("vi"), col("nrm").as("ni"))
+    val b = cells.select(col("cell"), col("vec_id").as("j"),
+      col("v").as("vj"), col("nrm").as("nj"))
+    val cos = least(greatest(
+      dot(col("vi"), col("vj")) / (col("ni") * col("nj")), lit(-1.0)), lit(1.0))
     val dups = a.join(b, Seq("cell"))
-      .filter(col("j") < col("i") && cosine(col("vi"), col("vj")) > 0.35)
+      .filter(col("j") < col("i") && cos > 0.35)
       .select(col("i").as("vec_id")).distinct()
     val kept = cells.join(dups, Seq("vec_id"), "left_anti")
       .groupBy("cell").agg(count(lit(1)).as("n_kept"))

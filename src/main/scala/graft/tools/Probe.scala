@@ -24,6 +24,26 @@ object Probe {
       f.write.format("noop").mode("overwrite").save()
       println(f"[probe] $tag%-28s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
     }
+    if (sys.env.contains("PROBE_D10")) {
+      val e = graft.Tables.t(spark, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      graft.plans.RewriteHofDotProduct.register(spark)
+      def dotc(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+      val k = e.agg(count(lit(1)).as("n"))
+        .select(greatest(lit(8L), expr("n div 256")).as("k"))
+      val c0 = e.crossJoin(broadcast(k)).filter(col("vec_id") < col("k"))
+        .select(col("vec_id").as("cell"), col("v").as("c"))
+      val dist = (dotc(col("v"), col("v")) - lit(2) * dotc(col("v"), col("c"))) +
+        dotc(col("c"), col("c"))
+      val assign = e.crossJoin(broadcast(c0))
+        .groupBy("vec_id")
+        .agg(graft.functions.ArgMinLong.argmin(dist, col("cell")).as("cell"))
+      assign.explain("formatted")
+      time("assign")(assign)
+      time("assign2")(assign)
+      spark.stop(); sys.exit(0)
+    }
     if (sys.env.contains("PROBE_P03")) {
       val s = spark
       s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
