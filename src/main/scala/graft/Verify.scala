@@ -25,6 +25,9 @@ object Verify {
       // pass (measured on the dedup subset: d05 3.5 -> 2.1 s, d04/d07
       // -25% with the cache sized to hold the whole catalog).
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      // keep ContextCleaner ahead of the 193-query session's shuffle/
+      // broadcast garbage (see Bench.scala for the sf10 measurement)
+      .config("spark.cleaner.periodicGC.interval", "45s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.GraftEngine.install(spark)

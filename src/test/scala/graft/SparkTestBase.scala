@@ -20,6 +20,9 @@ object SparkTestBase {
       // pass (measured on the dedup subset: d05 3.5 -> 2.1 s, d04/d07
       // -25% with the cache sized to hold the whole catalog).
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      // keep ContextCleaner ahead of multi-suite shuffle/broadcast
+      // garbage (see Bench.scala for the sf10 measurement)
+      .config("spark.cleaner.periodicGC.interval", "45s")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     graft.plans.GraftEngine.install(s)
