@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Capstone: the LLM training-data pipeline composed end-to-end from the
@@ -12,6 +13,18 @@ import org.apache.spark.sql.functions._
   * boundaries needed because nothing here is self-joined).
   */
 object PipelineQueries {
+
+  /** Partition width for the lineitem-derived graph kernels: scale with
+    * the DATA (|E| <= 2x lineitem rows, ~1M edge rows per task), floored
+    * at the core count and capped sanely. The parquet-metadata count
+    * avoids executing any edge lineage; production sizes from table
+    * stats the same way. A fixed core-count width puts 100x the rows in
+    * each setup task at 100x data — measured as the dominant super-
+    * linear term in all three kernels at sf10. */
+  private def graphWidth(s: SparkSession, d: String): Int =
+    math.min(512L,
+      math.max(s.sparkContext.defaultParallelism.toLong,
+        2L * Tables.t(s, d, "lineitem").count() / 1000000L)).toInt
 
   val p01TrainingPipeline: Q = Q(
     "p01_training_pipeline",
@@ -171,6 +184,13 @@ object PipelineQueries {
       // at runtime either (every round executes eagerly inside the scope
       // via the checkpoint). The final top-50 over the last rank table
       // is join-free, so its lazy execution outside the scope is safe.
+      // The loop runs at ONE width everywhere (edges, deg, ranks, every
+      // round's groupBy): a width mismatch anywhere re-shuffles a join
+      // side every round. That width must scale with the DATA, not the
+      // core count — at 100x the fixed 32-wide layout put 1.8M-row hash
+      // aggregates in every setup task (edge build measured 2.4x faster
+      // at ~1M rows/task; see [[graphWidth]]).
+      val width = graphWidth(s, d)
       val confs = Seq(
         "spark.sql.autoBroadcastJoinThreshold" -> "-1",
         // unset by default (falls back to the non-adaptive threshold) —
@@ -184,7 +204,13 @@ object PipelineQueries {
         // re-planning has nothing to improve here and everything to
         // break, the same reason storage-partitioned iterative jobs pin
         // their layout on a cluster.
-        "spark.sql.adaptive.enabled" -> "false")
+        "spark.sql.adaptive.enabled" -> "false",
+        // uniform data-scaled width for build AND loop: unlike p05
+        // (split widths, |V|-row frontier rounds), p03's rounds keep a
+        // |V|-keyed partial-agg hash map per task, which wants the
+        // same narrower tasks the build does — measured 111 s uniform
+        // vs 144 s split at sf10
+        "spark.sql.shuffle.partitions" -> width.toString)
       val saved = confs.map { case (k, _) => k -> s.conf.getOption(k) }
       confs.foreach { case (k, v) => s.conf.set(k, v) }
       def restore(): Unit = saved.foreach {
@@ -192,32 +218,51 @@ object PipelineQueries {
         case (k, None) => s.conf.unset(k)
       }
       try {
+        // shuffle_hash: the build join's sort-merge default sorts 60M+15M
+        // rows at sf10 for a join whose output is immediately re-hashed
+        // (measured 100 -> 68 s on the edge build)
         val raw = Tables.t(s, d, "lineitem").select("l_orderkey", "l_suppkey")
-          .join(Tables.t(s, d, "orders").select("o_orderkey", "o_custkey"),
+          .join(Tables.t(s, d, "orders").select("o_orderkey", "o_custkey")
+            .hint("shuffle_hash"),
             col("l_orderkey") === col("o_orderkey"))
           .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
           .distinct()
-        val edges = raw.select(col("c").as("src"), col("s").as("dst"))
+        val edgesRaw = raw.select(col("c").as("src"), col("s").as("dst"))
           .unionAll(raw.select(col("s").as("src"), col("c").as("dst")))
-        val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-        // one-time setup shuffle: enrich edges with src degree and PIN
-        // hash(src) at an explicit width AQE won't coalesce — after this,
-        // the edge table never moves again
-        val n = s.sparkContext.defaultParallelism
-        val edgesDeg = graft.Stage.materializeBy(s,
-          edges.join(deg, "src"), n, Seq(col("src")), "p03edeg")
+        // one-time setup shuffle: PIN the 2-column edge table at
+        // hash(src), an explicit width AQE won't coalesce — after this
+        // the edge table never moves again. Degree lives on the RANK
+        // side, not copied onto every edge: the 100x scale run caught
+        // the earlier edges-join-deg setup costing 161 s of the 234 s
+        // total at sf10 (an |E|-row join + 3-column write, plus deg's
+        // whole lineage recomputed a second time for r0) where this
+        // shape pays one |E|-row shuffle-write and keeps every other
+        // table at |V| rows.
+        val n = width
+        val edges = graft.Stage.materializeBy(s,
+          edgesRaw, n, Seq(col("src")), "p03edges")
+        // deg reads the pinned edges, so nothing upstream re-runs; the
+        // groupBy output is hash(v) at width n — co-partitioned with
+        // every later rank table
+        val deg = graft.Stage.materializeBy(s,
+          edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+            .withColumnRenamed("src", "v"),
+          n, Seq(col("v")), "p03deg")
         var ranks = graft.Stage.materializeBy(s,
-          deg.select(col("src").as("v"), lit(100000000L).as("rk")),
+          deg.select(col("v"), lit(100000000L).as("rk"), col("deg")),
           n, Seq(col("v")), "p03r0")
         for (i <- 1 to 3) {
           // shuffle_hash: a sort-merge join would add per-round sorts the
-          // hash join doesn't need (neither side's order is reusable)
+          // hash join doesn't need (neither side's order is reusable).
+          // The deg join-back is |V| rows on the SAME hash(v) layout as
+          // the groupBy output — zero additional exchange.
           ranks = graft.Stage.materializeKeeping(s,
-            edgesDeg.join(ranks.hint("shuffle_hash"), col("src") === col("v"))
+            edges.join(ranks.hint("shuffle_hash"), col("src") === col("v"))
               .groupBy(col("dst"))
               .agg((lit(15000000L) +
                 sum(expr("(34 * rk + 20 * deg) div (40 * deg)"))).as("rk"))
-              .withColumnRenamed("dst", "v"),
+              .withColumnRenamed("dst", "v")
+              .join(deg.hint("shuffle_hash"), "v"),
             s"p03r$i")
         }
         ranks
@@ -264,6 +309,14 @@ object PipelineQueries {
       |        JOIN pairs e2 ON e2.a = e1.b
       |        JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b) AS n_triangles""".stripMargin) {
     (s, d) =>
+      // wedge/closure shuffles run at a data-scaled width — the fixed
+      // core-count width was the kernels' shared super-linear term at
+      // the 100x step (see graphWidth)
+      val width = graphWidth(s, d)
+      val shufKey = "spark.sql.shuffle.partitions"
+      val savedShuf = s.conf.get(shufKey)
+      s.conf.set(shufKey, width.toString)
+      try {
       val l = Tables.t(s, d, "lineitem")
         .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1995-01-01 00:00:00"))
           && col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
@@ -284,9 +337,12 @@ object PipelineQueries {
         .select(col("p.a").as("a"), col("p.b").as("b"))
         .distinct()
       // the edge table is O(100k) 16-byte rows at bench SF — 8 pinned
-      // partitions beat 32 (per-task fixed costs dominate this tier; a
-      // cluster-scale graph would keep the natural width)
-      val edgesU = graft.Stage.materialize(s, undirected.coalesce(8), "p04pairs")
+      // partitions beat 32 there (per-task fixed costs dominate that
+      // tier); above the core-count width the graph is cluster-scale
+      // and keeps its natural width
+      val edgesU = graft.Stage.materialize(s,
+        if (width > s.sparkContext.defaultParallelism) undirected
+        else undirected.coalesce(8), "p04pairs")
       // degree over UNDIRECTED incidence; rank = (deg, id) lexicographic
       val deg = edgesU.select(col("a").as("v")).unionAll(edgesU.select(col("b").as("v")))
         .groupBy("v").agg(count(lit(1)).as("deg"))
@@ -312,8 +368,14 @@ object PipelineQueries {
       // build for 1M+ rows measured slower than the exchange it saves)
       val tri = wedges.join(
         oriented.select(col("u").as("v"), col("v").as("w")), Seq("v", "w"))
-      edgesU.agg(count(lit(1)).as("n_edges"))
-        .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
+      // materialized INSIDE the width scope: the wedge/closure shuffles
+      // plan at action time, which must happen before the conf restores
+      // (the returned frame is then a checkpoint scan)
+      graft.Stage.materializeKeeping(s,
+        edgesU.agg(count(lit(1)).as("n_edges"))
+          .crossJoin(tri.agg(count(lit(1)).as("n_triangles"))),
+        "p04out")
+      } finally s.conf.set(shufKey, savedShuf)
   }
 
   /** Semi-naive BFS (single-source hop distances) — the third classic
@@ -352,6 +414,7 @@ object PipelineQueries {
       |d AS (SELECT v, MIN(dist) AS dist FROM reach GROUP BY v)
       |SELECT dist, COUNT(*) AS n_vertices FROM d
       |GROUP BY dist ORDER BY dist""".stripMargin) { (s, d) =>
+    val width = graphWidth(s, d)
     val confs = Seq(
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",
       "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
@@ -367,15 +430,28 @@ object PipelineQueries {
     }
     try {
       val raw = Tables.t(s, d, "lineitem").select("l_orderkey", "l_suppkey")
-        .join(Tables.t(s, d, "orders").select("o_orderkey", "o_custkey"),
+        .join(Tables.t(s, d, "orders").select("o_orderkey", "o_custkey")
+          .hint("shuffle_hash"),
           col("l_orderkey") === col("o_orderkey"))
         .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
         .distinct()
+      // two widths, deliberately: the EDGE BUILD (|E|-row join/distinct)
+      // runs at the data-scaled width, while the LOOP stays at the core
+      // width — frontier/visited are |V|-row tables whose per-round
+      // fixed costs (checkpoint blocks, task waves) scale with the
+      // width, and the per-round edge probe streams the pinned layout
+      // at whatever width it was pinned with. Measured at sf10: one
+      // width=120 everywhere made the 8 rounds SLOWER than the width
+      // it saved on the build.
+      val shufKey = "spark.sql.shuffle.partitions"
+      val savedShuf = s.conf.get(shufKey)
       val n = s.sparkContext.defaultParallelism
-      val edges = graft.Stage.materializeBy(s,
+      s.conf.set(shufKey, width.toString)
+      val edges = try graft.Stage.materializeBy(s,
         raw.select(col("c").as("src"), col("s").as("dst"))
           .unionAll(raw.select(col("s").as("src"), col("c").as("dst"))),
         n, Seq(col("src")), "p05edges")
+      finally s.conf.set(shufKey, savedShuf)
       // bounded scalar (st14's watermark-scalar precedent): the source id
       val src0 = Tables.t(s, d, "orders")
         .agg(min(col("o_custkey"))).head().getLong(0) * 2

@@ -24,6 +24,7 @@ object Probe {
       f.write.format("noop").mode("overwrite").save()
       println(f"[probe] $tag%-28s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
     }
+    sys.env.get("PROBE_SHUF").foreach(n => spark.conf.set("spark.sql.shuffle.partitions", n))
     if (sys.env.contains("PROBE_D10")) {
       val e = graft.Tables.t(spark, d, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -55,27 +56,32 @@ object Probe {
         println(f"[probe] $tag%-22s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
         r
       }
-      val raw = graft.Tables.t(s, d, "lineitem").select("l_orderkey", "l_suppkey")
-        .join(graft.Tables.t(s, d, "orders").select("o_orderkey", "o_custkey"),
-          col("l_orderkey") === col("o_orderkey"))
+      val hint = sys.env.getOrElse("PROBE_P03_JOINHINT", "")
+      val li = graft.Tables.t(s, d, "lineitem").select("l_orderkey", "l_suppkey")
+      val od0 = graft.Tables.t(s, d, "orders").select("o_orderkey", "o_custkey")
+      val od = if (hint.nonEmpty) od0.hint(hint) else od0
+      val raw = li.join(od, col("l_orderkey") === col("o_orderkey"))
         .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
         .distinct()
-      val edges = raw.select(col("c").as("src"), col("s").as("dst"))
+      val edgesRaw = raw.select(col("c").as("src"), col("s").as("dst"))
         .unionAll(raw.select(col("s").as("src"), col("c").as("dst")))
-      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       val n = s.sparkContext.defaultParallelism
-      val edgesDeg = t("edgesDeg materialize") {
-        graft.Stage.materializeBy(s, edges.join(deg, "src"), n, Seq(col("src")), "pe")
+      val edges = t("edges materialize") {
+        graft.Stage.materializeBy(s, edgesRaw, n, Seq(col("src")), "pe")
       }
-      println(s"[probe] edges rows = ${t("edges count")(edgesDeg.count())}")
+      println(s"[probe] edges rows = ${t("edges count")(edges.count())}")
+      val deg = t("deg") { graft.Stage.materializeBy(s,
+        edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+          .withColumnRenamed("src", "v"), n, Seq(col("v")), "pd") }
       var ranks = t("ranks0") { graft.Stage.materializeBy(s,
-        deg.select(col("src").as("v"), lit(100000000L).as("rk")), n, Seq(col("v")), "pr0") }
+        deg.select(col("v"), lit(100000000L).as("rk"), col("deg")), n, Seq(col("v")), "pr0") }
       for (i <- 1 to 3) {
         ranks = t(s"round $i") { graft.Stage.materializeKeeping(s,
-          edgesDeg.join(ranks.hint("shuffle_hash"), col("src") === col("v"))
+          edges.join(ranks.hint("shuffle_hash"), col("src") === col("v"))
             .groupBy(col("dst"))
             .agg((lit(15000000L) + sum(expr("(34 * rk + 20 * deg) div (40 * deg)"))).as("rk"))
-            .withColumnRenamed("dst", "v"), s"pr$i") }
+            .withColumnRenamed("dst", "v")
+            .join(deg.hint("shuffle_hash"), "v"), s"pr$i") }
       }
       t("top50") { ranks.select(col("v"), (col("rk").cast("double") / 100000000L).as("r"))
         .orderBy(col("r").desc, col("v")).limit(50).collect() }

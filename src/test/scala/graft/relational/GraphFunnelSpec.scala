@@ -64,15 +64,20 @@ class GraphFunnelSpec extends AnyFunSuite {
     assert(!flat.flatten.exists(
       _.isInstanceOf[org.apache.spark.sql.execution.exchange.BroadcastExchangeExec]),
       "pagerank plan broadcast something — the rank vector must flow as a shuffle")
-    // each round join streams the PINNED edges (output has dst+deg)
-    // against the rank table (output has rk): the edge side must carry no
-    // exchange — only ranks may move
+    // each round join streams the PINNED edges (output has dst) against
+    // the rank table: the rank side carries either the raw `rk` or — when
+    // RewriteEagerAgg pre-computes the per-vertex contribution below the
+    // join (the better plan: the damped-update div runs once per VERTEX,
+    // not once per edge) — its `__graft_ea_*` partial. The edge side must
+    // carry no exchange; only ranks may move.
+    def rankish(names: Seq[String]): Boolean =
+      names.contains("rk") || names.exists(_.startsWith("__graft_ea_"))
     val roundJoins = flat.flatten.collect {
       case j: org.apache.spark.sql.execution.joins.BaseJoinExec
           if (j.left.output.map(_.name).contains("dst") &&
-              j.right.output.map(_.name).contains("rk")) ||
+              rankish(j.right.output.map(_.name))) ||
              (j.right.output.map(_.name).contains("dst") &&
-              j.left.output.map(_.name).contains("rk")) => j
+              rankish(j.left.output.map(_.name))) => j
     }
     assert(roundJoins.size >= 3, s"expected >=3 rank-round joins, saw ${roundJoins.size}")
     roundJoins.foreach { j =>
