@@ -262,14 +262,18 @@ object DedupQueries {
       |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.6
       |ORDER BY i, j""".stripMargin) { (s, d) =>
     val theta = 0.6
-    // This query is many small stages over modest row counts at the
-    // verify/bench SFs; a 32-wide shuffle spends more on task overhead
-    // than on data (measured 4.1 s @32 -> 2.3 s @8 at sf0.1). Scoped
-    // width cap like d07's loop width; at cluster scale the same knob
-    // goes UP with the data, and AQE coalescing handles the in-between.
+    // Width scales with the CORPUS (candidate volume is linear in docs
+    // under the prefix prune): ~6k docs per partition, floored at 8 —
+    // at the verify/bench SFs that is the measured-best narrow width
+    // (4.1 s @32 -> 2.3 s @8 at sf0.1: task overhead dominates small
+    // stages), while at 100x the old fixed cap of 8 put 2.4M candidate
+    // pairs in each of 8 tasks on a 32-core box (measured 210 -> 71 s
+    // cold at sf10 with the scaled width, sf1 unchanged).
     val shuffleKey = "spark.sql.shuffle.partitions"
     val oldWidth = s.conf.get(shuffleKey)
-    s.conf.set(shuffleKey, math.min(oldWidth.toInt, 8).toString)
+    val d05Width = math.min(512L, math.max(8L,
+      Tables.t(s, d, "documents").count() / 6000L)).toInt
+    s.conf.set(shuffleKey, d05Width.toString)
     try {
       // Shingles reduce to 64-bit xxhash64 ids at the scan and STRINGS
       // NEVER TRAVEL: every downstream shuffle (df counts, prefix join)
