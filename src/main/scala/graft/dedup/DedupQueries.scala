@@ -806,7 +806,76 @@ object DedupQueries {
       .orderBy("component")
   }
 
+  /** Exact shared-substring detection — the ExactSubstr dedup of
+    * "Deduplicating Training Data Makes Language Models Better" (Lee et
+    * al., ACL 2022), re-expressed relationally: find every doc pair
+    * sharing a VERBATIM run of >= 20 consecutive tokens. Suffix arrays
+    * don't distribute; seed-and-chain does:
+    *  1. seeds — overlapping token 8-grams, reduced to xxhash64 ids at
+    *     the scan (d05's strings-never-travel rule);
+    *  2. stop-seed cap — seeds in 2..64 docs survive (df=1 can't match;
+    *     df>64 is boilerplate whose pair blowup is quadratic — the same
+    *     discipline real ExactSubstr deploys, applied in BOTH engines so
+    *     the semantics is explicit: a span every one of whose 8-windows
+    *     is ultra-common is out of scope);
+    *  3. chain — a shared span of length R+7 tokens is exactly R
+    *     consecutive seed matches on one DIAGONAL (pa - pb constant), so
+    *     max-span per pair is an island count: row_number along pa
+    *     within (i,j,diag), group on pa - rn. No extension probing, no
+    *     text re-reads — the classic O(matches) collinear-seed chain.
+    * Scale shape: the only data-sized shuffles key on the seed hash (df
+    * count + candidate join); match volume is df-capped per seed, and
+    * the window/aggs downstream run on match rows only (thousands per
+    * million docs). The 0-based/1-based pos difference vs the oracle is
+    * invisible: diagonals and islands depend on pos DIFFERENCES only. */
+  val d13SubstringSpan: Q = Q(
+    "d13_substring_span",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |g AS (SELECT doc_id, i AS pos, list_reduce(toks[i:i+7], (a, b) -> a || ' ' || b) AS gr
+      |      FROM t, unnest(range(1, len(toks) - 6)) AS u(i) WHERE len(toks) >= 8),
+      |dfc AS (SELECT gr, COUNT(DISTINCT doc_id) AS df FROM g GROUP BY gr),
+      |m AS (SELECT a.doc_id AS i, b.doc_id AS j, a.pos AS pa, a.pos - b.pos AS diag
+      |      FROM g a JOIN g b ON a.gr = b.gr AND a.doc_id < b.doc_id
+      |      WHERE a.gr IN (SELECT gr FROM dfc WHERE df BETWEEN 2 AND 64)),
+      |r AS (SELECT i, j, diag, pa,
+      |        pa - ROW_NUMBER() OVER (PARTITION BY i, j, diag ORDER BY pa) AS island
+      |      FROM m),
+      |runs AS (SELECT i, j, COUNT(*) + 7 AS span FROM r GROUP BY i, j, diag, island)
+      |SELECT i, j, MAX(span) AS max_span FROM runs
+      |GROUP BY i, j HAVING MAX(span) >= 20 ORDER BY i, j""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val k = 8
+    val toksDf = Stage.materialize(s,
+      docs(s, d).select(col("doc_id"), toks.as("toks"))
+        .filter(size(col("toks")) >= k),
+      "d13toks")
+    val t = col("toks")
+    val grams = transform(
+      sequence(lit(1), size(t) - (k - 1)),
+      i => xxhash64(concat_ws(" ", (0 until k).map(o => element_at(t, i + o)): _*)))
+    val g = Stage.materialize(s,
+      toksDf.select(col("doc_id"), posexplode(grams).as(Seq("pos", "gh"))),
+      "d13g")
+    // two-level df (per-(seed,doc) partial first): no count-distinct
+    // expansion, both aggs map-side-combine on the seed key
+    val dfc = g.groupBy("gh", "doc_id").agg(count(lit(1)).as("occ"))
+      .groupBy("gh").agg(count(lit(1)).as("df"))
+    val seeds = g.join(dfc.filter(col("df").between(2, 64)), "gh")
+    val m = seeds.as("a").join(seeds.as("b"),
+        col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
+        col("a.pos").as("pa"), (col("a.pos") - col("b.pos")).as("diag"))
+    val w = Window.partitionBy("i", "j", "diag").orderBy("pa")
+    m.withColumn("island", col("pa") - row_number().over(w))
+      .groupBy("i", "j", "diag", "island")
+      .agg((count(lit(1)) + lit(k - 1).cast("long")).as("span"))
+      .groupBy("i", "j").agg(max(col("span")).as("max_span"))
+      .filter(col("max_span") >= 20)
+      .orderBy("i", "j")
+  }
+
   val all: Seq[Q] = Seq(d01ExactDedup, d02HashDedup, d03MinHashLsh, d04SimHash,
     d05NgramJaccard, d06MinHashPortable, d07CcClusters, d08BloomIncremental,
-    d09ShardedBloom, d10SemanticDedup, d11SimHashPortable, d12CanonicalSelect)
+    d09ShardedBloom, d10SemanticDedup, d11SimHashPortable, d12CanonicalSelect,
+    d13SubstringSpan)
 }

@@ -164,4 +164,47 @@ class DedupSpec extends AnyFunSuite {
       assert(filters(sh).mightContain(h), s"false negative: key $h shard $sh")
     }
   }
+
+  /** Longest common token substring by direct dynamic programming —
+    * independent ground truth for the seed-and-chain entry. */
+  private def tokenLcs(a: Array[String], b: Array[String]): Int = {
+    var best = 0
+    val prev = new Array[Int](b.length + 1)
+    val cur = new Array[Int](b.length + 1)
+    var i = 1
+    while (i <= a.length) {
+      var j = 1
+      while (j <= b.length) {
+        cur(j) = if (a(i - 1) == b(j - 1)) prev(j - 1) + 1 else 0
+        if (cur(j) > best) best = cur(j)
+        j += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, prev.length)
+      i += 1
+    }
+    best
+  }
+
+  test("d13 substring spans: reported max_span equals token-LCS; subset-complete") {
+    val reported = DedupQueries.d13SubstringSpan.fn(s, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(reported.nonEmpty, "the corpus plants long verbatim spans")
+    val texts = Tables.t(s, d, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toArray).toMap
+    // Soundness + exactness: every reported span IS the pair's LCS.
+    reported.foreach { case ((i, j), span) =>
+      val lcs = tokenLcs(texts(i), texts(j))
+      assert(lcs == span, s"pair ($i,$j): reported $span, true LCS $lcs")
+    }
+    // Completeness on a bounded subset (no seed hits the df stop-cap at
+    // this SF, so chain semantics = plain LCS >= 20): every qualifying
+    // pair among the first 120 docs must be reported.
+    val ids = texts.keys.filter(_ < 120).toSeq.sorted
+    for (i <- ids; j <- ids if i < j) {
+      val lcs = tokenLcs(texts(i), texts(j))
+      if (lcs >= 20)
+        assert(reported.contains((i, j)), s"missed pair ($i,$j) with LCS $lcs")
+    }
+  }
 }
