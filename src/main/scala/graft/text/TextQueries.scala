@@ -525,9 +525,148 @@ object TextQueries {
       .limit(20)
   }
 
+  /** Lexical-diversity quality filter — the Gopher/C4-style reject rule
+    * for degenerate documents, in fully RATIONAL form so the hash oracle
+    * holds: a doc is flagged when 3·n_types < n_toks (type-token ratio
+    * under 1/3) or 8·top_count > n_toks (most-common token over 1/8 of
+    * the text). Both predicates are pure integer comparisons — no float
+    * thresholds, no libm; the reported ttr is one exact IEEE division of
+    * two exact int→double conversions. Scale shape: a zero-shuffle
+    * per-row map — the top-token count runs O(L²) higher-order-function
+    * work INSIDE the row (L ≈ doc tokens, bounded), which beats a
+    * corpus-wide (doc,token) agg precisely because it never exchanges
+    * anything; the presentation sort is the only exchange. */
+  val t16Diversity: Q = Q(
+    "t16_diversity",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |m AS (SELECT doc_id, len(toks) AS n_toks, len(list_distinct(toks)) AS n_types,
+      |        list_max([len(list_filter(toks, y -> y = x))
+      |                  for x in list_distinct(toks)]) AS top_count
+      |      FROM t)
+      |SELECT doc_id, n_toks, n_types, top_count,
+      |  CAST(n_types AS DOUBLE) / CAST(n_toks AS DOUBLE) AS ttr
+      |FROM m WHERE 3 * n_types < n_toks OR 8 * top_count > n_toks
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val base = graft.Stage.materialize(s,
+      docs(s, d).select(col("doc_id"), toks.as("toks")), "t16toks")
+    val t = col("toks")
+    val uniq = array_distinct(t)
+    val m = base.select(col("doc_id"),
+      size(t).cast("long").as("n_toks"),
+      size(uniq).cast("long").as("n_types"),
+      array_max(transform(uniq, x => size(filter(t, y => y === x))))
+        .cast("long").as("top_count"))
+    m.filter(lit(3) * col("n_types") < col("n_toks")
+        || lit(8) * col("top_count") > col("n_toks"))
+      .withColumn("ttr",
+        col("n_types").cast("double") / col("n_toks").cast("double"))
+      .orderBy("doc_id")
+  }
+
+  /** Bigram collocation mining by PMI — reported as the RATIONAL lift
+    * n_xy·N / (n_x·n_y) rather than its log (t11's discipline: log is
+    * monotone, a libm ulp would break the hash oracle for zero analytic
+    * gain; a consumer applies log after the engine). n_x / n_y are the
+    * left- / right-slot marginals, derived by RE-AGGREGATING the bigram
+    * counts — the corpus is scanned once. Every product stays below 2^53
+    * at any ScaleUp factor this repo runs (N ≈ 3e7 at sf10), so the
+    * int→double conversions are exact and the single division is
+    * correctly rounded identically on both engines. Scale shape: one
+    * (x,y) hash agg over the exploded bigram stream (map-side combined);
+    * the marginals and the scalar N are vocabulary-sized broadcasts. */
+  val t17Collocations: Q = Q(
+    "t17_collocations",
+    """WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+      |bg AS (SELECT toks[i] AS x, toks[i+1] AS y
+      |       FROM t, unnest(range(1, len(toks))) AS u(i) WHERE len(toks) >= 2),
+      |c AS (SELECT x, y, COUNT(*) AS nxy FROM bg GROUP BY x, y),
+      |lx AS (SELECT x, SUM(nxy) AS nx FROM c GROUP BY x),
+      |ry AS (SELECT y, SUM(nxy) AS ny FROM c GROUP BY y),
+      |n AS (SELECT CAST(SUM(nxy) AS BIGINT) AS n FROM c)
+      |SELECT x, y, nxy,
+      |  CAST(nxy * n.n AS DOUBLE) / CAST(nx * ny AS DOUBLE) AS lift
+      |FROM c JOIN lx USING (x) JOIN ry USING (y), n
+      |WHERE nxy >= 5 ORDER BY lift DESC, x, y LIMIT 30""".stripMargin) { (s, d) =>
+    val base = graft.Stage.materialize(s,
+      docs(s, d).select(toks.as("toks")).filter(size(col("toks")) >= 2), "t17toks")
+    val t = col("toks")
+    val bg = base.select(explode(transform(
+        sequence(lit(1), size(t) - 1),
+        i => struct(element_at(t, i).as("x"), element_at(t, i + 1).as("y")))).as("b"))
+      .select(col("b.x").as("x"), col("b.y").as("y"))
+    val c = bg.groupBy("x", "y").agg(count(lit(1)).as("nxy"))
+    val lx = c.groupBy("x").agg(sum(col("nxy")).as("nx"))
+    val ry = c.groupBy("y").agg(sum(col("nxy")).as("ny"))
+    val n = c.agg(sum(col("nxy")).cast("long").as("n"))
+    c.join(broadcast(lx), "x").join(broadcast(ry), "y").crossJoin(broadcast(n))
+      .filter(col("nxy") >= 5)
+      .withColumn("lift",
+        (col("nxy") * col("n")).cast("double") / (col("nx") * col("ny")).cast("double"))
+      .select(col("x"), col("y"), col("nxy"), col("lift"))
+      .orderBy(col("lift").desc, col("x"), col("y"))
+      .limit(30)
+  }
+
+  /** Duplicated-segment suppression — the CCNet/RefinedWeb boilerplate
+    * rule (drop repeated lines/paragraphs across the corpus) over this
+    * corpus's newline-free docs: non-overlapping 8-token chunks, a chunk
+    * appearing VERBATIM in >= 2 distinct docs is boilerplate, each doc
+    * reports how much it lost plus an md5 of its retained text (trailing
+    * sub-chunk tokens are out of chunking scope by definition). Scale
+    * shape: the only data-sized shuffle is the chunk-df agg, and it
+    * carries xxhash64 ids, never text (d05's rule); the boilerplate SET
+    * — repeated chunks only, tiny relative to the corpus — comes back as
+    * one broadcast row, so the rebuild is a zero-shuffle per-row filter:
+    * document text never moves. (When the boilerplate set outgrows a
+    * broadcast, d09's sharded-filter discipline is the drop-in upgrade.) */
+  val t18Boilerplate: Q = Q(
+    "t18_boilerplate",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |ch AS (SELECT doc_id, c AS idx, array_to_string(toks[c*8+1:c*8+8], ' ') AS ch
+      |       FROM t, unnest(range(0, len(toks) // 8)) AS u(c) WHERE len(toks) >= 8),
+      |dfc AS (SELECT ch, COUNT(DISTINCT doc_id) AS df FROM ch GROUP BY ch),
+      |bp AS (SELECT ch FROM dfc WHERE df >= 2),
+      |k AS (SELECT doc_id, COUNT(*) AS n_chunks,
+      |        COUNT(*) FILTER (ch IN (SELECT ch FROM bp)) AS n_dropped,
+      |        md5(COALESCE(string_agg(
+      |          CASE WHEN ch NOT IN (SELECT ch FROM bp) THEN ch END,
+      |          ' ' ORDER BY idx), '')) AS kept_hash
+      |      FROM ch GROUP BY doc_id)
+      |SELECT doc_id, n_chunks, n_dropped, kept_hash FROM k
+      |WHERE n_dropped > 0 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val base = graft.Stage.materialize(s,
+      docs(s, d).select(col("doc_id"), toks.as("toks"))
+        .filter(size(col("toks")) >= 8),
+      "t18toks")
+    val t = col("toks")
+    val chunks = transform(
+      sequence(lit(0), (size(t).cast("long") / 8).cast("long") - 1),
+      c => concat_ws(" ", (1 to 8).map(o => element_at(t, (c * 8 + o).cast("int"))): _*))
+    val rows = graft.Stage.materialize(s,
+      base.select(col("doc_id"), chunks.as("chunks")), "t18chunks")
+    // chunk doc-frequency on hashes (two-level: per-(chunk,doc) partial
+    // first), then the repeated set collapses to ONE broadcast array row
+    val dfc = rows.select(col("doc_id"), explode(col("chunks")).as("ch"))
+      .select(col("doc_id"), xxhash64(col("ch")).as("h"))
+      .groupBy("h", "doc_id").agg(count(lit(1)).as("occ"))
+      .groupBy("h").agg(count(lit(1)).as("df"))
+    val bpset = dfc.filter(col("df") >= 2)
+      .agg(sort_array(collect_list(col("h"))).as("bpset"))
+    val kept = filter(col("chunks"),
+      c => !array_contains(col("bpset"), xxhash64(c)))
+    rows.crossJoin(broadcast(bpset))
+      .select(col("doc_id"),
+        size(col("chunks")).cast("long").as("n_chunks"),
+        (size(col("chunks")) - size(kept)).cast("long").as("n_dropped"),
+        md5(concat_ws(" ", kept)).as("kept_hash"))
+      .filter(col("n_dropped") > 0)
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     t01TermFrequency, t02NgramCounts, t03LangId, t04QualityScore,
     t05LangSourceStats, t06TokenCounting, t07FingerprintBow,
     t08FingerprintRolling, t09Decontamination, t10Redaction, t11Tfidf,
-    t12Repetition, t13BpePairs, t14LmScore, t15Bm25)
+    t12Repetition, t13BpePairs, t14LmScore, t15Bm25, t16Diversity,
+    t17Collocations, t18Boilerplate)
 }
