@@ -152,6 +152,40 @@ object UdfQueries {
       .orderBy(col("cnt").desc, col("w"))
   }
 
+  /** SQL-defined scalar functions (Spark 4 `CREATE FUNCTION ... RETURN
+    * expr`) — the portable, optimizer-transparent alternative to u02's
+    * JVM scalar UDF: the analyzer INLINES the body into the plan, so the
+    * revenue expression participates in whole-stage codegen, constant
+    * folding, and pushdown exactly like a hand-written column (u02's
+    * black-box lambda can do none of those). UdfInlineSpec asserts the
+    * executed plan contains no UDF invocation node. Money math runs in
+    * DECIMAL inside the function body (Det discipline, spelled in SQL),
+    * so the per-flag sums are bit-identical across engines. */
+  val u07SqlUdf: Q = Q(
+    "u07_sql_udf",
+    """SELECT l_returnflag,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+      |        * (1.0 - CAST(l_discount AS DECIMAL(6,4)))) AS VARCHAR) AS DOUBLE)
+      |    AS net_revenue,
+      |  COUNT(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    Tables.t(s, d, "lineitem").createOrReplaceTempView("lineitem")
+    // Types sized so the product is EXACT and under precision 38 in both
+    // engines: price has 2 decimals (fits (18,4)), discount 2-4 (fits
+    // (6,4)); the (18,4)x(7,4) product carries scale 8 losslessly.
+    s.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_net(price DOUBLE, disc DOUBLE)
+        |RETURNS DECIMAL(26,8)
+        |RETURN CAST(price AS DECIMAL(18,4)) * (1.0 - CAST(disc AS DECIMAL(6,4)))
+        |""".stripMargin)
+    s.sql(
+      """SELECT l_returnflag,
+        |  CAST(CAST(SUM(graft_net(l_extendedprice, l_discount)) AS STRING) AS DOUBLE)
+        |    AS net_revenue,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(u01Udaf, u02ScalarUdf, u03TypedFlatMap, u04Generator,
-    u05BottomKSketch, u06HeavyHitters)
+    u05BottomKSketch, u06HeavyHitters, u07SqlUdf)
 }

@@ -2448,6 +2448,69 @@ object RelationalQueries {
       .orderBy("user_id")
   }
 
+  /** Blocked fuzzy matching — the entity-resolution join (record linkage
+    * / product matching): candidate pairs come from a BLOCKING key (the
+    * name's first word), the verifier is edit distance <= 3. Two scale
+    * decisions make this survive 100 TB where a naive fuzzy join dies:
+    *  1. canonicalize FIRST — the fact table collapses to distinct names
+    *     with support counts (one hash agg), and the quadratic stage runs
+    *     on the name VOCABULARY, which grows like the name space, not
+    *     like the rows;
+    *  2. the blocked name-pair join broadcasts the vocabulary-sized name
+    *     table, so the only data-sized operation is the initial agg.
+    * Levenshtein is exact integer DP in both engines — bit-identical.
+    * (With equal first words, full-name distance equals second-word
+    * distance — common-prefix invariance — so blocking on w1 is also a
+    * correct prefilter for the reported distance.) */
+  val q76FuzzyJoin: Q = Q(
+    "q76_fuzzy_join",
+    """WITH n AS (SELECT p_name, COUNT(*) AS n_parts FROM part GROUP BY p_name),
+      |p AS (SELECT p_name, n_parts, string_split(p_name, ' ')[1] AS w1 FROM n)
+      |SELECT a.p_name AS name_a, b.p_name AS name_b,
+      |  levenshtein(a.p_name, b.p_name) AS dist,
+      |  a.n_parts AS n_a, b.n_parts AS n_b
+      |FROM p a JOIN p b ON a.w1 = b.w1 AND a.p_name < b.p_name
+      |WHERE levenshtein(a.p_name, b.p_name) <= 3
+      |ORDER BY name_a, name_b""".stripMargin) { (s, d) =>
+    val names = part(s, d).groupBy("p_name").agg(count(lit(1)).as("n_parts"))
+      .withColumn("w1", element_at(split(col("p_name"), " "), 1))
+    val a = names.select(col("p_name").as("name_a"), col("n_parts").as("n_a"),
+      col("w1"))
+    val b = names.select(col("p_name").as("name_b"), col("n_parts").as("n_b"),
+      col("w1"))
+    a.join(broadcast(b), Seq("w1"))
+      .filter(col("name_a") < col("name_b")
+        && levenshtein(col("name_a"), col("name_b")) <= 3)
+      .select(col("name_a"), col("name_b"),
+        levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"),
+        col("n_a"), col("n_b"))
+      .orderBy("name_a", "name_b")
+  }
+
+  /** Correlated LATERAL subquery with ORDER BY + LIMIT — SQL's native
+    * spelling of per-key top-k (Spark 4 lateral join support), the same
+    * semantics q20 writes as a window and q48 as the AutoLocalTopK
+    * rewrite. One SQL text runs on BOTH engines verbatim. Spark's
+    * analyzer decorrelates the lateral into a ranked join rather than
+    * re-executing the inner query per outer row — the per-row-subquery
+    * reading would be a driver-side loop at scale, the decorrelated plan
+    * is one shuffle. Inner-join semantics: customers with no orders in
+    * the band drop out on both engines. */
+  val q77LateralTopk: Q = {
+    val sql =
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM customer c, LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_custkey = c.c_custkey AND o_totalprice > 400000.0
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        |ORDER BY c.c_custkey, t.o_orderkey""".stripMargin
+    Q("q77_lateral_topk", sql) { (s, d) =>
+      cust(s, d).createOrReplaceTempView("customer")
+      ord(s, d).createOrReplaceTempView("orders")
+      s.sql(sql)
+    }
+  }
+
   val all: Seq[Q] = Seq(
     q01ScanProject, q02Predicates, q03AggBasic, q04AggDistinct, q05Rollup,
     q06Cube, q07JoinBroadcast, q08JoinMultiway, q09JoinOuter, q10JoinFull,
@@ -2465,5 +2528,5 @@ object RelationalQueries {
     q62GapFill, q63Funnel, q64WeightedSample, q65Zorder, q66EagerAgg,
     q67DeltaJoinView, q68KmvSketchMerge, q69EagerAvg, q70PruningCapstone,
     q71EagerDecimal, q72CohortRetention, q73IntervalOverlap, q74IntervalSplit,
-    q75Ewma)
+    q75Ewma, q76FuzzyJoin, q77LateralTopk)
 }

@@ -412,8 +412,38 @@ object ScalarFunctionQueries {
       .orderBy("tld")
   }
 
+  /** The VARIANT type (Spark 4's open-schema JSON column): parse_json
+    * decodes once into the binary variant encoding, then TYPED path
+    * extraction (variant_get with a target type) replaces s06's
+    * string-walking get_json_object. At 100 TB this is the
+    * semi-structured-column answer: the parse is per-row and columnar,
+    * the extracted key is an 8-byte long by the time anything shuffles,
+    * and absent paths surface as NULLs (exercised by the `$.missing`
+    * probe) instead of runtime errors. Oracle: DuckDB's JSON extraction
+    * — same values, engine-neutral semantics. */
+  val s16Variant: Q = Q(
+    "s16_variant",
+    """SELECT k, COUNT(*) AS n,
+      |  MIN(event_id) AS first_event, MAX(event_id) AS last_event,
+      |  COUNT(json_extract(props, '$.missing')) AS n_missing
+      |FROM (SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, props
+      |      FROM events WHERE props IS NOT NULL)
+      |GROUP BY k ORDER BY k""".stripMargin) { (s, d) =>
+    ev(s, d)
+      .filter(col("props").isNotNull)
+      .select(col("event_id"),
+        expr("variant_get(parse_json(props), '$.k', 'bigint')").as("k"),
+        expr("try_variant_get(parse_json(props), '$.missing', 'string')").as("miss"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n"),
+        min(col("event_id")).as("first_event"),
+        max(col("event_id")).as("last_event"),
+        count(col("miss")).as("n_missing"))
+      .orderBy("k")
+  }
+
   val all: Seq[Q] = Seq(
     s01StringBasics, s02Regexp, s03Levenshtein, s04ArrayFns, s05MapFns,
     s06Json, s07JsonStruct, s08DateTime, s09Math, s10ToJson, s11MapKit,
-    s12ConditionalAgg, s13ArrayAgg, s14StringKit, s15UrlKit)
+    s12ConditionalAgg, s13ArrayAgg, s14StringKit, s15UrlKit, s16Variant)
 }
