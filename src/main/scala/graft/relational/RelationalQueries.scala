@@ -2511,6 +2511,72 @@ object RelationalQueries {
     }
   }
 
+  /** The runtime's NATIVE session_window in BATCH mode — q43's manual
+    * two-window sessionization expressed as one session-window hash
+    * aggregate (the same operator st03 exercises in streaming; Spark
+    * merges per-key event intervals inside the aggregate, no window
+    * functions at all). Semantics pinned against the oracle: a session
+    * is the maximal run where each event starts STRICTLY within
+    * prior-event-ts + 8h (Spark's [start, end) interval), so the
+    * oracle's new-session test is gap >= 8h — and session_end is
+    * last-event-ts + gap by definition, not last-event-ts (q43 reports
+    * the latter; both shapes are real, which is why both entries
+    * exist). Scale shape: ONE shuffle on user_id into the merging agg —
+    * strictly fewer passes than q43's window pair. */
+  val q78SessionWindow: Q = Q(
+    "q78_session_window",
+    """WITH g AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 28800000000
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      |  SELECT user_id, ts,
+      |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+      |                      ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM g)
+      |SELECT user_id, MIN(ts) AS session_start,
+      |  MAX(ts) + INTERVAL 8 HOUR AS session_end,
+      |  COUNT(*) AS n_events
+      |FROM sess GROUP BY user_id, session_id
+      |ORDER BY user_id, session_start""".stripMargin) { (s, d) =>
+    Tables.t(s, d, "events")
+      .groupBy(col("user_id"), session_window(col("ts"), "8 hours"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+      .orderBy("user_id", "session_start")
+  }
+
+  /** Parameterized SQL (Spark 4 named parameter markers) — the
+    * injection-safe templating surface a dispatching service uses
+    * instead of string interpolation (the reference's HTTP layer passes
+    * per-request parameters into its queries; ArticlePipeline.scala
+    * cites the ingest side). The plan compiles with the bound LITERALS,
+    * so pushdown/pruning see constants — the oracle is simply the same
+    * query with the values inlined. */
+  val q79ParameterizedSql: Q = Q(
+    "q79_parameterized_sql",
+    """SELECT o_orderpriority, COUNT(*) AS n,
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,8))) AS VARCHAR) AS DOUBLE)
+      |    AS total
+      |FROM orders
+      |WHERE o_orderstatus = 'F' AND o_totalprice >= 250000.0
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    ord(s, d).createOrReplaceTempView("orders")
+    s.sql(
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,8))) AS STRING) AS DOUBLE)
+        |    AS total
+        |FROM orders
+        |WHERE o_orderstatus = :status AND o_totalprice >= :floor
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+      Map("status" -> "F", "floor" -> 250000.0))
+  }
+
   val all: Seq[Q] = Seq(
     q01ScanProject, q02Predicates, q03AggBasic, q04AggDistinct, q05Rollup,
     q06Cube, q07JoinBroadcast, q08JoinMultiway, q09JoinOuter, q10JoinFull,
@@ -2528,5 +2594,6 @@ object RelationalQueries {
     q62GapFill, q63Funnel, q64WeightedSample, q65Zorder, q66EagerAgg,
     q67DeltaJoinView, q68KmvSketchMerge, q69EagerAvg, q70PruningCapstone,
     q71EagerDecimal, q72CohortRetention, q73IntervalOverlap, q74IntervalSplit,
-    q75Ewma, q76FuzzyJoin, q77LateralTopk)
+    q75Ewma, q76FuzzyJoin, q77LateralTopk, q78SessionWindow,
+    q79ParameterizedSql)
 }
