@@ -1,7 +1,7 @@
 package graft.functions
 
 import graft.{Q, Tables}
-import org.apache.spark.sql.{Encoders, SparkSession}
+import org.apache.spark.sql.{Column, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
@@ -186,6 +186,64 @@ object UdfQueries {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
   }
 
+  /** Count-Min sketch (Cormode-Muthukrishnan) with md5-portable hash
+    * rows — the mergeable point-frequency summary that complements u06's
+    * top-k: depth 3 × width 64 counters, bucket_d(key) from the first 8
+    * md5 hex digits of "d:key" (the d06/d11 portable-hash recipe), point
+    * estimate = min over depths of the bucket counts. The whole sketch
+    * is one map-side-combinable GROUP BY to 192 cells REGARDLESS of row
+    * count — the sketch IS the shuffle-compressed representation, and
+    * cellwise SUM merges sketches across partitions/days for free. The
+    * query emits, per probed supplier key, the exact count next to the
+    * estimate; the CM guarantee (est ≥ exact, ≤ exact + εN w.h.p.) is
+    * spec-asserted, and because the hash rows are engine-portable the
+    * normally "engine-internal" sketch verifies HASH-EXACT against a
+    * DuckDB oracle computing the identical cells. */
+  val u08CountMin: Q = Q(
+    "u08_count_min",
+    """WITH r AS (SELECT l_suppkey AS k FROM lineitem),
+      |d AS (SELECT unnest([0, 1, 2]) AS dep),
+      |cells AS (
+      |  SELECT dep,
+      |    ('0x' || substr(md5(CAST(dep AS VARCHAR) || ':' || CAST(k AS VARCHAR)), 1, 8))::BIGINT % 64 AS bucket,
+      |    COUNT(*) AS c
+      |  FROM r CROSS JOIN d GROUP BY dep, bucket),
+      |keys AS (SELECT DISTINCT k FROM r WHERE k <= 50),
+      |est AS (
+      |  SELECT k, MIN(c) AS cm_est
+      |  FROM keys CROSS JOIN d
+      |  JOIN cells ON cells.dep = d.dep
+      |    AND cells.bucket =
+      |      ('0x' || substr(md5(CAST(d.dep AS VARCHAR) || ':' || CAST(k AS VARCHAR)), 1, 8))::BIGINT % 64
+      |  GROUP BY k),
+      |ex AS (SELECT k, COUNT(*) AS exact_n FROM r WHERE k <= 50 GROUP BY k)
+      |SELECT ex.k AS suppkey, exact_n, cm_est
+      |FROM ex JOIN est USING (k) ORDER BY suppkey""".stripMargin) { (s, d) =>
+    def bucket(dep: Int, k: Column): Column =
+      conv(substring(md5(concat(lit(s"$dep:"), k.cast("string"))), 1, 8), 16, 10)
+        .cast("long") % 64
+    val rows = Tables.t(s, d, "lineitem").select(col("l_suppkey").as("k"))
+    // Sketch build: one explode to (depth, bucket) then a 192-cell agg —
+    // partial aggregation compresses every partition to ≤192 rows before
+    // the shuffle, so the network cost is O(depth·width), not O(rows).
+    val cells = rows
+      .select(posexplode(array((0 until 3).map(dep => bucket(dep, col("k"))): _*))
+        .as(Seq("dep", "bucket")))
+      .groupBy("dep", "bucket").agg(count(lit(1)).as("c"))
+    val probed = rows.filter(col("k") <= 50)
+    val exact = probed.groupBy("k").agg(count(lit(1)).as("exact_n"))
+    // Point query: each probed key recomputes its 3 buckets and takes the
+    // min cell — the 192-cell sketch broadcasts, keys never reshuffle.
+    val est = exact.select(col("k"),
+        posexplode(array((0 until 3).map(dep => bucket(dep, col("k"))): _*))
+          .as(Seq("dep", "bucket")))
+      .join(broadcast(cells), Seq("dep", "bucket"))
+      .groupBy("k").agg(min(col("c")).as("cm_est"))
+    exact.join(est, "k")
+      .select(col("k").as("suppkey"), col("exact_n"), col("cm_est"))
+      .orderBy("suppkey")
+  }
+
   val all: Seq[Q] = Seq(u01Udaf, u02ScalarUdf, u03TypedFlatMap, u04Generator,
-    u05BottomKSketch, u06HeavyHitters, u07SqlUdf)
+    u05BottomKSketch, u06HeavyHitters, u07SqlUdf, u08CountMin)
 }

@@ -728,6 +728,111 @@ object PipelineQueries {
     }
   }
 
+  /** Hybrid retrieval with reciprocal-rank fusion — the RAG-serving
+    * composition of the catalog's two retrieval paths: t15's BM25 lexical
+    * ranking over `documents` and v02's dense inner-product ranking over
+    * `embeddings` (doc_id = vec_id, as p01 established), fused by RRF
+    * (k=60, the Cormack et al. constant): score = Σ 1/(k + rank_i) over
+    * the systems that retrieved the doc. Ranks, not scores, cross the
+    * fusion boundary — RRF's whole point — so the two scoring scales
+    * never have to be calibrated. Determinism: both rank lists are
+    * row_number over a total order (score DESC, id), the BM25 scores are
+    * t15's cleared-to-integer rational form and the dense scores one
+    * list_dot_product fold, and the fused score is two correctly-rounded
+    * divisions and one add in a fixed expression tree — bit-identical in
+    * any IEEE engine. Scale shape: each side is TakeOrdered top-50 (no
+    * global window over the corpus — the rank row_number runs on the
+    * 50-row survivor set), the fusion is a 50×50 full outer join on ids.
+    * At 100 TB the lexical side is a postings-only shuffle (t15) and the
+    * dense side an ANN shortlist (v07/v15); the fusion cost never grows.
+    */
+  val p09HybridRetrieval: Q = Q(
+    "p09_hybrid_retrieval",
+    """WITH b AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |n AS (SELECT COUNT(*) AS n, CAST(SUM(len(toks)) AS BIGINT) AS t FROM b),
+      |tf AS (
+      |  SELECT doc_id, tok, COUNT(*) AS tf, MAX(dl) AS dl FROM (
+      |    SELECT doc_id, len(toks) AS dl, unnest(toks) AS tok FROM b)
+      |  WHERE tok IN ('spark', 'vector', 'merge')
+      |  GROUP BY doc_id, tok),
+      |df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+      |sc AS (
+      |  SELECT doc_id,
+      |    (CAST(2 * n.n - 2 * df.df + 1 AS DOUBLE)
+      |       / CAST(2 * df.df + 1 AS DOUBLE))
+      |    * (CAST(44 * tf.tf * n.t AS DOUBLE)
+      |       / CAST(20 * tf.tf * n.t + 6 * n.t + 18 * tf.dl * n.n AS DOUBLE))
+      |      AS s
+      |  FROM tf JOIN df USING (tok), n),
+      |bm AS (SELECT doc_id, SUM(s) AS bm25 FROM sc GROUP BY doc_id),
+      |lex AS (
+      |  SELECT doc_id,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS r_lex
+      |  FROM bm ORDER BY bm25 DESC, doc_id LIMIT 50),
+      |pv AS (SELECT embedding::DOUBLE[] AS pv FROM embeddings WHERE vec_id = 0),
+      |ds AS (SELECT vec_id, list_dot_product(embedding::DOUBLE[], pv) AS score
+      |       FROM embeddings, pv),
+      |den AS (
+      |  SELECT vec_id AS doc_id,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY score DESC, vec_id) AS BIGINT) AS r_dense
+      |  FROM ds ORDER BY score DESC, vec_id LIMIT 50)
+      |SELECT COALESCE(l.doc_id, de.doc_id) AS doc_id, r_lex, r_dense,
+      |  COALESCE(CAST(1 AS DOUBLE) / CAST(60 + r_lex AS DOUBLE), CAST(0 AS DOUBLE))
+      |  + COALESCE(CAST(1 AS DOUBLE) / CAST(60 + r_dense AS DOUBLE), CAST(0 AS DOUBLE))
+      |    AS rrf
+      |FROM lex l FULL OUTER JOIN den de ON l.doc_id = de.doc_id
+      |ORDER BY rrf DESC, doc_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val terms = Seq("spark", "vector", "merge")
+    // Lexical side: t15's BM25 (Lucene k1/b cleared to integer rationals).
+    val base = Tables.t(s, d, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val nt = base.agg(
+      count(lit(1)).cast("long").as("n"),
+      sum(size(col("toks"))).cast("long").as("t"))
+    val tf = base
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).cast("long").as("tf"), max(col("dl")).as("dl"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).cast("long").as("df"))
+    val bm = tf.join(broadcast(dfreq), "tok").crossJoin(broadcast(nt))
+      .withColumn("sc",
+        ((lit(2L) * col("n") - lit(2L) * col("df") + lit(1L)).cast("double")
+          / (lit(2L) * col("df") + lit(1L)).cast("double"))
+          * ((lit(44L) * col("tf") * col("t")).cast("double")
+            / (lit(20L) * col("tf") * col("t") + lit(6L) * col("t")
+              + lit(18L) * col("dl") * col("n")).cast("double")))
+      .groupBy("doc_id").agg(sum(col("sc")).as("bm25"))
+    // Top-50 via TakeOrdered FIRST; row_number only over the survivors.
+    val lex = bm.orderBy(col("bm25").desc, col("doc_id")).limit(50)
+      .withColumn("r_lex", row_number()
+        .over(Window.orderBy(col("bm25").desc, col("doc_id"))).cast("long"))
+      .select("doc_id", "r_lex")
+    // Dense side: v02's brute-force inner product vs the vec_id=0 probe.
+    val e = Tables.t(s, d, "embeddings")
+    val probe = e.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>").as("pv"))
+    val ds = e
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"),
+        expr("aggregate(zip_with(v, pv, (x, y) -> x * y), cast(0.0 as double), (a, x) -> a + x)")
+          .as("score"))
+    val den = ds.orderBy(col("score").desc, col("vec_id")).limit(50)
+      .withColumn("r_dense", row_number()
+        .over(Window.orderBy(col("score").desc, col("vec_id"))).cast("long"))
+      .select(col("vec_id").as("doc_id"), col("r_dense"))
+    lex.join(den, Seq("doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1).cast("double")
+          / (lit(60L) + col("r_lex")).cast("double"), lit(0).cast("double"))
+          + coalesce(lit(1).cast("double")
+            / (lit(60L) + col("r_dense")).cast("double"), lit(0).cast("double")))
+      .orderBy(col("rrf").desc, col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(p01TrainingPipeline, p02CurationPipeline, p03Pagerank, p04Triangles,
-    p05BfsHops, p06BfsRecursiveCte, p07MixAllocation, p08SequencePack)
+    p05BfsHops, p06BfsRecursiveCte, p07MixAllocation, p08SequencePack, p09HybridRetrieval)
 }

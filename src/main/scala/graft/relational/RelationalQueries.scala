@@ -2577,6 +2577,69 @@ object RelationalQueries {
       Map("status" -> "F", "floor" -> 250000.0))
   }
 
+  /** Exact distinct counting via Spark 4's bitmap aggregates — the
+    * shuffle-compressed alternative to q04's COUNT(DISTINCT) expansion
+    * and q28/q49's approximate sketches: keys bucket into 32768-bit
+    * bitmaps (`bitmap_bucket_number`/`bitmap_bit_position`), each
+    * (group, bucket) cell is ONE ≤4 KB binary regardless of how many
+    * keys it holds, partial cells combine with `bitmap_or_agg` (here
+    * merging per-status partials — the mergeability that makes the
+    * representation incremental across days/partitions), and the final
+    * count is the SUM of `bitmap_count` over a group's buckets. The
+    * network never carries raw keys — COUNT(DISTINCT) re-shuffles every
+    * key; this shuffles O(groups × buckets) fixed-size bitmaps. The
+    * oracle is the plain COUNT(DISTINCT) the bitmaps must reproduce
+    * exactly (bit-per-key, no approximation). */
+  val q80BitmapDistinct: Q = Q(
+    "q80_bitmap_distinct",
+    """SELECT o_orderpriority AS pri,
+      |  COUNT(DISTINCT o_custkey) AS n_customers, COUNT(*) AS n_orders
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val partial = Tables.t(s, d, "orders")
+      .select(col("o_orderpriority").as("pri"), col("o_orderstatus").as("st"),
+        col("o_custkey").as("ck"))
+      .groupBy(col("pri"), col("st"), expr("bitmap_bucket_number(ck)").as("bkt"))
+      .agg(expr("bitmap_construct_agg(bitmap_bit_position(ck))").as("bm"),
+        count(lit(1)).as("n"))
+    partial
+      .groupBy("pri", "bkt")
+      .agg(expr("bitmap_or_agg(bm)").as("bm"), sum(col("n")).as("n"))
+      .groupBy("pri")
+      .agg(sum(expr("bitmap_count(bm)")).as("n_customers"),
+        sum(col("n")).as("n_orders"))
+      .orderBy("pri")
+  }
+
+  /** Exact moving median — a 5-row trailing window median by SELECTION,
+    * not arithmetic: sort the frame's values and take element
+    * (n+1)/2 (the lower median, exact for even frames too — no
+    * averaging, so no float math beyond comparisons, and the picked
+    * value is bit-identical in any engine). The robust-smoothing
+    * counterpart to q75's EWMA; percentile_approx (q39) can't serve
+    * here because moving medians must be exact per frame. Scale shape:
+    * a ROWS-frame window per user — partition-local after one shuffle
+    * on user_id, O(k log k) per row with k=5 fixed. */
+  val q81MovingMedian: Q = Q(
+    "q81_moving_median",
+    """SELECT user_id, event_id, ts, value, l[(len(l)+1)//2] AS med FROM (
+      |  SELECT user_id, event_id, ts, value,
+      |    list_sort(list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) AS l
+      |  FROM events WHERE user_id < 200)
+      |ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(-4, 0)
+    Tables.t(s, d, "events")
+      .filter(col("user_id") < 200)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"),
+        sort_array(collect_list(col("value")).over(w)).as("l"))
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"),
+        element_at(col("l"),
+          floor((size(col("l")) + 1) / 2).cast("int")).as("med"))
+      .orderBy("user_id", "event_id")
+  }
+
   val all: Seq[Q] = Seq(
     q01ScanProject, q02Predicates, q03AggBasic, q04AggDistinct, q05Rollup,
     q06Cube, q07JoinBroadcast, q08JoinMultiway, q09JoinOuter, q10JoinFull,
@@ -2595,5 +2658,5 @@ object RelationalQueries {
     q67DeltaJoinView, q68KmvSketchMerge, q69EagerAvg, q70PruningCapstone,
     q71EagerDecimal, q72CohortRetention, q73IntervalOverlap, q74IntervalSplit,
     q75Ewma, q76FuzzyJoin, q77LateralTopk, q78SessionWindow,
-    q79ParameterizedSql)
+    q79ParameterizedSql, q80BitmapDistinct, q81MovingMedian)
 }

@@ -840,8 +840,89 @@ object SimilarityQueries {
     (scored, short, out)
   }
 
+  /** Maximal-marginal-relevance rerank (Carbonell-Goldstein) — the
+    * diversity-aware final stage a retrieval stack runs AFTER v01-v15
+    * produce a shortlist: greedily pick 5 of the top-20 candidates,
+    * each step maximizing relevance minus the max similarity to the
+    * already-picked set (λ = 1/2, the two halves scaled out so the
+    * objective is one subtraction of two dot-product folds —
+    * bit-identical across engines; ties break on vec_id). The greedy
+    * recursion is INHERENTLY sequential in k, so it runs as a bounded
+    * HOF fold over the collected 20-candidate array (q75/p08's
+    * ordered-fold discipline — never a driver loop, never k scans);
+    * only the O(n) shortlist step is distributed, which is exactly
+    * MMR's production shape: rerank cost is O(shortlist² · k), fixed
+    * per query regardless of corpus size. The oracle states the same
+    * greedy recursion as a recursive CTE carrying the picked set in
+    * one accumulating row. */
+  val v16MmrRerank: Q = Q(
+    "v16_mmr_rerank",
+    """WITH RECURSIVE
+      |p AS (SELECT embedding::DOUBLE[] AS pv FROM embeddings WHERE vec_id = 0),
+      |cand AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v,
+      |         list_dot_product(embedding::DOUBLE[], pv) AS rel
+      |  FROM embeddings, p WHERE vec_id != 0
+      |  ORDER BY rel DESC, vec_id LIMIT 20),
+      |sel AS (
+      |  SELECT 0 AS step, CAST([] AS BIGINT[]) AS picked, CAST([] AS DOUBLE[][]) AS pvecs
+      |  UNION ALL
+      |  SELECT step + 1, list_append(picked, nxt.vec_id), list_append(pvecs, nxt.v)
+      |  FROM sel, LATERAL (
+      |    SELECT c.vec_id, c.v
+      |    FROM cand c
+      |    WHERE NOT list_contains(sel.picked, c.vec_id)
+      |    ORDER BY c.rel - COALESCE(list_max(
+      |        list_transform(sel.pvecs, sv -> list_dot_product(c.v, sv))),
+      |        CAST(0 AS DOUBLE)) DESC, c.vec_id
+      |    LIMIT 1) nxt
+      |  WHERE step < 5),
+      |final AS (SELECT picked FROM sel WHERE step = 5),
+      |ranks AS (
+      |  SELECT unnest(picked) AS vec_id,
+      |         generate_subscripts(picked, 1) AS rank FROM final)
+      |SELECT CAST(rank AS BIGINT) AS rank, vec_id, rel
+      |FROM ranks JOIN cand USING (vec_id) ORDER BY rank""".stripMargin) { (s, d) =>
+    val e = emb(s, d)
+    val probe = e.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>").as("pv"))
+    val cand = Stage.materialize(s,
+      e.filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .crossJoin(broadcast(probe))
+        .select(col("vec_id"), col("v"), dot(col("v"), col("pv")).as("rel"))
+        .orderBy(col("rel").desc, col("vec_id"))
+        .limit(20), "v16cand")
+    // score(c | sel) = rel(c) − max_{s∈sel} ⟨c.v, s.v⟩ (0 for empty sel)
+    val simToSel =
+      """array_max(transform(sel, s2 ->
+        |  aggregate(zip_with(c.v, s2.v, (x, y) -> x * y),
+        |    cast(0.0 as double), (a2, x2) -> a2 + x2)))""".stripMargin
+    val score = s"(c.rel - coalesce($simToSel, cast(0.0 as double)))"
+    val greedy = expr(
+      s"""aggregate(
+         |  sequence(1, 5),
+         |  cast(array() as array<struct<vec_id:bigint, v:array<double>>>),
+         |  (sel, step) -> concat(sel, array(
+         |    aggregate(
+         |      filter(cands, c -> not exists(sel, s -> s.vec_id = c.vec_id)),
+         |      cast(null as struct<score:double, vec_id:bigint, v:array<double>>),
+         |      (b, c) -> IF(b IS NULL OR $score > b.score
+         |          OR ($score = b.score AND c.vec_id < b.vec_id),
+         |        named_struct('score', $score, 'vec_id', c.vec_id, 'v', c.v),
+         |        b),
+         |      bf -> named_struct('vec_id', bf.vec_id, 'v', bf.v)))))""".stripMargin)
+    cand
+      .agg(collect_list(struct(col("rel"), col("vec_id"), col("v"))).as("cands"))
+      .select(posexplode(greedy).as(Seq("pos", "sl")))
+      .select((col("pos") + 1).cast("long").as("rank"), col("sl.vec_id").as("vec_id"))
+      .join(broadcast(cand.select(col("vec_id"), col("rel"))), "vec_id")
+      .select(col("rank"), col("vec_id"), col("rel"))
+      .orderBy("rank")
+  }
+
   val all: Seq[Q] = Seq(v01CosineTopK, v02DotTopK, v03AnnLshBucket,
     v04EmbeddingNearDup, v05CosineTopKNative, v06AnnIvf, v07AnnPartitionPruned,
     v08LabelCentroids, v09KmeansPortable, v10QuantizedDot, v11IvfPortable,
-    v12CertifiedRerank, v13MaxipLsh, v14BatchedAnn, v15PqAdc)
+    v12CertifiedRerank, v13MaxipLsh, v14BatchedAnn, v15PqAdc, v16MmrRerank)
 }

@@ -641,10 +641,51 @@ object StreamingQueries {
     } finally s.conf.set(key, saved)
   }
 
+  /** CHAINED stateful window aggregations (Spark 4 multiple-stateful-
+    * operator support): hourly counts per event_type, re-aggregated into
+    * 4-hour rollups IN THE SAME STREAM — `window(window_time(window),
+    * "4 hours")` re-windows the first aggregate's output on its
+    * event-time column, the pre-aggregation pattern that makes
+    * dashboard rollup cascades one pipeline instead of two jobs with an
+    * intermediate sink. Chained stateful ops require append mode, so
+    * only windows the final watermark (max ts − 1 h) closes are
+    * emitted; the oracle states that visibility rule explicitly
+    * (win_end ≤ wm), making the append semantics — not just the sums —
+    * part of what's verified. Each hourly window lands in exactly one
+    * 4-hour bucket (1 h divides 4 h; both engines' buckets are
+    * epoch-aligned), so the rollup keys agree engine-for-engine. State
+    * at scale: level 1 holds one hour per type, level 2 four PRE-REDUCED
+    * rows per window — the cascade shrinks state, never grows it. */
+  val st17ChainedWindows: Q = Q(
+    "st17_chained_windows",
+    """WITH hourly AS (
+      |  SELECT time_bucket(INTERVAL '1 hour', ts) AS h, event_type, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |wm AS (SELECT MAX(ts) - INTERVAL '1 hour' AS w FROM events)
+      |SELECT time_bucket(INTERVAL '4 hours', h) AS win_start, event_type,
+      |  CAST(SUM(n) AS BIGINT) AS n_events, COUNT(*) AS n_hours, MAX(n) AS max_hourly
+      |FROM hourly, wm
+      |WHERE time_bucket(INTERVAL '4 hours', h) + INTERVAL '4 hours' <= w
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    val hourly = replayedEvents(s, d)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val rolled = hourly
+      .groupBy(window(window_time(col("window")), "4 hours"), col("event_type"))
+      .agg(sum(col("n")).as("n_events"), count(lit(1)).as("n_hours"),
+        max(col("n")).as("max_hourly"))
+    runToTable(s, rolled, "append")
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n_events"), col("n_hours"), col("max_hourly"))
+      .orderBy("win_start", "event_type")
+  }
+
   val all: Seq[Q] = Seq(st01Tumbling, st02Sliding, st03Session, st04Dedup,
     st05Stateful, st06FileSink, st07StreamJoin, st08ForeachBatch,
     st09StreamStaticJoin, st10UpdateMode, st11StreamDedup, st12StreamAnnRoute,
-    st13RocksdbState, st14StreamLeftOuter, st15TransformWithState, st16TimerExpiry)
+    st13RocksdbState, st14StreamLeftOuter, st15TransformWithState, st16TimerExpiry,
+    st17ChainedWindows)
 }
 
 /** st15's processor: named per-key ValueState holding (count, cents),
