@@ -244,6 +244,76 @@ object UdfQueries {
       .orderBy("suppkey")
   }
 
+  /** KMV sketch SET ALGEBRA (Beyer et al.) — the distinct-count sketch
+    * family's answer to "how many customers are in BOTH segments":
+    * bottom-64 md5-hash sketches of two order-priority segments
+    * (u05's aggregate), combined WITHOUT touching the raw sets — the
+    * union sketch is the 64 smallest of the merged sketches, θ its
+    * k-th value, ρ the union-sketch members present in both input
+    * sketches, and the estimates are single correctly-rounded integer
+    * divisions (63·2³² /θ for the union, ρ·63·2³² /(64·θ) for the
+    * intersection — numerators ≤ 2⁴⁴, exact in both int64 and double,
+    * so the doubles are bit-identical across engines). Emitted next to
+    * the exact counts the estimates approximate. At 100 TB each
+    * segment ships ONE 64-long sketch from each partition; set
+    * intersections of any two segments come from sketch algebra alone,
+    * never a re-scan. */
+  val u09KmvIntersect: Q = Q(
+    "u09_kmv_intersect",
+    """WITH a AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'),
+      |b AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderpriority = '2-HIGH'),
+      |ha AS (SELECT ('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 8))::BIGINT AS h FROM a),
+      |hb AS (SELECT ('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 8))::BIGINT AS h FROM b),
+      |sa AS (SELECT list(h ORDER BY h) AS s FROM (SELECT DISTINCT h FROM ha ORDER BY h LIMIT 64)),
+      |sb AS (SELECT list(h ORDER BY h) AS s FROM (SELECT DISTINCT h FROM hb ORDER BY h LIMIT 64)),
+      |u AS (SELECT list(h ORDER BY h) AS s FROM (
+      |  SELECT DISTINCT h FROM (SELECT h FROM ha UNION SELECT h FROM hb)
+      |  ORDER BY h LIMIT 64)),
+      |m AS (
+      |  SELECT u.s[64] AS theta,
+      |    CAST(len(list_filter(u.s,
+      |      x -> list_contains(sa.s, x) AND list_contains(sb.s, x))) AS BIGINT) AS rho
+      |  FROM u, sa, sb),
+      |exact AS (
+      |  SELECT (SELECT COUNT(*) FROM (SELECT k FROM a UNION SELECT k FROM b)) AS exact_union,
+      |    (SELECT COUNT(*) FROM (SELECT k FROM a INTERSECT SELECT k FROM b)) AS exact_inter)
+      |SELECT rho, theta,
+      |  CAST(63 * 4294967296 AS DOUBLE) / CAST(theta AS DOUBLE) AS est_union,
+      |  CAST(rho * 63 * 4294967296 AS DOUBLE) / CAST(64 * theta AS DOUBLE) AS est_inter,
+      |  exact_union, exact_inter
+      |FROM m, exact""".stripMargin) { (s, d) =>
+    BottomKHashes.register(s)
+    def sketch(priority: String) = Tables.t(s, d, "orders")
+      .filter(col("o_orderpriority") === priority)
+      .select(col("o_custkey").as("k")).distinct()
+      .select(conv(substring(md5(col("k").cast("string")), 1, 8), 16, 10)
+        .cast("long").as("h"))
+      .agg(expr("graft_bottomk(h, 64)").as("s"))
+    val keys = Tables.t(s, d, "orders")
+      .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+      .select(col("o_custkey").as("k"), col("o_orderpriority").as("p"))
+    val exact = keys.agg(
+      countDistinct(col("k")).as("exact_union"),
+      countDistinct(when(col("p") === "1-URGENT", col("k")))
+        .+(countDistinct(when(col("p") === "2-HIGH", col("k"))))
+        .-(countDistinct(col("k"))).as("exact_inter"))
+    sketch("1-URGENT").select(col("s").as("sa"))
+      .crossJoin(sketch("2-HIGH").select(col("s").as("sb")))
+      .select(col("sa"), col("sb"),
+        slice(array_sort(array_distinct(concat(col("sa"), col("sb")))), 1, 64).as("u"))
+      .select(
+        size(filter(col("u"), x =>
+          array_contains(col("sa"), x) && array_contains(col("sb"), x)))
+          .cast("long").as("rho"),
+        element_at(col("u"), 64).as("theta"))
+      .select(col("rho"), col("theta"),
+        (lit(63L * 4294967296L).cast("double") / col("theta").cast("double"))
+          .as("est_union"),
+        ((col("rho") * lit(63L * 4294967296L)).cast("double")
+          / (lit(64L) * col("theta")).cast("double")).as("est_inter"))
+      .crossJoin(broadcast(exact))
+  }
+
   val all: Seq[Q] = Seq(u01Udaf, u02ScalarUdf, u03TypedFlatMap, u04Generator,
-    u05BottomKSketch, u06HeavyHitters, u07SqlUdf, u08CountMin)
+    u05BottomKSketch, u06HeavyHitters, u07SqlUdf, u08CountMin, u09KmvIntersect)
 }

@@ -265,6 +265,51 @@ object MultimodalQueries {
       .orderBy("i", "j")
   }
 
+  /** Modality-balanced interleave — the batch-mixing schedule a
+    * multimodal trainer consumes: assets sequenced so each cycle serves
+    * one image, one audio, one video (while supplies last). The cycle
+    * number is a PER-KIND GLOBAL RANK, and the naive plan — row_number
+    * over (PARTITION BY kind) — is a 3-partition skew bomb: the whole
+    * 100 TB corpus funnels through three window tasks. This entry runs
+    * the scalable distributed-rank shape instead: range-bucket on
+    * asset_id (order-contiguous, so per-kind order is preserved across
+    * buckets), row_number WITHIN each (kind, bucket), and a broadcast
+    * prefix-sum of per-bucket counts (3 × #buckets tiny rows — the only
+    * thing that crosses the cluster) added as each bucket's offset.
+    * Same answer as the oracle's per-kind window, shuffle-free on the
+    * data path and skew-free at any scale. */
+  val m08Interleave: Q = Q(
+    "m08_interleave",
+    """SELECT CAST(ROW_NUMBER() OVER (PARTITION BY kind ORDER BY asset_id) AS BIGINT)
+      |    AS cycle,
+      |  kind, asset_id
+      |FROM (SELECT doc_id AS asset_id,
+      |        CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |             WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind
+      |      FROM documents)
+      |ORDER BY cycle, kind""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val bucketed = assets(s, d).select(col("asset_id"), col("kind"),
+      floor(col("asset_id") / 512).as("bkt"))
+    val rnLocal = row_number()
+      .over(Window.partitionBy("kind", "bkt").orderBy("asset_id"))
+      .cast("long")
+    // Per-bucket counts are 3 × #buckets rows; the running offset is a
+    // window over THAT tiny relation, then broadcast back to the data.
+    val offsets = bucketed.groupBy("kind", "bkt")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("off",
+        coalesce(sum(col("n")).over(Window.partitionBy("kind").orderBy("bkt")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("kind", "bkt", "off")
+    bucketed
+      .withColumn("rn", rnLocal)
+      .join(broadcast(offsets), Seq("kind", "bkt"))
+      .select((col("off") + col("rn")).as("cycle"), col("kind"), col("asset_id"))
+      .orderBy("cycle", "kind")
+  }
+
   val all: Seq[Q] = Seq(m01AssetCatalog, m02DecodeMeta, m03ResizeBatch,
-    m04FrameSample, m05TypedMetaByKind, m06AssetChunking, m07BinaryNearDup)
+    m04FrameSample, m05TypedMetaByKind, m06AssetChunking, m07BinaryNearDup,
+    m08Interleave)
 }

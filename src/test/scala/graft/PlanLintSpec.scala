@@ -33,8 +33,14 @@ class PlanLintSpec extends AnyFunSuite {
     *    the DENSE DAY table — bounded by the time domain (~2.4k rows
     *    for this corpus, 37k for a century), never by the data volume;
     *    the counting-vs-reporting rewrite exists precisely so no
-    *    data-sized structure is ever windowed or joined pairwise. */
-  private val boundedGlobalWindows = Set("p07_mix_allocation", "q74_interval_split")
+    *    data-sized structure is ever windowed or joined pairwise.
+    *  - p09_hybrid_retrieval: the two rank row_numbers run over
+    *    TakeOrdered top-50 SURVIVOR sets (LIMIT 50 sits under each
+    *    window) — ≤50 rows at any corpus scale; the corpus-sized
+    *    ranking work is the TakeOrdered itself (per-partition heaps,
+    *    no global sort), which is the point of the entry's plan. */
+  private val boundedGlobalWindows =
+    Set("p07_mix_allocation", "q74_interval_split", "p09_hybrid_retrieval")
 
   test("no catalog query plans a single-partition window or a cartesian product") {
     val violations = SparkEntry.catalog.flatMap { q =>
