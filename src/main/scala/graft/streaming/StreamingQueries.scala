@@ -681,11 +681,48 @@ object StreamingQueries {
       .orderBy("win_start", "event_type")
   }
 
+  /** STATE STORE AS A TABLE (Spark 4 state data source): run a
+    * checkpointed streaming aggregation, then read its state store
+    * BACK as a DataFrame — `spark.read.format("statestore")` over the
+    * checkpoint — and verify the recovered state against the batch
+    * truth. This is the ops/debugging surface production streaming
+    * needs (inspect hot keys, audit state growth, bootstrap a new job
+    * from an old job's state) and it closes the loop on the engine's
+    * checkpoint claims: st06 proved offsets/commits are atomic; this
+    * entry proves the STATE ROWS themselves are a queryable, correct
+    * artifact. The aggregates kept are count and max — merge-order-
+    * independent, so the state equals the batch aggregation exactly
+    * and the entry stays hash-checkable. At scale the state source
+    * reads one store per shuffle partition in parallel — a partitioned
+    * scan like any other, no replay of the stream. */
+  val st18StateReader: Q = Q(
+    "st18_state_reader",
+    """SELECT event_type, COUNT(*) AS n, MAX(value) AS max_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+    val ckpt = graft.TempDirs.newTempDir("graft_st18_ckpt_")
+    withCappedStateWidth(s) {
+      val q = replayedEvents(s, d)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), max(col("value")).as("max_value"))
+        .writeStream.format("memory")
+        .queryName(s"graft_st18_${java.util.UUID.randomUUID.toString.replace("-", "")}")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.read.format("statestore").load(ckpt)
+      .select(col("key.event_type").as("event_type"),
+        col("value.count").as("n"), col("value.max").as("max_value"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[Q] = Seq(st01Tumbling, st02Sliding, st03Session, st04Dedup,
     st05Stateful, st06FileSink, st07StreamJoin, st08ForeachBatch,
     st09StreamStaticJoin, st10UpdateMode, st11StreamDedup, st12StreamAnnRoute,
     st13RocksdbState, st14StreamLeftOuter, st15TransformWithState, st16TimerExpiry,
-    st17ChainedWindows)
+    st17ChainedWindows, st18StateReader)
 }
 
 /** st15's processor: named per-key ValueState holding (count, cents),
