@@ -2640,6 +2640,87 @@ object RelationalQueries {
       .orderBy("user_id", "event_id")
   }
 
+  /** Linear-interpolation gap fill — q62 fills missing days with zeros;
+    * this entry RECONSTRUCTS them: sparse known points (days whose max
+    * purchase value clears 250) are stretched over the dense day spine,
+    * and each gap day gets prev + (next − prev) · Δt/ΔT. The neighbor
+    * lookup is the IGNORE-NULLS window idiom (last_value back / first_
+    * value forward over a struct of the known point, nulled when the
+    * day is a gap — a struct of nulls is NOT null, the classic trap).
+    * Determinism: Δt/ΔT is an integer-day ratio in one division, and
+    * the interpolation is a fixed expression tree of correctly-rounded
+    * ops — bit-identical across engines. The windows run over the
+    * DENSE DAY TABLE (time-domain-bounded, q74's argument), never over
+    * event rows. */
+  val q82Interpolate: Q = Q(
+    "q82_interpolate",
+    """WITH k AS (
+      |  SELECT CAST(ts AS DATE) AS day, MAX(value) AS v
+      |  FROM events WHERE event_type = 'purchase'
+      |  GROUP BY 1 HAVING MAX(value) >= 250),
+      |b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM k),
+      |days AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+      |         FROM b),
+      |g AS (
+      |  SELECT d.day, k.v,
+      |    last_value(CASE WHEN k.v IS NOT NULL THEN {'d': k.day, 'v': k.v} END IGNORE NULLS)
+      |      OVER (ORDER BY d.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev,
+      |    first_value(CASE WHEN k.v IS NOT NULL THEN {'d': k.day, 'v': k.v} END IGNORE NULLS)
+      |      OVER (ORDER BY d.day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nxt
+      |  FROM days d LEFT JOIN k ON d.day = k.day)
+      |SELECT day,
+      |  CASE WHEN v IS NOT NULL THEN v
+      |       ELSE prev.v + (nxt.v - prev.v)
+      |         * (CAST(day - prev.d AS DOUBLE) / CAST(nxt.d - prev.d AS DOUBLE))
+      |  END AS val,
+      |  CAST(v IS NULL AS BOOLEAN) AS interpolated
+      |FROM g ORDER BY day""".stripMargin) { (s, d) =>
+    val k = Tables.t(s, d, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("ts").cast("date").as("day"))
+      .agg(max(col("value")).as("v"))
+      .filter(col("v") >= 250)
+    val days = k.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
+    val known = when(col("v").isNotNull, struct(col("k.day").as("d"), col("v").as("v")))
+    val wPrev = Window.orderBy(col("days.day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.orderBy(col("days.day"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    days.as("days")
+      .join(k.as("k"), col("days.day") === col("k.day"), "left")
+      .select(col("days.day").as("day"), col("v"),
+        last(known, ignoreNulls = true).over(wPrev).as("prev"),
+        first(known, ignoreNulls = true).over(wNext).as("nxt"))
+      .select(col("day"),
+        when(col("v").isNotNull, col("v"))
+          .otherwise(col("prev.v") + (col("nxt.v") - col("prev.v"))
+            * (datediff(col("day"), col("prev.d")).cast("double")
+              / datediff(col("nxt.d"), col("prev.d")).cast("double")))
+          .as("val"),
+        col("v").isNull.as("interpolated"))
+      .orderBy("day")
+  }
+
+  /** Exact equi-width histogram — the profiling primitive behind every
+    * optimizer statistics pass and data-quality dashboard, kept ENGINE-
+    * EXACT by bucketing in integer cents (round(price·100) then integer
+    * division by the 60k-currency-unit bucket width) instead of
+    * width_bucket's float boundary math, whose edge rounding is
+    * implementation-defined. One map-side-combinable GROUP BY; bucket
+    * sums ride the Det decimal discipline. */
+  val q83Histogram: Q = Q(
+    "q83_histogram",
+    s"""SELECT CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) // 6000000 AS BIGINT) AS bucket,
+       |  COUNT(*) AS n, ${Det.sqlSum("o_totalprice")} AS total
+       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    Tables.t(s, d, "orders")
+      .groupBy(expr("cast(round(o_totalprice * 100) as bigint) div 6000000")
+        .as("bucket"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("o_totalprice")).as("total"))
+      .orderBy("bucket")
+  }
+
   val all: Seq[Q] = Seq(
     q01ScanProject, q02Predicates, q03AggBasic, q04AggDistinct, q05Rollup,
     q06Cube, q07JoinBroadcast, q08JoinMultiway, q09JoinOuter, q10JoinFull,
@@ -2658,5 +2739,6 @@ object RelationalQueries {
     q67DeltaJoinView, q68KmvSketchMerge, q69EagerAvg, q70PruningCapstone,
     q71EagerDecimal, q72CohortRetention, q73IntervalOverlap, q74IntervalSplit,
     q75Ewma, q76FuzzyJoin, q77LateralTopk, q78SessionWindow,
-    q79ParameterizedSql, q80BitmapDistinct, q81MovingMedian)
+    q79ParameterizedSql, q80BitmapDistinct, q81MovingMedian, q82Interpolate,
+    q83Histogram)
 }

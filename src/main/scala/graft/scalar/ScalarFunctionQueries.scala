@@ -442,8 +442,40 @@ object ScalarFunctionQueries {
       .orderBy("k")
   }
 
+  /** Collation-aware grouping (Spark 4 `collate`/UTF8_LCASE): string
+    * equality that follows a COLLATION instead of raw bytes — the
+    * engine-level answer to the lower()-wrapping anti-pattern (which
+    * loses pushdown and the original casing). The entry manufactures
+    * real case variance (even keys upper-cased, odd lower-cased), groups
+    * on the UTF8_LCASE-collated value, and the case variants land in ONE
+    * group each; the displayed key is lower()ed explicitly because the
+    * collated group key's representative casing is whichever variant the
+    * engine saw first — nondeterministic by design, same as any
+    * first-value. The oracle states the same semantics the portable way
+    * (GROUP BY lower) — which is the point: collation gives the
+    * optimizer a declared equivalence class, not an opaque expression. */
+  val s17CollatedGroup: Q = Q(
+    "s17_collated_group",
+    """SELECT lower(mixed) AS brand, COUNT(*) AS n,
+      |  CAST(MIN(p_partkey) AS BIGINT) AS min_key
+      |FROM (SELECT p_partkey,
+      |        CASE WHEN p_partkey % 2 = 0 THEN upper(p_brand)
+      |             ELSE lower(p_brand) END AS mixed
+      |      FROM part)
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val mixed = when(col("p_partkey") % 2 === 0, upper(col("p_brand")))
+      .otherwise(lower(col("p_brand")))
+    Tables.t(s, d, "part")
+      .select(col("p_partkey"), collate(mixed, "UTF8_LCASE").as("g"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n"), min(col("p_partkey")).cast("long").as("min_key"))
+      .select(lower(col("g")).cast("string").as("brand"), col("n"), col("min_key"))
+      .orderBy("brand")
+  }
+
   val all: Seq[Q] = Seq(
     s01StringBasics, s02Regexp, s03Levenshtein, s04ArrayFns, s05MapFns,
     s06Json, s07JsonStruct, s08DateTime, s09Math, s10ToJson, s11MapKit,
-    s12ConditionalAgg, s13ArrayAgg, s14StringKit, s15UrlKit, s16Variant)
+    s12ConditionalAgg, s13ArrayAgg, s14StringKit, s15UrlKit, s16Variant,
+    s17CollatedGroup)
 }

@@ -38,9 +38,13 @@ class PlanLintSpec extends AnyFunSuite {
     *    TakeOrdered top-50 SURVIVOR sets (LIMIT 50 sits under each
     *    window) — ≤50 rows at any corpus scale; the corpus-sized
     *    ranking work is the TakeOrdered itself (per-partition heaps,
-    *    no global sort), which is the point of the entry's plan. */
+    *    no global sort), which is the point of the entry's plan.
+    *  - q82_interpolate: the IGNORE-NULLS neighbor windows run over
+    *    the dense day spine (q74's time-domain bound) — event rows are
+    *    reduced to per-day points BEFORE any window sees them. */
   private val boundedGlobalWindows =
-    Set("p07_mix_allocation", "q74_interval_split", "p09_hybrid_retrieval")
+    Set("p07_mix_allocation", "q74_interval_split", "p09_hybrid_retrieval",
+      "q82_interpolate")
 
   test("no catalog query plans a single-partition window or a cartesian product") {
     val violations = SparkEntry.catalog.flatMap { q =>
