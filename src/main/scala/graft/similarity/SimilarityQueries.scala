@@ -921,8 +921,66 @@ object SimilarityQueries {
       .orderBy("rank")
   }
 
+  /** ANN quality evaluation AS A QUERY — recall@20 of the sign-LSH
+    * bucket lookup (v03's construction) against the exact cosine
+    * top-20 (v01's), computed in one declarative plan: both rankings,
+    * their id intersection, and hits/k as a single correctly-rounded
+    * division. This is the harness a production vector store runs
+    * continuously (approx index vs exact scan on a probe sample) —
+    * here it's an oracle-checked catalog citizen, so the measured
+    * recall itself is verified, not just eyeballed. Deterministic end
+    * to end: seeded planes inline as literals on both engines, ties
+    * break on vec_id. Scale: the exact side is the TakeOrdered
+    * brute-force pass an evaluation HAS to pay on its probe sample;
+    * the approx side scans one bucket. The measured recall on THIS
+    * corpus is low (1/20): its vectors are random (max pairwise
+    * cosine ~0.5, v04's threshold note), exactly the regime where
+    * single-probe sign-LSH is weakest — which is the point of having
+    * the evaluation be a first-class query: it EXPOSES that, and
+    * swapping in v07's multi-probe IVF raises it (the production
+    * iteration loop this entry enables). */
+  val v17AnnRecall: Q = Q(
+    "v17_ann_recall",
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |b AS (SELECT vec_id, v, ${bucketSql(planes(6), "v")} AS bucket FROM e),
+       |p AS (SELECT v AS pv, bucket AS pbucket FROM b WHERE vec_id = 0),
+       |exact AS (SELECT vec_id FROM (
+       |  SELECT b.vec_id, list_cosine_similarity(b.v, p.pv) AS cs FROM b, p
+       |  ORDER BY cs DESC, vec_id LIMIT 20)),
+       |approx AS (SELECT vec_id FROM (
+       |  SELECT b.vec_id, list_cosine_similarity(b.v, p.pv) AS cs
+       |  FROM b, p WHERE b.bucket = p.pbucket
+       |  ORDER BY cs DESC, vec_id LIMIT 20)),
+       |h AS (SELECT CAST(COUNT(*) AS BIGINT) AS hits
+       |      FROM exact JOIN approx USING (vec_id)),
+       |k AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM exact)
+       |SELECT k, hits, CAST(hits AS DOUBLE) / CAST(k AS DOUBLE) AS recall
+       |FROM k, h""".stripMargin) { (s, d) =>
+    val ps = planes(6)
+    val e = Stage.materialize(s,
+      emb(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("bucket", bucketOf(col("v"), ps)), "v17base")
+    val probe = e.filter(col("vec_id") === 0)
+      .select(col("v").as("pv"), col("bucket").as("pbucket"))
+    val exact = e.crossJoin(broadcast(probe))
+      .select(col("vec_id"), cosine(col("v"), col("pv")).as("cs"))
+      .orderBy(col("cs").desc, col("vec_id")).limit(20)
+      .select("vec_id")
+    val approx = e.join(broadcast(probe), col("bucket") === col("pbucket"))
+      .select(col("vec_id"), cosine(col("v"), col("pv")).as("cs"))
+      .orderBy(col("cs").desc, col("vec_id")).limit(20)
+      .select("vec_id")
+    exact.agg(count(lit(1)).cast("long").as("k"))
+      .crossJoin(exact.join(approx, "vec_id")
+        .agg(count(lit(1)).cast("long").as("hits")))
+      .select(col("k"), col("hits"),
+        (col("hits").cast("double") / col("k").cast("double")).as("recall"))
+  }
+
   val all: Seq[Q] = Seq(v01CosineTopK, v02DotTopK, v03AnnLshBucket,
     v04EmbeddingNearDup, v05CosineTopKNative, v06AnnIvf, v07AnnPartitionPruned,
     v08LabelCentroids, v09KmeansPortable, v10QuantizedDot, v11IvfPortable,
-    v12CertifiedRerank, v13MaxipLsh, v14BatchedAnn, v15PqAdc, v16MmrRerank)
+    v12CertifiedRerank, v13MaxipLsh, v14BatchedAnn, v15PqAdc, v16MmrRerank,
+    v17AnnRecall)
 }
