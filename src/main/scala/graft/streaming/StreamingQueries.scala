@@ -718,11 +718,56 @@ object StreamingQueries {
       .orderBy("event_type")
   }
 
+  /** Stream-stream JOIN chained into a windowed aggregation — the
+    * other half of the multiple-stateful-operator matrix (st17 chains
+    * agg→agg; this chains join→agg): view→purchase attribution pairs
+    * (st07's time-interval join) rolled into hourly conversion counts
+    * INSIDE the same stream, no intermediate sink. Watermark
+    * propagation does the load-bearing work: the join's output
+    * watermark for p_ts is min(wm_view, wm_purchase) — the interval
+    * condition p_ts ∈ [v_ts, v_ts+1h) never emits a p_ts older than
+    * the v-side watermark, so no extra holdback — and the downstream
+    * window emits once that propagated watermark passes its end. The
+    * oracle states the rule (win_end ≤ max ts − 1 h) rather than
+    * relying on the fixture's pairs happening to close. State at
+    * scale: the join holds one hour per side, the agg one hour of
+    * PAIRS (already user-matched, tiny) — chaining avoids
+    * re-shuffling the raw streams into a second job. */
+  val st19JoinThenWindow: Q = Q(
+    "st19_join_then_window",
+    """WITH pairs AS (
+      |  SELECT p.ts AS p_ts
+      |  FROM (SELECT user_id, ts FROM events WHERE event_type = 'view') v
+      |  JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+      |    ON v.user_id = p.user_id
+      |   AND p.ts >= v.ts AND p.ts < v.ts + INTERVAL 1 HOUR),
+      |wm AS (SELECT MAX(ts) - INTERVAL '1 hour' AS w FROM events)
+      |SELECT time_bucket(INTERVAL '1 hour', p_ts) AS win_start,
+      |  COUNT(*) AS n_pairs
+      |FROM pairs, wm
+      |WHERE time_bucket(INTERVAL '1 hour', p_ts) + INTERVAL '1 hour' <= w
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val src = replayedEvents(s, d)
+    val views = src.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+      .withWatermark("v_ts", "1 hour")
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val rolled = views.join(purchases,
+      expr("v_user = p_user AND p_ts >= v_ts AND p_ts < v_ts + INTERVAL 1 HOUR"))
+      .groupBy(window(col("p_ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_pairs"))
+    runToTable(s, rolled, "append")
+      .select(col("window.start").as("win_start"), col("n_pairs"))
+      .orderBy("win_start")
+  }
+
   val all: Seq[Q] = Seq(st01Tumbling, st02Sliding, st03Session, st04Dedup,
     st05Stateful, st06FileSink, st07StreamJoin, st08ForeachBatch,
     st09StreamStaticJoin, st10UpdateMode, st11StreamDedup, st12StreamAnnRoute,
     st13RocksdbState, st14StreamLeftOuter, st15TransformWithState, st16TimerExpiry,
-    st17ChainedWindows, st18StateReader)
+    st17ChainedWindows, st18StateReader, st19JoinThenWindow)
 }
 
 /** st15's processor: named per-key ValueState holding (count, cents),
