@@ -441,6 +441,21 @@ object SimilarityQueries {
       |SELECT vec_id, cell, list_cosine_similarity(v, pv) AS cos_sim
       |FROM a2 JOIN pc USING (cell), p
       |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin) { (s, d) =>
+    val (e, c1, cells) = ivfPortableIndex(s, d)
+    val probe = e.filter(col("vec_id") === 0).select(col("v").as("pv"))
+    val probed = ivfProbeCells(c1, probe, 2)
+    cells.join(broadcast(probed), "cell")
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"), col("cell"), cosine(col("v"), col("pv")).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** v09-seeded portable Lloyd-round IVF build, shared by v11/v18:
+    * returns (vectors e, centroids c1, index cells = (vec_id, v, cell)).
+    * Every arithmetic step is the fixed-parenthesization decimal-exact
+    * form v11's scaladoc documents. */
+  private def ivfPortableIndex(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val e = emb(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -461,22 +476,19 @@ object SimilarityQueries {
       .groupBy("cell")
       .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("pc"))
       .select(col("cell"), transform(col("pc"), p => p.getField("cx")).as("c"))
-    val cells = assign(c1) // the IVF index: (vec_id, v, cell)
-    val probe = e.filter(col("vec_id") === 0).select(col("v").as("pv"))
-    // multi-probe: rank centroids by distance-to-probe, keep nprobe=2.
-    // orderBy+limit plans as TakeOrdered over the 8 centroid rows — no
-    // global window (PlanLint forbids empty-partition windows).
+    (e, c1, assign(c1))
+  }
+
+  /** Multi-probe cell selection: rank centroids by distance-to-probe,
+    * keep the nprobe nearest. orderBy+limit plans as TakeOrdered over
+    * the 8 centroid rows — no global window (PlanLint's rule). */
+  private def ivfProbeCells(c1: DataFrame, probe: DataFrame, nprobe: Int): DataFrame = {
     val pDist = (dot(col("pv"), col("pv")) - lit(2) * dot(col("pv"), col("c"))) +
       dot(col("c"), col("c"))
-    val probed = c1.crossJoin(broadcast(probe))
+    c1.crossJoin(broadcast(probe))
       .orderBy(pDist.asc, col("cell").asc)
-      .limit(2)
+      .limit(nprobe)
       .select("cell")
-    cells.join(broadcast(probed), "cell")
-      .crossJoin(broadcast(probe))
-      .select(col("vec_id"), col("cell"), cosine(col("v"), col("pv")).as("cos_sim"))
-      .orderBy(col("cos_sim").desc, col("vec_id"))
-      .limit(10)
   }
 
   /** Int8 symmetric quantization + quantized dot-product search — the
@@ -978,9 +990,88 @@ object SimilarityQueries {
         (col("hits").cast("double") / col("k").cast("double")).as("recall"))
   }
 
+  /** The other arm of v17's evaluation loop: recall@20 of the
+    * multi-probe IVF search (v11's index, nprobe=2 of 8 cells) against
+    * the same exact cosine top-20 — the swap-the-index iteration the
+    * v17 scaladoc promises, run as another oracle-checked query. On
+    * this corpus IVF probes a quarter of the space directed BY the
+    * probe's own geometry (vs sign-LSH's fixed hyperplanes) and the
+    * measured recall rises accordingly; compare the two entries'
+    * outputs to see the index choice quantified. Same determinism
+    * story: decimal-exact centroids, fixed-parenthesization distances,
+    * vec_id tie-breaks. */
+  val v18IvfRecall: Q = Q(
+    "v18_ivf_recall",
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |c0 AS (SELECT vec_id AS cell, v AS c FROM e WHERE vec_id < 8),
+      |a1 AS (
+      |  SELECT vec_id, v, cell FROM (
+      |    SELECT e.vec_id, e.v, c0.cell,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        ((list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c0.c))
+      |          + list_dot_product(c0.c, c0.c)), c0.cell) AS rn
+      |    FROM e, c0)
+      |  WHERE rn = 1),
+      |cd AS (
+      |  SELECT cell, pos,
+      |    CAST(CAST(CAST(SUM(CAST(x AS DECIMAL(28,8))) AS VARCHAR) AS DOUBLE)
+      |         / COUNT(*) AS DOUBLE) AS cx
+      |  FROM (SELECT cell, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM a1)
+      |  GROUP BY cell, pos),
+      |c1 AS (SELECT cell, list(cx ORDER BY pos) AS c FROM cd GROUP BY cell),
+      |a2 AS (
+      |  SELECT vec_id, v, cell FROM (
+      |    SELECT e.vec_id, e.v, c1.cell,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        ((list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c1.c))
+      |          + list_dot_product(c1.c, c1.c)), c1.cell) AS rn
+      |    FROM e, c1)
+      |  WHERE rn = 1),
+      |p AS (SELECT v AS pv FROM e WHERE vec_id = 0),
+      |pc AS (
+      |  SELECT cell FROM (
+      |    SELECT c1.cell,
+      |      row_number() OVER (ORDER BY
+      |        ((list_dot_product(p.pv, p.pv) - 2 * list_dot_product(p.pv, c1.c))
+      |          + list_dot_product(c1.c, c1.c)), c1.cell) AS rn
+      |    FROM c1, p)
+      |  WHERE rn <= 2),
+      |approx AS (SELECT vec_id FROM (
+      |  SELECT a2.vec_id, list_cosine_similarity(a2.v, p.pv) AS cs
+      |  FROM a2 JOIN pc USING (cell), p
+      |  ORDER BY cs DESC, vec_id LIMIT 20)),
+      |exact AS (SELECT vec_id FROM (
+      |  SELECT e.vec_id, list_cosine_similarity(e.v, p.pv) AS cs FROM e, p
+      |  ORDER BY cs DESC, vec_id LIMIT 20)),
+      |h AS (SELECT CAST(COUNT(*) AS BIGINT) AS hits
+      |      FROM exact JOIN approx USING (vec_id)),
+      |k AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM exact)
+      |SELECT k, hits, CAST(hits AS DOUBLE) / CAST(k AS DOUBLE) AS recall
+      |FROM k, h""".stripMargin) { (s, d) =>
+    val (e0, c1, cells0) = ivfPortableIndex(s, d)
+    val e = Stage.materialize(s, e0, "v18e")
+    val cells = Stage.materialize(s, cells0, "v18cells")
+    val probe = e.filter(col("vec_id") === 0).select(col("v").as("pv"))
+    val probed = ivfProbeCells(c1, probe, 2)
+    val approx = cells.join(broadcast(probed), "cell")
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"), cosine(col("v"), col("pv")).as("cs"))
+      .orderBy(col("cs").desc, col("vec_id")).limit(20)
+      .select("vec_id")
+    val exact = e.crossJoin(broadcast(probe))
+      .select(col("vec_id"), cosine(col("v"), col("pv")).as("cs"))
+      .orderBy(col("cs").desc, col("vec_id")).limit(20)
+      .select("vec_id")
+    exact.agg(count(lit(1)).cast("long").as("k"))
+      .crossJoin(exact.join(approx, "vec_id")
+        .agg(count(lit(1)).cast("long").as("hits")))
+      .select(col("k"), col("hits"),
+        (col("hits").cast("double") / col("k").cast("double")).as("recall"))
+  }
+
   val all: Seq[Q] = Seq(v01CosineTopK, v02DotTopK, v03AnnLshBucket,
     v04EmbeddingNearDup, v05CosineTopKNative, v06AnnIvf, v07AnnPartitionPruned,
     v08LabelCentroids, v09KmeansPortable, v10QuantizedDot, v11IvfPortable,
     v12CertifiedRerank, v13MaxipLsh, v14BatchedAnn, v15PqAdc, v16MmrRerank,
-    v17AnnRecall)
+    v17AnnRecall, v18IvfRecall)
 }
