@@ -162,5 +162,6 @@ object GraftEngine {
     if (!spark.experimental.extraOptimizations.contains(RewriteEagerAgg))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ RewriteEagerAgg
+    RewriteBitmapDistinct.register(spark)
   }
 }

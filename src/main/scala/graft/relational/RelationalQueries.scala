@@ -2721,6 +2721,29 @@ object RelationalQueries {
       .orderBy("bucket")
   }
 
+  /** q80's bitmap-distinct plan as ENGINE BEHAVIOR (the q48/q61/q66
+    * principle): the entry writes the NAIVE textbook COUNT(DISTINCT) —
+    * nothing else — and the `RewriteBitmapDistinct` optimizer rule
+    * (installed engine-wide by GraftEngine) plants the two-level bitmap
+    * aggregation underneath, shuffling ≤4 KB bitmaps per (group,
+    * 32768-key bucket) instead of one row per distinct (group, key)
+    * pair. `BitmapDistinctSpec` proves the domain-injectivity
+    * precondition, on/off parity (incl. negative and null keys, empty
+    * input), and that non-conforming shapes are untouched. */
+  val q84BitmapDistinctAuto: Q = Q(
+    "q84_bitmap_distinct_auto",
+    """SELECT o_orderstatus AS status, COUNT(DISTINCT o_custkey) AS n_customers
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    graft.plans.RewriteBitmapDistinct.register(s)
+    // alias via a Project first: the rule's narrow match requires the
+    // grouping expressions to be plain attributes
+    Tables.t(s, d, "orders")
+      .select(col("o_orderstatus").as("status"), col("o_custkey"))
+      .groupBy("status")
+      .agg(countDistinct(col("o_custkey")).as("n_customers"))
+      .orderBy("status")
+  }
+
   val all: Seq[Q] = Seq(
     q01ScanProject, q02Predicates, q03AggBasic, q04AggDistinct, q05Rollup,
     q06Cube, q07JoinBroadcast, q08JoinMultiway, q09JoinOuter, q10JoinFull,
@@ -2740,5 +2763,5 @@ object RelationalQueries {
     q71EagerDecimal, q72CohortRetention, q73IntervalOverlap, q74IntervalSplit,
     q75Ewma, q76FuzzyJoin, q77LateralTopk, q78SessionWindow,
     q79ParameterizedSql, q80BitmapDistinct, q81MovingMedian, q82Interpolate,
-    q83Histogram)
+    q83Histogram, q84BitmapDistinctAuto)
 }
