@@ -757,14 +757,19 @@ object PipelineQueries {
       |  GROUP BY doc_id, tok),
       |df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
       |sc AS (
-      |  SELECT doc_id,
+      |  SELECT doc_id, tok,
       |    (CAST(2 * n.n - 2 * df.df + 1 AS DOUBLE)
       |       / CAST(2 * df.df + 1 AS DOUBLE))
       |    * (CAST(44 * tf.tf * n.t AS DOUBLE)
       |       / CAST(20 * tf.tf * n.t + 6 * n.t + 18 * tf.dl * n.n AS DOUBLE))
       |      AS s
       |  FROM tf JOIN df USING (tok), n),
-      |bm AS (SELECT doc_id, SUM(s) AS bm25 FROM sc GROUP BY doc_id),
+      |bm AS (
+      |  SELECT doc_id,
+      |    COALESCE(MAX(CASE WHEN tok = 'spark' THEN s END), 0.0)
+      |    + COALESCE(MAX(CASE WHEN tok = 'vector' THEN s END), 0.0)
+      |    + COALESCE(MAX(CASE WHEN tok = 'merge' THEN s END), 0.0) AS bm25
+      |  FROM sc GROUP BY doc_id),
       |lex AS (
       |  SELECT doc_id,
       |    CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS r_lex
@@ -797,6 +802,11 @@ object PipelineQueries {
       .groupBy("doc_id", "tok")
       .agg(count(lit(1)).cast("long").as("tf"), max(col("dl")).as("dl"))
     val dfreq = tf.groupBy("tok").agg(count(lit(1)).cast("long").as("df"))
+    // per-term pivot then a FIXED-ORDER sum (t15's discipline): a
+    // float SUM over the term rows is merge-order-dependent and at
+    // sf1 a near-tie flipped the top-50 membership vs the oracle
+    def termScore(term: String) =
+      coalesce(max(when(col("tok") === term, col("sc"))), lit(0.0))
     val bm = tf.join(broadcast(dfreq), "tok").crossJoin(broadcast(nt))
       .withColumn("sc",
         ((lit(2L) * col("n") - lit(2L) * col("df") + lit(1L)).cast("double")
@@ -804,7 +814,9 @@ object PipelineQueries {
           * ((lit(44L) * col("tf") * col("t")).cast("double")
             / (lit(20L) * col("tf") * col("t") + lit(6L) * col("t")
               + lit(18L) * col("dl") * col("n")).cast("double")))
-      .groupBy("doc_id").agg(sum(col("sc")).as("bm25"))
+      .groupBy("doc_id")
+      .agg((termScore("spark") + termScore("vector") + termScore("merge"))
+        .as("bm25"))
     // Top-50 via TakeOrdered FIRST; row_number only over the survivors.
     val lex = bm.orderBy(col("bm25").desc, col("doc_id")).limit(50)
       .withColumn("r_lex", row_number()
