@@ -2744,6 +2744,65 @@ object RelationalQueries {
       .orderBy("status")
   }
 
+  /** Exact distributed quantiles — percentile_disc without a global sort
+    * or a single-partition window. The price domain is discretized to
+    * integer cents (exact: round(p·100) — the generator's prices carry
+    * two decimals), so the shuffle carries (distinct-cents, count) pairs
+    * — bounded by the VALUE DOMAIN, not the row count — and the global
+    * cumulative rank is assembled two-level, m08's distributed-rank
+    * shape: an inclusive within-bucket running sum (64k-cent buckets
+    * keep per-partition state tiny) plus a broadcast exclusive prefix
+    * over the ~#domain/65536 bucket totals. Each requested quantile
+    * q_bp/10000 resolves to target_rank = ceil(q·N) in pure integer
+    * arithmetic and picks MIN(c | cum ≥ rank) — percentile_disc
+    * semantics stated explicitly as rank arithmetic, because relying on
+    * an engine's quantile() builtin means inheriting its (documented-
+    * differently) interpolation rules. At 100 TB the data path is one
+    * map-side-combined GROUP BY; everything after runs on the bounded
+    * distinct-value relation. */
+  val q85ExactQuantiles: Q = Q(
+    "q85_exact_quantiles",
+    """WITH v AS (SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c FROM orders),
+      |cnt AS (SELECT c, COUNT(*) AS n FROM v GROUP BY 1),
+      |s AS (SELECT c, SUM(n) OVER (ORDER BY c) AS cum FROM cnt),
+      |t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM cnt),
+      |q AS (SELECT * FROM (VALUES (2500),(5000),(7500),(9000),(9900)) AS q(q_bp)),
+      |r AS (SELECT q_bp, CAST((q_bp * tot + 9999) // 10000 AS BIGINT) AS target_rank
+      |      FROM q, t)
+      |SELECT q_bp, target_rank, MIN(s.c) AS cents,
+      |  CAST(MIN(s.c) AS DOUBLE) / CAST(100 AS DOUBLE) AS value
+      |FROM r JOIN s ON s.cum >= r.target_rank
+      |GROUP BY 1, 2 ORDER BY q_bp""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val counts = Tables.t(s, d, "orders")
+      .select(expr("cast(round(o_totalprice * 100) as bigint)").as("c"))
+      .groupBy("c").agg(count(lit(1)).as("n"))
+      .withColumn("bkt", expr("c div 65536"))
+    // Exclusive prefix over the tiny per-bucket totals (broadcast back);
+    // the single-partition window touches #buckets rows, never data.
+    val offsets = counts.groupBy("bkt").agg(sum(col("n")).as("bn"))
+      .withColumn("off",
+        coalesce(sum(col("bn")).over(Window.orderBy("bkt")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("bkt", "off")
+    val cum = counts
+      .withColumn("rnk", sum(col("n")).over(Window.partitionBy("bkt")
+        .orderBy("c").rowsBetween(Window.unboundedPreceding, 0)))
+      .join(broadcast(offsets), Seq("bkt"))
+      .select(col("c"), (col("off") + col("rnk")).as("cum"))
+    val total = counts.agg(sum(col("n")).as("tot"))
+    val ranks = Seq(2500, 5000, 7500, 9000, 9900).toDF("q_bp")
+      .crossJoin(broadcast(total))
+      .select(col("q_bp"),
+        expr("(q_bp * tot + 9999) div 10000").cast("long").as("target_rank"))
+    cum.crossJoin(broadcast(ranks))
+      .filter(col("cum") >= col("target_rank"))
+      .groupBy("q_bp", "target_rank").agg(min(col("c")).as("cents"))
+      .select(col("q_bp"), col("target_rank"), col("cents"),
+        (col("cents").cast("double") / lit(100).cast("double")).as("value"))
+      .orderBy("q_bp")
+  }
+
   val all: Seq[Q] = Seq(
     q01ScanProject, q02Predicates, q03AggBasic, q04AggDistinct, q05Rollup,
     q06Cube, q07JoinBroadcast, q08JoinMultiway, q09JoinOuter, q10JoinFull,
@@ -2763,5 +2822,5 @@ object RelationalQueries {
     q71EagerDecimal, q72CohortRetention, q73IntervalOverlap, q74IntervalSplit,
     q75Ewma, q76FuzzyJoin, q77LateralTopk, q78SessionWindow,
     q79ParameterizedSql, q80BitmapDistinct, q81MovingMedian, q82Interpolate,
-    q83Histogram, q84BitmapDistinctAuto)
+    q83Histogram, q84BitmapDistinctAuto, q85ExactQuantiles)
 }

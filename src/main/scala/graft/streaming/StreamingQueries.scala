@@ -763,11 +763,71 @@ object StreamingQueries {
       .orderBy("win_start")
   }
 
+  /** Stream-stream FULL OUTER interval join — completing the streaming
+    * join matrix (inner st07, left st14): both the unconverted views AND
+    * the organic purchases (no preceding view) in one stream. Emission
+    * rules per side mirror st14's analysis: an unmatched view needs the
+    * purchase watermark past v_ts + 1h; an unmatched purchase needs the
+    * view watermark past p_ts (its match window is v_ts ∈ (p_ts − 1h,
+    * p_ts]); matches emit immediately. With the final watermark
+    * min(mx_v, mx_p) − 1h, every row whose driving timestamp (v_ts when
+    * the view side is present, else p_ts) is below mx − 2h is provably
+    * decided when the bounded replay ends, so the comparison restricts
+    * both engines' JOIN RESULTS to that region — the same sink-side
+    * filter discipline as st14 (filtering a source would starve its
+    * watermark node). State held is still one watermark-bounded hour
+    * per side at any scale. */
+  val st20StreamFullOuter: Q = Q(
+    "st20_full_outer_join",
+    """WITH m AS (SELECT LEAST(
+      |    (SELECT MAX(epoch_us(ts)) FROM events WHERE event_type = 'view'),
+      |    (SELECT MAX(epoch_us(ts)) FROM events WHERE event_type = 'purchase')) AS mx),
+      |v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+      |p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+      |j AS (SELECT v.user_id AS vu, v.ts AS vts, p.user_id AS pu, p.ts AS pts
+      |      FROM v FULL JOIN p
+      |        ON v.user_id = p.user_id AND p.ts >= v.ts AND p.ts < v.ts + INTERVAL 1 HOUR)
+      |SELECT COALESCE(vu, pu) AS user_id,
+      |  COUNT(CASE WHEN vts IS NOT NULL AND pts IS NOT NULL THEN 1 END) AS n_pairs,
+      |  COUNT(CASE WHEN vts IS NOT NULL AND pts IS NULL THEN 1 END) AS n_view_only,
+      |  COUNT(CASE WHEN vts IS NULL THEN 1 END) AS n_purchase_only
+      |FROM j, m
+      |WHERE (vts IS NOT NULL AND epoch_us(vts) < mx - 7200000000)
+      |   OR (vts IS NULL AND epoch_us(pts) < mx - 7200000000)
+      |GROUP BY 1 ORDER BY user_id""".stripMargin) { (s, d) =>
+    val bound = Tables.t(s, d, "events")
+      .filter(col("event_type").isin("view", "purchase"))
+      .groupBy("event_type").agg(max(unix_micros(col("ts"))).as("mx"))
+      .agg(min(col("mx"))).collect()(0).getLong(0) - 7200000000L
+    val src = replayedEvents(s, d)
+    val views = src
+      .filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+      .withWatermark("v_ts", "1 hour")
+    val purchases = src
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = views.join(purchases,
+      expr("v_user = p_user AND p_ts >= v_ts AND p_ts < v_ts + INTERVAL 1 HOUR"),
+      "full_outer")
+    runToTable(s, joined, "append")
+      .filter(
+        (col("v_ts").isNotNull && unix_micros(col("v_ts")) < bound) ||
+        (col("v_ts").isNull && unix_micros(col("p_ts")) < bound))
+      .groupBy(coalesce(col("v_user"), col("p_user")).as("user_id"))
+      .agg(
+        count(when(col("v_ts").isNotNull && col("p_ts").isNotNull, 1)).as("n_pairs"),
+        count(when(col("v_ts").isNotNull && col("p_ts").isNull, 1)).as("n_view_only"),
+        count(when(col("v_ts").isNull, 1)).as("n_purchase_only"))
+      .orderBy("user_id")
+  }
+
   val all: Seq[Q] = Seq(st01Tumbling, st02Sliding, st03Session, st04Dedup,
     st05Stateful, st06FileSink, st07StreamJoin, st08ForeachBatch,
     st09StreamStaticJoin, st10UpdateMode, st11StreamDedup, st12StreamAnnRoute,
     st13RocksdbState, st14StreamLeftOuter, st15TransformWithState, st16TimerExpiry,
-    st17ChainedWindows, st18StateReader, st19JoinThenWindow)
+    st17ChainedWindows, st18StateReader, st19JoinThenWindow, st20StreamFullOuter)
 }
 
 /** st15's processor: named per-key ValueState holding (count, cents),

@@ -670,10 +670,44 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Overlapping token-window chunking — the retrieval-corpus prep step
+    * between cleaning and embedding: every document becomes ⌈(n−W)/S⌉+1
+    * windows of W=32 tokens at stride S=24 (8-token overlap so no answer
+    * span is ever split across a boundary without a copy). Pure per-row
+    * explode — zero shuffles, chunk volume linear in corpus tokens; the
+    * chunk text itself stays distributed (the output carries its md5,
+    * the id the downstream embed/dedup stages key on). The start/count
+    * arithmetic is stated identically on both engines in integer ops —
+    * the last window starts at S·⌈(n−W)/S⌉ < n, so every chunk is
+    * non-empty and the tail is always covered. */
+  val t19ChunkOverlap: Q = Q(
+    "t19_chunk_overlap",
+    """WITH a AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      |c AS (SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+      |        list_slice(l, CAST(i*24 + 1 AS BIGINT), CAST(i*24 + 32 AS BIGINT)) AS sl
+      |      FROM a, LATERAL unnest(range(0, 1 + greatest(0, (len(l) - 9) // 24))) AS t(i))
+      |SELECT doc_id, chunk_idx, CAST(len(sl) AS INT) AS n_tok,
+      |  md5(array_to_string(sl, ' ')) AS h
+      |FROM c ORDER BY doc_id, chunk_idx""".stripMargin) { (s, d) =>
+    docs(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("l"))
+      // (n−W+S−1) div S = ceil((n−32)/24); both engines clamp the
+      // negative small-doc case through greatest(0, ·)
+      .select(col("doc_id"), col("l"),
+        explode(sequence(lit(0L),
+          expr("greatest(0L, (size(l) - 9) div 24)"))).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        expr("slice(l, cast(chunk_idx*24 + 1 as int), 32)").as("sl"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("sl")).as("n_tok"),
+        md5(concat_ws(" ", col("sl"))).as("h"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   val all: Seq[Q] = Seq(
     t01TermFrequency, t02NgramCounts, t03LangId, t04QualityScore,
     t05LangSourceStats, t06TokenCounting, t07FingerprintBow,
     t08FingerprintRolling, t09Decontamination, t10Redaction, t11Tfidf,
     t12Repetition, t13BpePairs, t14LmScore, t15Bm25, t16Diversity,
-    t17Collocations, t18Boilerplate)
+    t17Collocations, t18Boilerplate, t19ChunkOverlap)
 }
