@@ -2803,6 +2803,78 @@ object RelationalQueries {
       .orderBy("q_bp")
   }
 
+  /** Self-join-aggregate elimination as ENGINE BEHAVIOR (the q48/q61/
+    * q66/q84 principle): the entry writes the textbook "join the grouped
+    * totals back onto the table" shape — per-order share of the
+    * customer's lifetime cents — and the `RewriteSelfJoinAgg` rule
+    * (WinMagic, SIGMOD 2003) collapses it to one scan + one window:
+    * sum/count OVER (PARTITION BY o_custkey). The naive plan reads
+    * orders TWICE and shuffles it twice (aggregate + join); the planted
+    * plan reads and shuffles once — at a 100 TB fact table, half the IO
+    * and half the network. Exact arithmetic throughout (cents, integer
+    * division for basis points), so the window fold and the hash-agg
+    * fold are bit-identical. Broadcast threshold is disabled for the
+    * entry because the rule is cost-guarded to the shuffle-join regime
+    * (`SelfJoinWindowSpec` asserts the guard, the single-scan plan, and
+    * on/off parity). */
+  val q86SelfJoinWindowAuto: Q = Q(
+    "q86_selfjoin_window_auto",
+    """WITH o AS (SELECT o_orderkey, o_custkey,
+      |             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+      |a AS (SELECT o_custkey, CAST(SUM(cents) AS BIGINT) AS cust_cents,
+      |        COUNT(*) AS n_orders FROM o GROUP BY 1)
+      |SELECT o.o_orderkey, o.o_custkey, o.cents, a.cust_cents, a.n_orders,
+      |  CAST((o.cents * 10000) // a.cust_cents AS BIGINT) AS share_bp
+      |FROM o JOIN a ON o.o_custkey = a.o_custkey
+      |ORDER BY o.o_orderkey""".stripMargin) { (s, d) =>
+    graft.plans.RewriteSelfJoinAgg.register(s)
+    val saved = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val o = Tables.t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"),
+        expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+      val a = o.groupBy("o_custkey").agg(sum(col("cents")).as("cust_cents"),
+        count(lit(1)).as("n_orders"))
+      val df = o.join(a, "o_custkey")
+        .select(col("o_orderkey"), col("o_custkey"), col("cents"),
+          col("cust_cents"), col("n_orders"),
+          expr("(cents * 10000) div cust_cents").as("share_bp"))
+        .orderBy("o_orderkey")
+      df.queryExecution.executedPlan // force optimization under the conf
+      df
+    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
+  /** Per-group QUOTA sampling — the curation step that caps any one
+    * source's share of the corpus (a dominant crawl domain must not
+    * swamp the mixture): keep ≤100 docs per source, chosen UNIFORMLY
+    * and reproducibly by ranking on md5(doc_id) — a hash priority is an
+    * engine-portable substitute for per-group reservoir sampling
+    * (q64's weighted trick with unit weights), so the "random" winners
+    * are identical in Spark, DuckDB, and any rerun/repartitioning. The
+    * written shape is the bare row_number-filter idiom, which
+    * AutoLocalTopK absorbs into the bounded-heap operator: per-group
+    * state is O(quota) regardless of how many billion docs one domain
+    * has — the skew case this entry exists for. */
+  val q87GroupQuota: Q = Q(
+    "q87_group_quota",
+    """SELECT source, CAST(rn AS BIGINT) AS rn, doc_id FROM (
+      |  SELECT source, doc_id,
+      |    row_number() OVER (PARTITION BY source
+      |                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      |  FROM documents)
+      |WHERE rn <= 100 ORDER BY source, rn""".stripMargin) { (s, d) =>
+    graft.plans.GraftEngine.install(s)
+    val w = Window.partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string")).asc, col("doc_id").asc)
+    Tables.t(s, d, "documents")
+      .select("source", "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 100)
+      .select(col("source"), col("rn").cast("long").as("rn"), col("doc_id"))
+      .orderBy("source", "rn")
+  }
+
   val all: Seq[Q] = Seq(
     q01ScanProject, q02Predicates, q03AggBasic, q04AggDistinct, q05Rollup,
     q06Cube, q07JoinBroadcast, q08JoinMultiway, q09JoinOuter, q10JoinFull,
@@ -2822,5 +2894,6 @@ object RelationalQueries {
     q71EagerDecimal, q72CohortRetention, q73IntervalOverlap, q74IntervalSplit,
     q75Ewma, q76FuzzyJoin, q77LateralTopk, q78SessionWindow,
     q79ParameterizedSql, q80BitmapDistinct, q81MovingMedian, q82Interpolate,
-    q83Histogram, q84BitmapDistinctAuto, q85ExactQuantiles)
+    q83Histogram, q84BitmapDistinctAuto, q85ExactQuantiles,
+    q86SelfJoinWindowAuto, q87GroupQuota)
 }

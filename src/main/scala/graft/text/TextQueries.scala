@@ -704,10 +704,90 @@ object TextQueries {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** BPE ENCODING — t13 learns the merge table; this entry APPLIES it,
+    * the tokenizer step every training pipeline runs over its whole
+    * corpus. The merge list is t13's top-30 character pairs in rank
+    * order, and encoding is exact BPE for such a list: because every
+    * merge joins two SINGLE characters and a merged token is inert (no
+    * 3-char pair exists in the table), "repeatedly merge the best-
+    * ranked pair present" reduces to one replace-all pass per merge in
+    * rank order — higher ranks consume characters first, lower ranks
+    * get what's left, and no merge can create sites for a better one.
+    * Each pass is a plain (non-regex) string replace over a delimited
+    * symbol string '|t|h|e|': the pattern '|t|h|' only matches two
+    * ADJACENT SINGLE-CHAR symbols, and replacing consumes the shared
+    * delimiter, which is exactly left-to-right non-overlapping
+    * application ('aaa' + 'aa' → ['aa','a'], verified both engines).
+    * Word boundaries need no special casing: spaces are symbols and
+    * never appear in a within-token merge pair. The corpus pass is a
+    * per-row fold of 30 replaces with the merge table broadcast — zero
+    * data-path shuffles; the delimiter is safe because the corpus
+    * contains no '|' (asserted cheaply by the oracle equality itself:
+    * a collision would desync the two engines). */
+  val t20BpeEncode: Q = Q(
+    "t20_bpe_encode",
+    """WITH tf AS (
+      |  SELECT tok, COUNT(*) AS tf FROM
+      |    (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      |  GROUP BY tok),
+      |pr AS (
+      |  SELECT substr(tok, i, 2) AS pair, tf
+      |  FROM tf, unnest(range(1, len(tok))) AS t(i)
+      |  WHERE len(tok) >= 2),
+      |top AS (SELECT pair, SUM(tf) AS n FROM pr GROUP BY pair
+      |        ORDER BY n DESC, pair LIMIT 30),
+      |m AS (SELECT list(pair ORDER BY n DESC, pair) AS merges FROM top),
+      |e AS (
+      |  SELECT doc_id, list_reduce(
+      |    list_prepend(CAST('|' || regexp_replace(text, '(.)', '\1|', 'g') AS VARCHAR),
+      |                 m.merges),
+      |    (s, p) -> replace(s, '|' || substr(p,1,1) || '|' || substr(p,2,1) || '|',
+      |                      '|' || p || '|')) AS enc
+      |  FROM documents, m),
+      |tk AS (SELECT doc_id, enc,
+      |         list_filter(string_split(enc, '|'), x -> x <> '') AS toks2 FROM e)
+      |SELECT doc_id, CAST(len(toks2) AS BIGINT) AS n_tok,
+      |  CAST(len(list_filter(toks2, x -> len(x) = 2)) AS BIGINT) AS n_merged,
+      |  md5(enc) AS fp
+      |FROM tk ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val tf = docs(s, d)
+      .select(explode(toks).as("tok"))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("tf"))
+    val pairsOf = transform(
+      sequence(lit(1), length(col("tok")) - 1),
+      i => col("tok").substr(i, lit(2)))
+    val top = tf.filter(length(col("tok")) >= 2)
+      .select(explode(pairsOf).as("pair"), col("tf"))
+      .groupBy("pair")
+      .agg(sum(col("tf")).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(30)
+    // rank-ordered merge array: struct(-n, pair) sorts ascending ==
+    // (n desc, pair asc) — the LIMIT 30 boundary is tie-deterministic
+    val merges = top.agg(expr(
+      "transform(sort_array(collect_list(struct(-n as nn, pair))), x -> x.pair)")
+      .as("merges"))
+    docs(s, d)
+      .crossJoin(broadcast(merges))
+      .select(col("doc_id"), expr(
+        """aggregate(merges,
+          |  concat('|', regexp_replace(text, '(.)', '$1|')),
+          |  (s, p) -> replace(s, concat('|', substr(p,1,1), '|', substr(p,2,1), '|'),
+          |                    concat('|', p, '|')))""".stripMargin).as("enc"))
+      .select(col("doc_id"), col("enc"),
+        expr("filter(split(enc, '\\\\|'), x -> x != '')").as("toks2"))
+      .select(col("doc_id"),
+        size(col("toks2")).cast("long").as("n_tok"),
+        expr("size(filter(toks2, x -> length(x) = 2))").cast("long").as("n_merged"),
+        md5(col("enc")).as("fp"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     t01TermFrequency, t02NgramCounts, t03LangId, t04QualityScore,
     t05LangSourceStats, t06TokenCounting, t07FingerprintBow,
     t08FingerprintRolling, t09Decontamination, t10Redaction, t11Tfidf,
     t12Repetition, t13BpePairs, t14LmScore, t15Bm25, t16Diversity,
-    t17Collocations, t18Boilerplate, t19ChunkOverlap)
+    t17Collocations, t18Boilerplate, t19ChunkOverlap, t20BpeEncode)
 }

@@ -44,7 +44,13 @@ class PlanLintSpec extends AnyFunSuite {
     *    reduced to per-day points BEFORE any window sees them. */
   private val boundedGlobalWindows =
     Set("p07_mix_allocation", "q74_interval_split", "p09_hybrid_retrieval",
-      "q82_interpolate")
+      "q82_interpolate",
+      // q85's exclusive-prefix window runs over the per-bucket TOTALS
+      // relation — #buckets = value-domain / 65536 (price cents → a few
+      // hundred rows at any corpus size); the data path is the
+      // map-side-combined counts GROUP BY, and the within-bucket rank
+      // window IS partitioned. Same bounded-by-domain argument as q74.
+      "q85_exact_quantiles")
 
   test("no catalog query plans a single-partition window or a cartesian product") {
     val violations = SparkEntry.catalog.flatMap { q =>
