@@ -874,8 +874,76 @@ object DedupQueries {
       .orderBy("i", "j")
   }
 
+  /** LSH-dedup INDEX EVALUATION — v17/v18's swap-the-index discipline
+    * brought to the dedup family: measure the banded-MinHash candidate
+    * predicate (d06's portable 8-hash signature, 4 bands × 2 rows)
+    * against exact token-set-Jaccard ground truth, as one oracle-checked
+    * query. Truth is Jaccard ≥ 0.9 stated integer-exactly
+    * (10·|A∩B| ≥ 9·|A∪B| — no division anywhere), and the band
+    * predicate is evaluated directly on the pair frame (∃ band i with
+    * both hash slots equal), so the counts decompose the confusion
+    * matrix: truth, candidates, hits (recall numerator), false alarms
+    * (wasted verification work). Theory says a band of 2 rows catches a
+    * 0.9-Jaccard pair with 1−(1−0.9²)⁴ ≈ 0.999 probability; the entry
+    * measures what this corpus actually gets. The evaluation runs on a
+    * FIXED 300-doc probe sample (constant work at any corpus scale —
+    * exactly how production monitors index quality; the all-pairs truth
+    * is only ever computed on the sample), broadcast so the pair frame
+    * is a broadcast NLJ, never a shuffled cartesian. */
+  val d14LshEval: Q = Q(
+    "d14_lsh_eval",
+    {
+      val bandEq = (0 until 4).map(b =>
+        s"(a.m${2 * b} = b.m${2 * b} AND a.m${2 * b + 1} = b.m${2 * b + 1})")
+        .mkString("(", " OR ", ")")
+      val mins = (0 until 8).map(i =>
+        s"    list_min(list_transform(toks, t -> ('0x' || substr(md5('$i:' || t), 1, 8))::BIGINT)) AS m$i")
+        .mkString(",\n")
+      s"""WITH t AS (
+         |  SELECT doc_id, toks,
+         |$mins
+         |  FROM (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+         |        FROM documents WHERE doc_id < 300)),
+         |p AS (
+         |  SELECT len(list_intersect(a.toks, b.toks)) AS i,
+         |    len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS u,
+         |    $bandEq AS cand
+         |  FROM t a JOIN t b ON a.doc_id < b.doc_id)
+         |SELECT COUNT(*) AS n_pairs,
+         |  COUNT(*) FILTER (10*i >= 9*u) AS n_truth,
+         |  COUNT(*) FILTER (cand) AS n_cand,
+         |  COUNT(*) FILTER (cand AND 10*i >= 9*u) AS n_hit,
+         |  COUNT(*) FILTER (cand AND 10*i < 9*u) AS n_false_alarm
+         |FROM p""".stripMargin
+    }) { (s, d) =>
+    val toksDistinct = array_distinct(toks)
+    val minCols = (0 until 8).map(i =>
+      array_min(transform(col("toks"), t =>
+        conv(substring(md5(concat(lit(s"$i:"), t)), 1, 8), 16, 10).cast("long"))).as(s"m$i"))
+    val t = docs(s, d)
+      .filter(col("doc_id") < 300)
+      .select(col("doc_id"), toksDistinct.as("toks"))
+      .select(col("doc_id") +: col("toks") +: minCols: _*)
+    val bandEq = (0 until 4).map(b =>
+      col(s"a.m${2 * b}") === col(s"b.m${2 * b}") &&
+        col(s"a.m${2 * b + 1}") === col(s"b.m${2 * b + 1}"))
+      .reduce(_ || _)
+    val inter = size(array_intersect(col("a.toks"), col("b.toks")))
+    val pairs = t.as("a")
+      .join(broadcast(t.as("b")), col("a.doc_id") < col("b.doc_id"))
+      .select(inter.as("i"),
+        (size(col("a.toks")) + size(col("b.toks")) - inter).as("u"),
+        bandEq.as("cand"))
+    pairs.agg(
+      count(lit(1)).as("n_pairs"),
+      count(when(lit(10) * col("i") >= lit(9) * col("u"), 1)).as("n_truth"),
+      count(when(col("cand"), 1)).as("n_cand"),
+      count(when(col("cand") && lit(10) * col("i") >= lit(9) * col("u"), 1)).as("n_hit"),
+      count(when(col("cand") && lit(10) * col("i") < lit(9) * col("u"), 1)).as("n_false_alarm"))
+  }
+
   val all: Seq[Q] = Seq(d01ExactDedup, d02HashDedup, d03MinHashLsh, d04SimHash,
     d05NgramJaccard, d06MinHashPortable, d07CcClusters, d08BloomIncremental,
     d09ShardedBloom, d10SemanticDedup, d11SimHashPortable, d12CanonicalSelect,
-    d13SubstringSpan)
+    d13SubstringSpan, d14LshEval)
 }

@@ -845,6 +845,64 @@ object PipelineQueries {
       .orderBy(col("rrf").desc, col("doc_id"))
   }
 
+  /** In-batch NEGATIVE SAMPLING — the contrastive-training data prep
+    * step (CLIP/DPR-style): each anchor document gets k=4 negatives
+    * drawn from its own TRAINING BATCH, the standard in-batch trick
+    * that makes negatives free at scale. Batch assignment is the
+    * engine-portable hash-mod (q47's discipline: a pure function of
+    * doc_id — stable under reruns, repartitioning, and engine swaps),
+    * and the negatives are the batch peers ranked by md5(anchor ||
+    * peer) — a deterministic stand-in for uniform sampling whose
+    * winners both engines agree on bit-exactly. The pair join is
+    * BLOCKED on the batch id with the batch COUNT scaling as N/128 —
+    * batches stay ~128 docs at ANY corpus size (exactly how a real
+    * loader batches), so candidate volume is N·128, linear forever; a
+    * fixed batch count would make it N²/B, the d10/p08 scale bug class
+    * (the first cut measured 26× on 10× data before the count was made
+    * corpus-proportional). The per-anchor top-k is the bare row_number
+    * idiom AutoLocalTopK absorbs into the bounded heap. Self-pairs are
+    * excluded; exclusion of known positives (near-dups) composes by
+    * anti-joining d-series pair outputs in front of this entry. */
+  val p10InbatchNegatives: Q = Q(
+    "p10_inbatch_negatives",
+    """WITH b AS (
+      |  SELECT doc_id,
+      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      |      % (SELECT greatest(1, COUNT(*) // 128) FROM documents) AS batch
+      |  FROM documents),
+      |pr AS (
+      |  SELECT a.doc_id AS anchor, n.doc_id AS neg,
+      |    md5(CAST(a.doc_id AS VARCHAR) || ':' || CAST(n.doc_id AS VARCHAR)) AS pri
+      |  FROM b a JOIN b n ON a.batch = n.batch AND a.doc_id <> n.doc_id),
+      |r AS (
+      |  SELECT anchor, neg,
+      |    row_number() OVER (PARTITION BY anchor ORDER BY pri, neg) AS rk
+      |  FROM pr)
+      |SELECT anchor, CAST(rk AS BIGINT) AS rk, neg
+      |FROM r WHERE rk <= 4 ORDER BY anchor, rk""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    graft.plans.GraftEngine.install(s)
+    val nb = Tables.t(s, d, "documents")
+      .agg(greatest(lit(1L), expr("count(1) div 128")).as("nb"))
+    val b = Tables.t(s, d, "documents")
+      .crossJoin(broadcast(nb))
+      .select(col("doc_id"),
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % col("nb")).as("batch"))
+    val pairs = b.as("a").join(b.as("n"),
+        col("a.batch") === col("n.batch") && col("a.doc_id") =!= col("n.doc_id"))
+      .select(col("a.doc_id").as("anchor"), col("n.doc_id").as("neg"),
+        md5(concat(col("a.doc_id").cast("string"), lit(":"),
+          col("n.doc_id").cast("string"))).as("pri"))
+    val w = Window.partitionBy("anchor").orderBy(col("pri").asc, col("neg").asc)
+    pairs
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 4)
+      .select(col("anchor"), col("rk").cast("long").as("rk"), col("neg"))
+      .orderBy("anchor", "rk")
+  }
+
   val all: Seq[Q] = Seq(p01TrainingPipeline, p02CurationPipeline, p03Pagerank, p04Triangles,
-    p05BfsHops, p06BfsRecursiveCte, p07MixAllocation, p08SequencePack, p09HybridRetrieval)
+    p05BfsHops, p06BfsRecursiveCte, p07MixAllocation, p08SequencePack, p09HybridRetrieval,
+    p10InbatchNegatives)
 }

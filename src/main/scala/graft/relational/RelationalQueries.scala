@@ -2875,6 +2875,43 @@ object RelationalQueries {
       .orderBy("source", "rn")
   }
 
+  /** OR-expansion as ENGINE BEHAVIOR (the q48/q61/q66/q84/q86
+    * principle): the entry writes the NATURAL disjunctive pair join —
+    * docs are neighbors when they share a 3-token prefix OR a 3-token
+    * suffix, d07's edge relation as a user would first write it — and
+    * the `RewriteOrExpansion` rule splits it into a union of two
+    * hash-joinable branches (the second guarded by NOT-coalesce so
+    * both-condition pairs count once). Without the rule this condition
+    * has no equi-conjunct and Spark enumerates every doc pair through a
+    * nested-loop join — O(N²) predicate evaluations, the cliff that
+    * separates "finishes" from "doesn't" at 100 TB. `OrExpansionSpec`
+    * asserts the union-of-equi-joins plan, no NLJ/cartesian in the
+    * physical plan, on/off parity including null keys and
+    * both-conditions-match pairs, and that non-conforming shapes are
+    * untouched. */
+  val q88OrJoinAuto: Q = Q(
+    "q88_or_join_auto",
+    """WITH p AS (
+      |  SELECT doc_id, array_to_string(string_split(text, ' ')[1:3], ' ') AS pre,
+      |         array_to_string(string_split(text, ' ')[-3:], ' ') AS suf
+      |  FROM documents)
+      |SELECT a.doc_id AS u, COUNT(*) AS n_nbrs
+      |FROM p a JOIN p b
+      |  ON (a.pre = b.pre OR a.suf = b.suf) AND a.doc_id < b.doc_id
+      |GROUP BY 1 ORDER BY u""".stripMargin) { (s, d) =>
+    graft.plans.RewriteOrExpansion.register(s)
+    val toks = split(col("text"), " ")
+    val p = Tables.t(s, d, "documents").select(col("doc_id"),
+      concat_ws(" ", slice(toks, 1, 3)).as("pre"),
+      concat_ws(" ", slice(toks, -3, 3)).as("suf"))
+    p.as("a").join(p.as("b"),
+        (col("a.pre") === col("b.pre") || col("a.suf") === col("b.suf")) &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("u"))
+      .agg(count(lit(1)).as("n_nbrs"))
+      .orderBy("u")
+  }
+
   val all: Seq[Q] = Seq(
     q01ScanProject, q02Predicates, q03AggBasic, q04AggDistinct, q05Rollup,
     q06Cube, q07JoinBroadcast, q08JoinMultiway, q09JoinOuter, q10JoinFull,
@@ -2895,5 +2932,5 @@ object RelationalQueries {
     q75Ewma, q76FuzzyJoin, q77LateralTopk, q78SessionWindow,
     q79ParameterizedSql, q80BitmapDistinct, q81MovingMedian, q82Interpolate,
     q83Histogram, q84BitmapDistinctAuto, q85ExactQuantiles,
-    q86SelfJoinWindowAuto, q87GroupQuota)
+    q86SelfJoinWindowAuto, q87GroupQuota, q88OrJoinAuto)
 }

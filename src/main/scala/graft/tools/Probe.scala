@@ -45,6 +45,43 @@ object Probe {
       time("assign2")(assign)
       spark.stop(); sys.exit(0)
     }
+    if (sys.env.contains("PROBE_Q86")) {
+      // Shuffle/IO cost of the q86 naive self-join-agg shape with the
+      // RewriteSelfJoinAgg rule on vs off (documentation measurement).
+      val s = spark
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      @volatile var recs = 0L; @volatile var bytes = 0L; @volatile var read = 0L
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          recs += sc.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten
+          bytes += sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten
+          read += sc.stageInfo.taskMetrics.inputMetrics.recordsRead
+        }
+      }
+      s.sparkContext.addSparkListener(listener)
+      def shape(): org.apache.spark.sql.DataFrame = {
+        val o = graft.Tables.t(s, d, "orders").select(col("o_orderkey"),
+          col("o_custkey"), expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+        val a = o.groupBy("o_custkey").agg(sum(col("cents")).as("cust_cents"),
+          count(lit(1)).as("n_orders"))
+        o.join(a, "o_custkey")
+      }
+      def run(tag: String): Unit = {
+        recs = 0; bytes = 0; read = 0
+        val t0 = System.nanoTime()
+        shape().write.format("noop").mode("overwrite").save()
+        Thread.sleep(1500) // let the listener bus drain
+        println(f"[probe] $tag%-10s wall ${(System.nanoTime() - t0) / 1e9}%6.2f s " +
+          f"shuffleRecs $recs%,12d shuffleBytes $bytes%,14d inputRecs $read%,12d")
+      }
+      graft.plans.RewriteSelfJoinAgg.register(s)
+      run("rule-on-warm"); run("rule-on")
+      s.experimental.extraOptimizations = s.experimental.extraOptimizations
+        .filterNot(_ == graft.plans.RewriteSelfJoinAgg)
+      run("rule-off-warm"); run("rule-off")
+      spark.stop(); sys.exit(0)
+    }
     if (sys.env.contains("PROBE_P03")) {
       val s = spark
       s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
