@@ -1069,9 +1069,65 @@ object SimilarityQueries {
         (col("hits").cast("double") / col("k").cast("double")).as("recall"))
   }
 
+  /** BINARY (sign-bit) quantization — the third compression point on
+    * the v10 (int8) / v15 (PQ) curve, and the cheapest: 64 dims → 64
+    * BITS (32× smaller than float32), distance = Hamming via
+    * xor + popcount, the SIMD-friendly primitive every binary-embedding
+    * store ships. Signatures pack as TWO 32-bit words (bit 63 is not
+    * representable by a portable `1 << 63` — DuckDB range-checks the
+    * shift — and a real store packs ⌈d/64⌉ words anyway, so the
+    * two-word form IS the general shape; the packing fold is exact
+    * integer addition of distinct powers). Search is the v12 certified
+    * pattern: Hamming shortlist of 64 (tie-broken by vec_id), exact
+    * double cosine rerank of the survivors, top-10 reported. For sign
+    * quantization E[hamming]/d estimates angle/π — the shortlist is a
+    * real ANN candidate set, and the rerank makes the reported ranking
+    * exact over it. Per-row scan cost is two longs per vector; at
+    * 100 TB the signature table is the only thing scanned (32× less
+    * IO), with the float vectors fetched for the 64 survivors only. */
+  val v19BinarySig: Q = Q(
+    "v19_binary_sig",
+    """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      |s AS (SELECT vec_id, label, v,
+      |  CAST(list_sum(list_transform(range(0,32), i ->
+      |    CASE WHEN v[CAST(i+1 AS INT)] >= 0 THEN 1::BIGINT << i ELSE 0::BIGINT END)) AS BIGINT) AS lo,
+      |  CAST(list_sum(list_transform(range(0,32), i ->
+      |    CASE WHEN v[CAST(i+33 AS INT)] >= 0 THEN 1::BIGINT << i ELSE 0::BIGINT END)) AS BIGINT) AS hi
+      |  FROM e),
+      |p AS (SELECT lo AS plo, hi AS phi, v AS pv FROM s WHERE vec_id = 3),
+      |short AS (
+      |  SELECT vec_id, label, v, pv,
+      |    CAST(bit_count(xor(lo, plo)) + bit_count(xor(hi, phi)) AS INT) AS ham
+      |  FROM s, p ORDER BY ham, vec_id LIMIT 64)
+      |SELECT vec_id, label, ham, list_cosine_similarity(v, pv) AS cos_sim
+      |FROM short ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin) { (s, d) =>
+    val pack = (off: Int) => expr(
+      s"""aggregate(sequence(0, 31), 0L,
+         |  (acc, i) -> acc + if(element_at(v, cast(i + $off as int)) >= 0D,
+         |                       shiftleft(1L, cast(i as int)), 0L))""".stripMargin)
+    val sigs = emb(s, d)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .select(col("vec_id"), col("label"), col("v"),
+        pack(1).as("lo"), pack(33).as("hi"))
+    val probe = sigs.filter(col("vec_id") === 3)
+      .select(col("lo").as("plo"), col("hi").as("phi"), col("v").as("pv"))
+    val short = sigs.crossJoin(broadcast(probe))
+      .select(col("vec_id"), col("label"), col("v"), col("pv"),
+        (bit_count(expr("lo ^ plo")) + bit_count(expr("hi ^ phi")))
+          .cast("int").as("ham"))
+      .orderBy(col("ham").asc, col("vec_id").asc)
+      .limit(64)
+    short
+      .select(col("vec_id"), col("label"), col("ham"),
+        cosine(col("v"), col("pv")).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
   val all: Seq[Q] = Seq(v01CosineTopK, v02DotTopK, v03AnnLshBucket,
     v04EmbeddingNearDup, v05CosineTopKNative, v06AnnIvf, v07AnnPartitionPruned,
     v08LabelCentroids, v09KmeansPortable, v10QuantizedDot, v11IvfPortable,
     v12CertifiedRerank, v13MaxipLsh, v14BatchedAnn, v15PqAdc, v16MmrRerank,
-    v17AnnRecall, v18IvfRecall)
+    v17AnnRecall, v18IvfRecall, v19BinarySig)
 }
