@@ -163,5 +163,7 @@ object GraftEngine {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ RewriteEagerAgg
     RewriteBitmapDistinct.register(spark)
+    RewriteSelfJoinAgg.register(spark)
+    RewriteOrExpansion.register(spark)
   }
 }

@@ -187,5 +187,8 @@ class GraftPlanExtensions extends (SparkSessionExtensions => Unit) {
     // matches the WindowGroupLimit takeover shape instead. Both end at
     // the same pruned plan.
     ext.injectOptimizerRule(_ => AutoLocalTopK)
+    ext.injectOptimizerRule(_ => RewriteBitmapDistinct)
+    ext.injectOptimizerRule(_ => RewriteSelfJoinAgg)
+    ext.injectOptimizerRule(_ => RewriteOrExpansion)
   }
 }
