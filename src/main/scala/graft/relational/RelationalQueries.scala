@@ -2875,6 +2875,72 @@ object RelationalQueries {
       .orderBy("source", "rn")
   }
 
+  /** Interpolated quantiles (percentile_cont) — q85's distributed rank
+    * machinery extended to the interpolating definition: position
+    * p = 1 + (N−1)·q is split into an integer rank and a fractional
+    * part in EXACT basis-point arithmetic (lo = 1 + (N−1)·q_bp div 1e4,
+    * frac = (N−1)·q_bp mod 1e4), the two neighbor values are rank
+    * lookups in the same cum table, and the interpolated value is
+    * assembled as ONE integer numerator (v_lo·10⁴ + (v_hi−v_lo)·frac,
+    * exact in long) over one correctly-rounded division — so the
+    * reported double is bit-identical across engines, which no naive
+    * "lo + (hi−lo)·f" float chain guarantees. Same scale posture as
+    * q85: the data path is one map-side-combined GROUP BY; ranks and
+    * lookups run on the bounded distinct-value relation. */
+  val q89PercentileCont: Q = Q(
+    "q89_percentile_cont",
+    """WITH v AS (SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c FROM orders),
+      |cnt AS (SELECT c, COUNT(*) AS n FROM v GROUP BY 1),
+      |s AS (SELECT c, SUM(n) OVER (ORDER BY c) AS cum FROM cnt),
+      |t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM cnt),
+      |q AS (SELECT * FROM (VALUES (2500),(5000),(7500),(9000),(9900)) AS q(q_bp)),
+      |r AS (SELECT q_bp,
+      |        CAST(1 + ((tot - 1) * q_bp) // 10000 AS BIGINT) AS lo_rank,
+      |        CAST(((tot - 1) * q_bp) % 10000 AS BIGINT) AS frac
+      |      FROM q, t),
+      |g AS (
+      |  SELECT q_bp, frac,
+      |    MIN(CASE WHEN s.cum >= r.lo_rank THEN s.c END) AS v_lo,
+      |    MIN(CASE WHEN s.cum >= r.lo_rank + CASE WHEN frac > 0 THEN 1 ELSE 0 END
+      |        THEN s.c END) AS v_hi
+      |  FROM r, s GROUP BY 1, 2)
+      |SELECT q_bp, v_lo, v_hi,
+      |  CAST(v_lo * 10000 + (v_hi - v_lo) * frac AS DOUBLE)
+      |    / CAST(1000000 AS DOUBLE) AS value
+      |FROM g ORDER BY q_bp""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val counts = Tables.t(s, d, "orders")
+      .select(expr("cast(round(o_totalprice * 100) as bigint)").as("c"))
+      .groupBy("c").agg(count(lit(1)).as("n"))
+      .withColumn("bkt", expr("c div 65536"))
+    val offsets = counts.groupBy("bkt").agg(sum(col("n")).as("bn"))
+      .withColumn("off",
+        coalesce(sum(col("bn")).over(Window.orderBy("bkt")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("bkt", "off")
+    val cum = counts
+      .withColumn("rnk", sum(col("n")).over(Window.partitionBy("bkt")
+        .orderBy("c").rowsBetween(Window.unboundedPreceding, 0)))
+      .join(broadcast(offsets), Seq("bkt"))
+      .select(col("c"), (col("off") + col("rnk")).as("cum"))
+    val total = counts.agg(sum(col("n")).as("tot"))
+    val ranks = Seq(2500, 5000, 7500, 9000, 9900).toDF("q_bp")
+      .crossJoin(broadcast(total))
+      .select(col("q_bp"),
+        expr("cast(1 + ((tot - 1) * q_bp) div 10000 as bigint)").as("lo_rank"),
+        expr("cast(((tot - 1) * q_bp) % 10000 as bigint)").as("frac"))
+    cum.crossJoin(broadcast(ranks))
+      .groupBy("q_bp", "frac", "lo_rank")
+      .agg(
+        min(when(col("cum") >= col("lo_rank"), col("c"))).as("v_lo"),
+        min(when(col("cum") >= col("lo_rank")
+          + when(col("frac") > 0, 1L).otherwise(0L), col("c"))).as("v_hi"))
+      .select(col("q_bp"), col("v_lo"), col("v_hi"),
+        ((col("v_lo") * 10000 + (col("v_hi") - col("v_lo")) * col("frac"))
+          .cast("double") / lit(1000000).cast("double")).as("value"))
+      .orderBy("q_bp")
+  }
+
   /** OR-expansion as ENGINE BEHAVIOR (the q48/q61/q66/q84/q86
     * principle): the entry writes the NATURAL disjunctive pair join —
     * docs are neighbors when they share a 3-token prefix OR a 3-token
@@ -2932,5 +2998,5 @@ object RelationalQueries {
     q75Ewma, q76FuzzyJoin, q77LateralTopk, q78SessionWindow,
     q79ParameterizedSql, q80BitmapDistinct, q81MovingMedian, q82Interpolate,
     q83Histogram, q84BitmapDistinctAuto, q85ExactQuantiles,
-    q86SelfJoinWindowAuto, q87GroupQuota, q88OrJoinAuto)
+    q86SelfJoinWindowAuto, q87GroupQuota, q88OrJoinAuto, q89PercentileCont)
 }

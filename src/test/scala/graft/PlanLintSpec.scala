@@ -50,7 +50,7 @@ class PlanLintSpec extends AnyFunSuite {
       // hundred rows at any corpus size); the data path is the
       // map-side-combined counts GROUP BY, and the within-bucket rank
       // window IS partitioned. Same bounded-by-domain argument as q74.
-      "q85_exact_quantiles")
+      "q85_exact_quantiles", "q89_percentile_cont")
 
   test("no catalog query plans a single-partition window or a cartesian product") {
     val violations = SparkEntry.catalog.flatMap { q =>
