@@ -314,6 +314,92 @@ object UdfQueries {
       .crossJoin(broadcast(exact))
   }
 
+  /** KMV sketch ROLLUP — the pre-aggregation pattern that makes distinct
+    * counts affordable at 100 TB: the fact table is scanned ONCE into a
+    * per-month sketch table (one bounded 64-long [[BottomKHashes]] sketch
+    * per month; map-side partials compress every partition to ≤ 64·months
+    * longs before the only shuffle), and every date-range distinct query
+    * after that is answered by SKETCH ALGEBRA alone — explode the member
+    * months' sketches and re-take the bottom 64. The key identity (the
+    * reason KMV rolls up losslessly, spec-asserted in `UdfRollupSpec`):
+    * bottom-k of a union equals bottom-k of the per-part bottom-k's,
+    * because any of the k smallest of the union is among the k smallest
+    * of its own part. So the rolled-up estimate is BIT-IDENTICAL to the
+    * estimate a full rescan of the range would produce — pre-aggregation
+    * costs zero accuracy. Estimates use u09's correctly-rounded
+    * (k-1)·2³²/θ form next to the exact distinct counts they approximate;
+    * hashes are the d06 md5-portable recipe, so the whole sketch pipeline
+    * verifies hash-exact against DuckDB. At 100 TB the sketch table is
+    * months × 512 bytes — the fact scan happens once, not per dashboard
+    * query. */
+  val u10SketchRollup: Q = Q(
+    "u10_sketch_rollup",
+    """WITH hk AS (
+      |  SELECT strftime(o_orderdate, '%Y-%m') AS mon, o_custkey AS k,
+      |    ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8))::BIGINT AS h
+      |  FROM orders),
+      |mon_sk AS (
+      |  SELECT mon, h FROM (
+      |    SELECT mon, h, row_number() OVER (PARTITION BY mon ORDER BY h) AS rn
+      |    FROM (SELECT DISTINCT mon, h FROM hk)) WHERE rn <= 64),
+      |ranges(label, lo, hi) AS (VALUES
+      |  ('all', '1995-01', '2001-12'),
+      |  ('y1995_96', '1995-01', '1996-12'),
+      |  ('y1997_98', '1997-01', '1998-12'),
+      |  ('y1999_01', '1999-01', '2001-12')),
+      |merged AS (
+      |  SELECT label, h FROM (
+      |    SELECT label, h, row_number() OVER (PARTITION BY label ORDER BY h) AS rn
+      |    FROM (SELECT DISTINCT label, h
+      |          FROM ranges JOIN mon_sk ON mon BETWEEN lo AND hi)) WHERE rn <= 64),
+      |est AS (
+      |  SELECT label, CAST(COUNT(*) AS BIGINT) AS sk_size, MAX(h) AS theta
+      |  FROM merged GROUP BY label),
+      |exact AS (
+      |  SELECT label, COUNT(DISTINCT k) AS exact_distinct
+      |  FROM ranges JOIN hk ON mon BETWEEN lo AND hi GROUP BY label)
+      |SELECT label, sk_size, theta,
+      |  CASE WHEN sk_size = 64
+      |    THEN CAST(63 * 4294967296 AS DOUBLE) / CAST(theta AS DOUBLE)
+      |    ELSE CAST(sk_size AS DOUBLE) END AS est_distinct,
+      |  exact_distinct
+      |FROM est JOIN exact USING (label) ORDER BY label""".stripMargin) { (s, d) =>
+    BottomKHashes.register(s)
+    import s.implicits._
+    val hk = Tables.t(s, d, "orders").select(
+      date_format(col("o_orderdate"), "yyyy-MM").as("mon"),
+      col("o_custkey").as("k"),
+      conv(substring(md5(col("o_custkey").cast("string")), 1, 8), 16, 10)
+        .cast("long").as("h"))
+    // The persisted sketch table: ONE fact scan, one bounded sketch/month.
+    val monSk = hk.groupBy("mon").agg(expr("graft_bottomk(h, 64)").as("s"))
+    val ranges = Seq(
+      ("all", "1995-01", "2001-12"),
+      ("y1995_96", "1995-01", "1996-12"),
+      ("y1997_98", "1997-01", "1998-12"),
+      ("y1999_01", "1999-01", "2001-12")).toDF("label", "lo", "hi")
+    // Range answers: sketch algebra only — the fact table is NOT rescanned
+    // (the exact side below rescans precisely to show what that costs).
+    val merged = monSk
+      .join(broadcast(ranges), col("mon").between(col("lo"), col("hi")))
+      .select(col("label"), explode(col("s")).as("h"))
+      .groupBy("label").agg(expr("graft_bottomk(h, 64)").as("s"))
+    val est = merged.select(col("label"),
+      size(col("s")).cast("long").as("sk_size"),
+      element_at(col("s"), size(col("s"))).as("theta"))
+    val exact = hk
+      .join(broadcast(ranges), col("mon").between(col("lo"), col("hi")))
+      .groupBy("label").agg(countDistinct(col("k")).as("exact_distinct"))
+    est.join(exact, "label")
+      .select(col("label"), col("sk_size"), col("theta"),
+        when(col("sk_size") === 64,
+          lit(63L * 4294967296L).cast("double") / col("theta").cast("double"))
+          .otherwise(col("sk_size").cast("double")).as("est_distinct"),
+        col("exact_distinct"))
+      .orderBy("label")
+  }
+
   val all: Seq[Q] = Seq(u01Udaf, u02ScalarUdf, u03TypedFlatMap, u04Generator,
-    u05BottomKSketch, u06HeavyHitters, u07SqlUdf, u08CountMin, u09KmvIntersect)
+    u05BottomKSketch, u06HeavyHitters, u07SqlUdf, u08CountMin, u09KmvIntersect,
+    u10SketchRollup)
 }

@@ -1,6 +1,7 @@
 package graft.ingest
 
 import graft.{Det, Q}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Oracle-checked catalog entries for the reference's ingestion pipeline
@@ -599,11 +600,81 @@ object IngestQueries {
     } finally saved.foreach { case (k, v) => s.conf.set(k, v) }
   }
 
+  /** SNAPSHOT DIFF (CDC derivation) — given two table snapshots, emit
+    * the change set (inserts/deletes/updates) without ever comparing
+    * full rows: each side is projected to (key, fingerprint) where the
+    * fingerprint is an md5 over the significant columns (priced in
+    * exact integer cents so the hash input is bit-identical across
+    * engines), so the only thing that ever shuffles is 8+32 bytes per
+    * row — at 100 TB the diff costs one fingerprint scan per snapshot
+    * plus a key-width shuffle, not a row-width one. The plan is
+    * union-then-groupBy rather than full outer join: both shapes
+    * shuffle each side once, but the single aggregate needs no join
+    * build side and degrades gracefully under AQE when one snapshot is
+    * far smaller (the usual incremental case). Snapshots are derived
+    * deterministically from orders (v0 drops keys ≡0 mod 101, v1 drops
+    * keys ≡0 mod 97 and bumps price by $1 for keys ≡0 mod 13), so the
+    * oracle reconstructs both sides exactly. Output is the per-class
+    * count plus a key checksum — the downstream contract a CDC consumer
+    * (i20's merge-on-read deltas, q56's SCD2) would ingest. */
+  val i22SnapshotDiff: Q = Q(
+    "i22_snapshot_diff",
+    """WITH v0 AS (
+      |  SELECT o_orderkey AS k,
+      |    md5(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR)
+      |        || '|' || o_orderstatus) AS fp
+      |  FROM orders WHERE o_orderkey % 101 != 0),
+      |v1 AS (
+      |  SELECT o_orderkey AS k,
+      |    md5(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+      |          + CASE WHEN o_orderkey % 13 = 0 THEN 100 ELSE 0 END AS VARCHAR)
+      |        || '|' || o_orderstatus) AS fp
+      |  FROM orders WHERE o_orderkey % 97 != 0),
+      |paired AS (
+      |  SELECT k, max(CASE WHEN side = 0 THEN fp END) AS fp0,
+      |         max(CASE WHEN side = 1 THEN fp END) AS fp1
+      |  FROM (SELECT 0 AS side, * FROM v0 UNION ALL SELECT 1 AS side, * FROM v1)
+      |  GROUP BY k),
+      |cls AS (
+      |  SELECT k, CASE WHEN fp0 IS NULL THEN 'insert'
+      |                 WHEN fp1 IS NULL THEN 'delete'
+      |                 WHEN fp0 <> fp1 THEN 'update'
+      |                 ELSE 'unchanged' END AS change_type
+      |  FROM paired)
+      |SELECT change_type, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS key_checksum
+      |FROM cls GROUP BY change_type ORDER BY change_type""".stripMargin) { (s, d) =>
+    val ord = graft.Tables.t(s, d, "orders")
+    def cents(bump: Column): Column =
+      (round(col("o_totalprice") * 100).cast("long") + bump).cast("string")
+    val v0 = ord.filter(col("o_orderkey") % 101 =!= 0)
+      .select(col("o_orderkey").as("k"),
+        md5(concat(cents(lit(0L)), lit("|"), col("o_orderstatus"))).as("fp"))
+    val v1 = ord.filter(col("o_orderkey") % 97 =!= 0)
+      .select(col("o_orderkey").as("k"),
+        md5(concat(
+          cents(when(col("o_orderkey") % 13 === 0, 100L).otherwise(0L)),
+          lit("|"), col("o_orderstatus"))).as("fp"))
+    // One shuffle: key + two 32-char fingerprints; rows never move.
+    val paired = v0.withColumn("side", lit(0))
+      .unionByName(v1.withColumn("side", lit(1)))
+      .groupBy("k")
+      .agg(max(when(col("side") === 0, col("fp"))).as("fp0"),
+        max(when(col("side") === 1, col("fp"))).as("fp1"))
+    paired.select(col("k"),
+        when(col("fp0").isNull, "insert")
+          .when(col("fp1").isNull, "delete")
+          .when(col("fp0") =!= col("fp1"), "update")
+          .otherwise("unchanged").as("change_type"))
+      .groupBy("change_type")
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("key_checksum"))
+      .orderBy("change_type")
+  }
+
   val all: Seq[Q] = Seq(
     i01PageScan, i02TimestampParse, i03WatermarkFilter, i04RunningMax,
     i05PartitionedSink, i06BackfillCursor, i07DailyCounts,
     i08JsonlPermissive, i09CsvScan, i10V2SourceScan, i11CorruptRetention,
     i12SchemaEvolution, i13StreamingSource, i14DynamicOverwrite,
     i15OrcRoundtrip, i16SortedSkipping, i17Compaction, i18V2AtomicSink,
-    i19ParquetBloom, i20MergeOnRead, i21SpjJoin)
+    i19ParquetBloom, i20MergeOnRead, i21SpjJoin, i22SnapshotDiff)
 }
