@@ -2978,6 +2978,52 @@ object RelationalQueries {
       .orderBy("u")
   }
 
+  /** K-ANONYMITY suppression — the privacy gate a dataset release runs
+    * before rows with quasi-identifiers leave the pipeline (companion to
+    * t10's value-level redaction): bucket every customer by the QI tuple
+    * (nation, segment, $2000 account-balance band), publish only groups
+    * of size ≥ k=5, and collapse everything smaller into one '*'
+    * suppressed row so the output leaks group EXISTENCE for no small
+    * group. Shape at scale: one map-side-combined GROUP BY over the QI
+    * tuple (the only shuffle is O(groups)), then a broadcast-size
+    * split/rollup of the group relation — suppression cost is
+    * independent of table width or row count. The integer band edges
+    * make bucketing bit-identical across engines (floor of
+    * cents/200000, never float division). */
+  val q90Kanon: Q = Q(
+    "q90_kanon",
+    """WITH g AS (
+      |  SELECT c_nationkey AS nation, c_mktsegment AS segment,
+      |    CAST(floor(CAST(round(c_acctbal * 100) AS BIGINT) / 200000.0) AS BIGINT)
+      |      AS bal_band,
+      |    COUNT(*) AS n
+      |  FROM customer GROUP BY 1, 2, 3),
+      |kept AS (
+      |  SELECT CAST(nation AS VARCHAR) AS nation, segment, bal_band, n
+      |  FROM g WHERE n >= 5),
+      |supp AS (
+      |  SELECT '*' AS nation, '*' AS segment, CAST(-99 AS BIGINT) AS bal_band,
+      |    CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n
+      |  FROM g WHERE n < 5)
+      |SELECT nation, segment, bal_band, n FROM kept
+      |UNION ALL SELECT nation, segment, bal_band, n FROM supp
+      |ORDER BY nation, segment, bal_band""".stripMargin) { (s, d) =>
+    val g = Tables.t(s, d, "customer")
+      .groupBy(col("c_nationkey").as("nation"),
+        col("c_mktsegment").as("segment"),
+        floor(round(col("c_acctbal") * 100).cast("long") / lit(200000.0))
+          .cast("long").as("bal_band"))
+      .agg(count(lit(1)).as("n"))
+    val kept = g.filter(col("n") >= 5)
+      .select(col("nation").cast("string").as("nation"),
+        col("segment"), col("bal_band"), col("n"))
+    val supp = g.filter(col("n") < 5)
+      .agg(coalesce(sum(col("n")), lit(0L)).as("n"))
+      .select(lit("*").as("nation"), lit("*").as("segment"),
+        lit(-99L).as("bal_band"), col("n"))
+    kept.unionByName(supp).orderBy("nation", "segment", "bal_band")
+  }
+
   val all: Seq[Q] = Seq(
     q01ScanProject, q02Predicates, q03AggBasic, q04AggDistinct, q05Rollup,
     q06Cube, q07JoinBroadcast, q08JoinMultiway, q09JoinOuter, q10JoinFull,
@@ -2998,5 +3044,6 @@ object RelationalQueries {
     q75Ewma, q76FuzzyJoin, q77LateralTopk, q78SessionWindow,
     q79ParameterizedSql, q80BitmapDistinct, q81MovingMedian, q82Interpolate,
     q83Histogram, q84BitmapDistinctAuto, q85ExactQuantiles,
-    q86SelfJoinWindowAuto, q87GroupQuota, q88OrJoinAuto, q89PercentileCont)
+    q86SelfJoinWindowAuto, q87GroupQuota, q88OrJoinAuto, q89PercentileCont,
+    q90Kanon)
 }
