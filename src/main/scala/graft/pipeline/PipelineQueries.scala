@@ -902,7 +902,51 @@ object PipelineQueries {
       .orderBy("anchor", "rk")
   }
 
+  /** DATA CARD — the per-source corpus profile every dataset release
+    * ships (counts, token volume, exact-dup rate, language mix, length):
+    * ONE pass over the corpus producing every statistic at once, because
+    * at 100 TB the profile that needs five scans never gets run. All
+    * rates are exact integer basis points (never a float division), so
+    * the card is bit-identical across engines and reruns. Plan shape:
+    * one projection computes tokens + text hash per row, one
+    * map-side-combined aggregate per source; the only O(distinct)
+    * state is the text-hash set behind the exact-dup count (Spark plans
+    * the mixed distinct/non-distinct agg as a two-phase Expand — still
+    * a single scan). The approximate alternative at extreme cardinality
+    * is u10's KMV rollup; this entry is the exact form. */
+  val p11DataCard: Q = Q(
+    "p11_data_card",
+    """WITH r AS (
+      |  SELECT source, lang, n_chars,
+      |    len(string_split(text, ' ')) AS n_toks, md5(text) AS h
+      |  FROM documents)
+      |SELECT source,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+      |  COUNT(DISTINCT h) AS n_uniq_texts,
+      |  CAST((COUNT(*) - COUNT(DISTINCT h)) * 10000 // COUNT(*) AS BIGINT) AS dup_bp,
+      |  CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) * 10000 // COUNT(*) AS BIGINT) AS en_bp,
+      |  CAST(SUM(n_chars) * 100 // COUNT(*) AS BIGINT) AS avg_chars_x100
+      |FROM r GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    Tables.t(s, d, "documents")
+      .select(col("source"), col("lang"), col("n_chars"),
+        size(split(col("text"), " ", -1)).cast("long").as("n_toks"),
+        md5(col("text")).as("h"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("total_tokens"),
+        countDistinct(col("h")).as("n_uniq_texts"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"),
+        sum(col("n_chars")).as("sum_chars"))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        col("n_uniq_texts"),
+        expr("(n_docs - n_uniq_texts) * 10000 div n_docs").as("dup_bp"),
+        expr("n_en * 10000 div n_docs").as("en_bp"),
+        expr("sum_chars * 100 div n_docs").as("avg_chars_x100"))
+      .orderBy("source")
+  }
+
   val all: Seq[Q] = Seq(p01TrainingPipeline, p02CurationPipeline, p03Pagerank, p04Triangles,
     p05BfsHops, p06BfsRecursiveCte, p07MixAllocation, p08SequencePack, p09HybridRetrieval,
-    p10InbatchNegatives)
+    p10InbatchNegatives, p11DataCard)
 }

@@ -2941,6 +2941,64 @@ object RelationalQueries {
       .orderBy("q_bp")
   }
 
+  /** GROUPED interpolated percentiles — q89's exact integer machinery
+    * with PARTITION BY, the shape reporting actually runs (p50/p90 per
+    * order priority). Everything q89 said holds per group: the data
+    * path is one map-side-combined GROUP BY to the distinct
+    * (group, cents) relation; cumulative ranks come from a window
+    * PARTITIONED by group over that bounded relation (no global
+    * single-partition window anywhere); the per-group totals and rank
+    * positions are exact long arithmetic; and the interpolated value is
+    * one integer numerator over one correctly-rounded division, so all
+    * ten doubles are bit-identical across engines. Scale: shuffle is
+    * O(groups × distinct cents), independent of row count. */
+  val q91GroupedPercentiles: Q = Q(
+    "q91_grouped_percentiles",
+    """WITH v AS (SELECT o_orderpriority AS g,
+      |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c FROM orders),
+      |cnt AS (SELECT g, c, COUNT(*) AS n FROM v GROUP BY 1, 2),
+      |s AS (SELECT g, c, SUM(n) OVER (PARTITION BY g ORDER BY c) AS cum FROM cnt),
+      |t AS (SELECT g, CAST(SUM(n) AS BIGINT) AS tot FROM cnt GROUP BY g),
+      |q AS (SELECT * FROM (VALUES (5000), (9000)) AS q(q_bp)),
+      |r AS (SELECT g, q_bp,
+      |        CAST(1 + ((tot - 1) * q_bp) // 10000 AS BIGINT) AS lo_rank,
+      |        CAST(((tot - 1) * q_bp) % 10000 AS BIGINT) AS frac
+      |      FROM t, q),
+      |i AS (
+      |  SELECT r.g, q_bp, frac,
+      |    MIN(CASE WHEN s.cum >= r.lo_rank THEN s.c END) AS v_lo,
+      |    MIN(CASE WHEN s.cum >= r.lo_rank + CASE WHEN frac > 0 THEN 1 ELSE 0 END
+      |        THEN s.c END) AS v_hi
+      |  FROM r JOIN s ON s.g = r.g GROUP BY 1, 2, 3)
+      |SELECT g, q_bp,
+      |  CAST(v_lo * 10000 + (v_hi - v_lo) * frac AS DOUBLE)
+      |    / CAST(1000000 AS DOUBLE) AS value
+      |FROM i ORDER BY g, q_bp""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val counts = Tables.t(s, d, "orders")
+      .select(col("o_orderpriority").as("g"),
+        expr("cast(round(o_totalprice * 100) as bigint)").as("c"))
+      .groupBy("g", "c").agg(count(lit(1)).as("n"))
+    val cum = counts.withColumn("cum",
+      sum(col("n")).over(Window.partitionBy("g").orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, 0)))
+    val ranks = counts.groupBy("g").agg(sum(col("n")).as("tot"))
+      .crossJoin(broadcast(Seq(5000, 9000).toDF("q_bp")))
+      .select(col("g"), col("q_bp"),
+        expr("cast(1 + ((tot - 1) * q_bp) div 10000 as bigint)").as("lo_rank"),
+        expr("cast(((tot - 1) * q_bp) % 10000 as bigint)").as("frac"))
+    cum.join(broadcast(ranks), Seq("g"))
+      .groupBy("g", "q_bp", "frac", "lo_rank")
+      .agg(
+        min(when(col("cum") >= col("lo_rank"), col("c"))).as("v_lo"),
+        min(when(col("cum") >= col("lo_rank")
+          + when(col("frac") > 0, 1L).otherwise(0L), col("c"))).as("v_hi"))
+      .select(col("g"), col("q_bp"),
+        ((col("v_lo") * 10000 + (col("v_hi") - col("v_lo")) * col("frac"))
+          .cast("double") / lit(1000000).cast("double")).as("value"))
+      .orderBy("g", "q_bp")
+  }
+
   /** OR-expansion as ENGINE BEHAVIOR (the q48/q61/q66/q84/q86
     * principle): the entry writes the NATURAL disjunctive pair join —
     * docs are neighbors when they share a 3-token prefix OR a 3-token
@@ -3045,5 +3103,5 @@ object RelationalQueries {
     q79ParameterizedSql, q80BitmapDistinct, q81MovingMedian, q82Interpolate,
     q83Histogram, q84BitmapDistinctAuto, q85ExactQuantiles,
     q86SelfJoinWindowAuto, q87GroupQuota, q88OrJoinAuto, q89PercentileCont,
-    q90Kanon)
+    q90Kanon, q91GroupedPercentiles)
 }

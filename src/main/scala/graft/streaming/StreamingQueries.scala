@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.{Det, Q, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
@@ -823,11 +823,131 @@ object StreamingQueries {
       .orderBy("user_id")
   }
 
+  /** Streaming NEAR-dup detection — st11 (exact-fingerprint novelty vs a
+    * static history) upgraded to d03's MinHash-LSH semantics with LIVE
+    * state: documents arrive in micro-batches, each carries 2 banded
+    * MinHash keys over its word-3-gram shingles (d06's md5-portable hash
+    * recipe; 8 perms × 4-row bands, so a band collision needs all four
+    * minima equal — P ≈ J⁴ per band, selective even on a
+    * high-baseline-similarity corpus), and
+    * a `flatMapGroupsWithState` keyed on the band string holds one
+    * boolean per band ever seen — a doc is a near-dup candidate iff ANY
+    * of its bands was seen in a STRICTLY EARLIER batch. That per-band
+    * bit is the whole state: O(distinct bands), never O(docs), and
+    * merge-free (set-once), which is what lets a 100 TB/day ingest keep
+    * dedup state in RocksDB instead of re-joining history per batch
+    * (d08's bloom is the batch analog; this is the always-on form).
+    * Determinism is by construction, not luck: batches are three staged
+    * files split by doc_id mod 3 with pinned mtimes (the file source
+    * orders by modification time), "seen earlier" is batch-level (ties
+    * within a batch are NOT dups on either engine), and the verdict is
+    * arrival-order-independent within a batch — so the DuckDB oracle
+    * reproduces the stream's exact answer from the static table by
+    * recomputing each band's first batch. */
+  val st21StreamNearDup: Q = Q(
+    "st21_stream_neardup",
+    {
+      val mins = (0 until 8).map(i =>
+        s"list_min(list_transform(toks, t -> ('0x' || substr(md5('$i:' || t), 1, 8))::BIGINT))")
+        .mkString("[", ",\n      ", "]")
+      s"""WITH tk AS (SELECT doc_id, doc_id % 3 AS batch,
+         |    string_split(text, ' ') AS tk FROM documents),
+         |t AS (SELECT doc_id, batch,
+         |    list_distinct(list_transform(range(1, len(tk) - 1),
+         |      i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])) AS toks FROM tk),
+         |m AS (SELECT doc_id, batch,
+         |    $mins AS ms FROM t),
+         |bands AS (
+         |  SELECT doc_id, batch,
+         |    CAST(j AS VARCHAR) || ':' || CAST(ms[4 * j + 1] AS VARCHAR)
+         |      || ':' || CAST(ms[4 * j + 2] AS VARCHAR)
+         |      || ':' || CAST(ms[4 * j + 3] AS VARCHAR)
+         |      || ':' || CAST(ms[4 * j + 4] AS VARCHAR) AS band
+         |  FROM m, LATERAL unnest([0, 1]) AS u(j)),
+         |fb AS (SELECT band, MIN(batch) AS fb FROM bands GROUP BY band),
+         |v AS (SELECT doc_id, batch,
+         |    MAX(CASE WHEN fb.fb < bands.batch THEN 1 ELSE 0 END) AS dup
+         |  FROM bands JOIN fb USING (band) GROUP BY doc_id, batch)
+         |SELECT batch, COUNT(*) AS n_docs, CAST(SUM(dup) AS BIGINT) AS n_neardup,
+         |  CAST(SUM(CASE WHEN dup = 1 THEN doc_id ELSE 0 END) AS BIGINT) AS dup_checksum
+         |FROM v GROUP BY batch ORDER BY batch""".stripMargin
+    }) { (s, d) =>
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import s.implicits._
+    val base = Paths.get(graft.TempDirs.newTempDir("graft_st21_"))
+    val streamDir = base.resolve("stream")
+    Files.createDirectories(streamDir)
+    val src = Tables.t(s, d, "documents").select("doc_id", "text")
+    (0 until 3).foreach { b =>
+      val tmp = base.resolve(s"w$b")
+      src.filter(pmod(col("doc_id"), lit(3)) === b)
+        .coalesce(1).write.parquet(tmp.toString)
+      val listing = Files.list(tmp)
+      val part = try listing.filter(_.getFileName.toString.endsWith(".parquet"))
+        .findFirst().get()
+      finally listing.close()
+      val dst = streamDir.resolve(s"b$b.parquet")
+      Files.copy(part, dst)
+      // Pinned, increasing mtimes — the file source's batch order.
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + b * 60000L))
+    }
+    // Staged projections, one non-cheap column each: HOFs run in eval
+    // mode (no codegen CSE), so a single-projection spelling would
+    // recompute the shingle array once PER min-hash (8x) with three
+    // splits each — CollapseProject keeps these stages separate because
+    // each produced column is non-trivial and referenced multiple times
+    // downstream (the d05 Stage.materialize rationale, projection-level
+    // because a stream can't materialize). The 8 minima come from ONE
+    // fold over the shingles (zip_with least against an 8-wide
+    // accumulator), so each shingle is hashed exactly 8 times total.
+    val hash8: Column => Column = t => array((0 until 8).map(i =>
+      conv(substring(md5(concat(lit(s"$i:"), t)), 1, 8), 16, 10).cast("long")): _*)
+    val schema = s.read.parquet(base.resolve("w0").toString).schema
+    val bands = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(streamDir.toString)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"), array_distinct(transform(
+        sequence(lit(1), size(col("tk")) - 2),
+        i => concat_ws(" ", element_at(col("tk"), i),
+          element_at(col("tk"), i + 1), element_at(col("tk"), i + 2)))).as("sh"))
+      .select(col("doc_id"), aggregate(col("sh"),
+        array((0 until 8).map(_ => lit(Long.MaxValue)): _*),
+        (acc, t) => zip_with(acc, hash8(t), (a, b) => least(a, b))).as("ms"))
+      .select(col("doc_id"), explode(array((0 until 2).map(j =>
+        concat_ws(":", lit(j.toString),
+          element_at(col("ms"), 4 * j + 1).cast("string"),
+          element_at(col("ms"), 4 * j + 2).cast("string"),
+          element_at(col("ms"), 4 * j + 3).cast("string"),
+          element_at(col("ms"), 4 * j + 4).cast("string"))): _*)).as("band"))
+      .as[(Long, String)]
+    val verdicts = bands.groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: String, rows: Iterator[(Long, String)], state: GroupState[Boolean]) =>
+          val prior = state.getOption.getOrElse(false)
+          state.update(true)
+          rows.map { case (docId, _) => (docId, prior) }
+      }
+    runToTable(s, verdicts.toDF("doc_id", "prior_seen"), "append")
+      .groupBy("doc_id")
+      .agg(max(when(col("prior_seen"), 1).otherwise(0)).as("dup"))
+      .withColumn("batch", pmod(col("doc_id"), lit(3)))
+      .groupBy("batch")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("dup")).cast("long").as("n_neardup"),
+        sum(when(col("dup") === 1, col("doc_id")).otherwise(0L))
+          .cast("long").as("dup_checksum"))
+      .orderBy("batch")
+  }
+
   val all: Seq[Q] = Seq(st01Tumbling, st02Sliding, st03Session, st04Dedup,
     st05Stateful, st06FileSink, st07StreamJoin, st08ForeachBatch,
     st09StreamStaticJoin, st10UpdateMode, st11StreamDedup, st12StreamAnnRoute,
     st13RocksdbState, st14StreamLeftOuter, st15TransformWithState, st16TimerExpiry,
-    st17ChainedWindows, st18StateReader, st19JoinThenWindow, st20StreamFullOuter)
+    st17ChainedWindows, st18StateReader, st19JoinThenWindow, st20StreamFullOuter,
+    st21StreamNearDup)
 }
 
 /** st15's processor: named per-key ValueState holding (count, cents),
