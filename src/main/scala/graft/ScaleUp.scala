@@ -123,22 +123,30 @@ object ScaleUp {
         .withColumn("n_chars", length(col("text")).cast("long"))
     }
     scaled("embeddings", Seq("vec_id")) { df =>
-      // 64 dims give 64 distinct rotations; factors beyond that take a
-      // second lap with NEGATION (cos(-a,-b) = cos(a,b), so
-      // within-replica pair geometry is still bit-preserved, norms
-      // unchanged; cross-lap cosines sit at the anti-podal background,
-      // never above a positive near-dup threshold). rep = 64 must not
-      // collapse onto rep = 0 — the un-negated rotation repeats exactly
-      // there, which would plant factor²-scaling cross-replica dups.
+      // 64 dims give 64 distinct rotations; laps beyond the first apply a
+      // per-(lap, dimension) SIGN MASK on top of the rotation (sign from
+      // xxhash64 parity — deterministic, so regeneration is exact).
+      // Within-replica pair geometry is bit-preserved under any fixed
+      // mask (signs square away in same-replica dot products: Σ xᵢyᵢsᵢ²
+      // = Σ xᵢyᵢ) and norms are untouched, while cross-replica cosines
+      // drop to the unrelated-vector background. Unlike the earlier
+      // single-negation lap (which gave only 2·64 distinct transforms and
+      // would plant EXACT cross-replica dups at factor > 128 —
+      // factor²-scaling near-dup volume misattributed to the engine),
+      // 2⁶⁴ masks × 64 rotations support any factor a 1000× campaign
+      // needs. rep = 0 copies through bit-identical, as before.
       val dim = 64
       val rot = (col("rep") % dim).cast("int")
+      val lap = (col("rep") / dim).cast("long")
       val rotated = when(rot === 0, col("embedding")).otherwise(concat(
         slice(col("embedding"), rot + 1, lit(dim) - rot),
         slice(col("embedding"), lit(1), rot)))
+      val masked = zip_with(rotated,
+        sequence(lit(0L), lit(dim - 1L)),
+        (x, i) => when(pmod(xxhash64(lap, i), lit(2)) === 0, x).otherwise(negate(x)))
       df.withColumn("embedding",
         when(col("rep") === 0, col("embedding"))
-          .otherwise(when(col("rep") < dim, rotated)
-            .otherwise(transform(rotated, x => negate(x)))))
+          .otherwise(when(col("rep") < dim, rotated).otherwise(masked)))
     }
     spark.stop()
   }
