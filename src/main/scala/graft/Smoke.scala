@@ -10,6 +10,16 @@ object Smoke {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Reduce-side width is ADAPTIVE, not fixed: shuffles START at 512
+      // partitions and AQE coalesces down from runtime stats (to ~cores
+      // at bench SF, so small-scale plans are unchanged). A fixed
+      // `shuffle.partitions = cores` capped every reduce side at 32
+      // regardless of volume; at the 1000x step that put ~19M fact rows
+      // into each sort-merge task and the spill took q51 from ~50 s
+      // expected to 279 s measured (87 s with this setting), q70 from
+      // 275 to 163 s. Deliberately-sized scopes pin BOTH keys through
+      // graft.Widths.withWidth.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "512")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // The generated-class cache defaults to 100 entries; a 137-query

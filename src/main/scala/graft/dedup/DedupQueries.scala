@@ -1,6 +1,6 @@
 package graft.dedup
 
-import graft.{Q, Stage, Tables}
+import graft.{Q, Stage, Tables, Widths}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -269,12 +269,9 @@ object DedupQueries {
     // stages), while at 100x the old fixed cap of 8 put 2.4M candidate
     // pairs in each of 8 tasks on a 32-core box (measured 210 -> 71 s
     // cold at sf10 with the scaled width, sf1 unchanged).
-    val shuffleKey = "spark.sql.shuffle.partitions"
-    val oldWidth = s.conf.get(shuffleKey)
     val d05Width = math.min(512L, math.max(8L,
       Tables.t(s, d, "documents").count() / 6000L)).toInt
-    s.conf.set(shuffleKey, d05Width.toString)
-    try {
+    Widths.withWidth(s, d05Width) {
       // Shingles reduce to 64-bit xxhash64 ids at the scan and STRINGS
       // NEVER TRAVEL: every downstream shuffle (df counts, prefix join)
       // moves 8-byte longs instead of ~20-byte trigram strings — the only
@@ -368,7 +365,7 @@ object DedupQueries {
           .filter(col("jac") >= theta),
         "d05pairs")
       pairs.dropDuplicates("i", "j").orderBy("i", "j")
-    } finally s.conf.set(shuffleKey, oldWidth)
+    }
   }
 
   /** Engine-portable MinHash (the oracle-checked complement to d03):
@@ -450,10 +447,25 @@ object DedupQueries {
     val keyed = t.select(col("doc_id"),
       concat_ws(" ", slice(col("toks"), 1, 3)).as("pre"),
       concat_ws(" ", slice(col("toks"), -3, 3)).as("suf"))
-    def blockEdges(k: String) = keyed.as("a")
-      .join(keyed.as("b"),
-        col(s"a.$k") === col(s"b.$k") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("u"), col("b.doc_id").as("v"))
+    // STAR expansion per block, not all-pairs: a blocking key's edges
+    // only exist to merge its members into one component, and connecting
+    // every member to the block MINIMUM yields exactly the same
+    // connected components with n-1 edges per block instead of n(n-1)/2.
+    // The 1000x campaign forced this: the generator's 8 global tokens
+    // form ~512 all-global 3-gram prefixes whose blocks grow WITH the
+    // factor (every replica contributes members — the boilerplate-prefix
+    // shape of a real crawl), so all-pairs enumeration planned ~1e9
+    // edges at factor 1000 (551 s measured) where the star keeps the
+    // edge relation linear in corpus size (33 s, identical components,
+    // same all-pairs oracle — hash-verified at sf0.01 and sf1).
+    def blockEdges(k: String) = {
+      val hub = keyed.groupBy(col(k).as("key"))
+        .agg(min(col("doc_id")).as("u"), count(lit(1)).as("n"))
+        .filter(col("n") > 1)
+      keyed.join(hub, col(k) === col("key"))
+        .filter(col("doc_id") =!= col("u"))
+        .select(col("u"), col("doc_id").as("v"))
+    }
     val e0 = blockEdges("pre").union(blockEdges("suf")).distinct()
     // Symmetric closure, pinned once: every round's neighbor-min join
     // rescans this — 16 bytes/edge, the whole graph as bare ids.
@@ -478,10 +490,7 @@ object DedupQueries {
     // The loop's joins inherit the session shuffle width; cap it for the
     // same reason as loopWidth and restore after (the streaming module
     // does the same around its bounded replays).
-    val shuffleKey = "spark.sql.shuffle.partitions"
-    val oldWidth = s.conf.get(shuffleKey)
-    s.conf.set(shuffleKey, loopWidth.toString)
-    try {
+    Widths.withWidth(s, loopWidth) {
     while (curSum != prevSum && round < 25) {
       // (1) neighbor min: m(v) = min(l(v), min over neighbors' labels)
       val nbrMin = edges.join(labels, edges("v") === labels("id"))
@@ -499,7 +508,7 @@ object DedupQueries {
       curSum = labels.agg(sum(col("comp"))).head.getLong(0)
       round += 1
     }
-    } finally s.conf.set(shuffleKey, oldWidth)
+    }
     labels.select(col("id").as("doc_id"), col("comp").as("component"))
       .orderBy("doc_id")
   }

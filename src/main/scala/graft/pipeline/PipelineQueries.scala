@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import graft.{Q, Tables}
+import graft.{Q, Tables, Widths}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -313,10 +313,7 @@ object PipelineQueries {
       // core-count width was the kernels' shared super-linear term at
       // the 100x step (see graphWidth)
       val width = graphWidth(s, d)
-      val shufKey = "spark.sql.shuffle.partitions"
-      val savedShuf = s.conf.get(shufKey)
-      s.conf.set(shufKey, width.toString)
-      try {
+      Widths.withWidth(s, width) {
       val l = Tables.t(s, d, "lineitem")
         .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1995-01-01 00:00:00"))
           && col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
@@ -375,7 +372,7 @@ object PipelineQueries {
         edgesU.agg(count(lit(1)).as("n_edges"))
           .crossJoin(tri.agg(count(lit(1)).as("n_triangles"))),
         "p04out")
-      } finally s.conf.set(shufKey, savedShuf)
+      }
   }
 
   /** Semi-naive BFS (single-source hop distances) — the third classic

@@ -45,7 +45,26 @@ object StreamingQueries {
         .forEach(p => { java.nio.file.Files.copy(p, dir.resolve(p.getFileName)); () })
       finally listing.close()
     } else java.nio.file.Files.copy(src, dir.resolve(s"$name.parquet"))
+    // Record the staged volume so withCappedStateWidth can size state
+    // partitions from DATA, not a constant (production picks the state
+    // width for peak volume up front; the bench must do the same or the
+    // 1000x step funnels 100 M replayed rows through 8 state tasks).
+    // Overwritten per staging call — entries stage before they run, so
+    // the hint always describes the entry's own replay.
+    val bytes = {
+      val listing = java.nio.file.Files.list(dir)
+      try listing.mapToLong(p => java.nio.file.Files.size(p)).sum()
+      finally listing.close()
+    }
+    stagedReplayBytes.set(bytes)
     dir.toString
+  }
+
+  /** Staged-replay volume of the CURRENT entry (thread-local: Verify and
+    * Bench run entries single-threaded per session, but suites share a
+    * session across threads). */
+  private val stagedReplayBytes = new ThreadLocal[java.lang.Long] {
+    override def initialValue(): java.lang.Long = 0L
   }
 
   private[graft] def replayedEvents(s: SparkSession, d: String): DataFrame = {
@@ -71,11 +90,13 @@ object StreamingQueries {
     * frozen into the checkpoint at first run, so real deployments pick
     * it for peak state volume up front (and would size UP, not down). */
   private def withCappedStateWidth[T](s: SparkSession)(body: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val old = s.conf.get(key)
-    s.conf.set(key, math.min(old.toInt, 8).toString)
-    try body
-    finally s.conf.set(key, old)
+    val old = s.conf.get("spark.sql.shuffle.partitions").toInt
+    // Width scales with the staged replay volume (~16 MB of input per
+    // state partition), floored at 8 — the measured-best narrow width
+    // for few-MB replays, where per-partition delta-file fixed cost
+    // dominates — and capped at the session width (local cores).
+    val scaled = math.max(8L, stagedReplayBytes.get() / (16L << 20))
+    graft.Widths.withWidth(s, math.min(old.toLong, scaled).toInt)(body)
   }
 
   /** Run a streaming DataFrame to completion into a memory sink, return
@@ -225,10 +246,13 @@ object StreamingQueries {
        |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
     val base = java.nio.file.Paths.get(graft.TempDirs.newTempDir("graft_st06_"))
     val (out, ckpt) = (base.resolve("out").toString, base.resolve("ckpt").toString)
+    // staged OUTSIDE the width scope: the scope sizes itself from the
+    // staged volume, so staging must have happened when it opens
+    val src = replayedEvents(s, d)
+      .filter(col("value") >= 100)
+      .select("event_id", "ts", "event_type", "value")
     withCappedStateWidth(s) {
-      val q = replayedEvents(s, d)
-        .filter(col("value") >= 100)
-        .select("event_id", "ts", "event_type", "value")
+      val q = src
         .writeStream
         .format("parquet")
         .option("path", out)
@@ -294,10 +318,11 @@ object StreamingQueries {
        |FROM events WHERE user_id % 2 = 0
        |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
     val out = graft.TempDirs.newTempDir("graft_st08_")
+    val src = replayedEvents(s, d)
+      .filter(col("user_id") % 2 === 0)
+      .select("event_id", "event_type", "value")
     withCappedStateWidth(s) {
-      val q = replayedEvents(s, d)
-        .filter(col("user_id") % 2 === 0)
-        .select("event_id", "event_type", "value")
+      val q = src
         .writeStream
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           batch.withColumn("batch_id", lit(batchId))
@@ -700,10 +725,11 @@ object StreamingQueries {
     """SELECT event_type, COUNT(*) AS n, MAX(value) AS max_value
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
     val ckpt = graft.TempDirs.newTempDir("graft_st18_ckpt_")
+    val src = replayedEvents(s, d)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), max(col("value")).as("max_value"))
     withCappedStateWidth(s) {
-      val q = replayedEvents(s, d)
-        .groupBy("event_type")
-        .agg(count(lit(1)).as("n"), max(col("value")).as("max_value"))
+      val q = src
         .writeStream.format("memory")
         .queryName(s"graft_st18_${java.util.UUID.randomUUID.toString.replace("-", "")}")
         .outputMode("complete")
