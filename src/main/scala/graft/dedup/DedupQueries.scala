@@ -423,6 +423,51 @@ object DedupQueries {
     * feasible at verify scale (500 docs), which is exactly why the
     * Spark side must NOT use that transitive-closure shape (its
     * intermediate `reach` set is O(n·component) rows). */
+  /** The d07 near-dup graph's connected-component labels (doc_id → min
+    * reachable doc_id), shared by d07 (the cluster report) and d15 (the
+    * soft-dedup weighting). See d07's scaladoc for the star-expansion +
+    * pointer-jumping scale story. */
+  private def ccLabels(s: SparkSession, d: String): DataFrame = {
+    val t = docs(s, d).select(col("doc_id"), toks.as("toks"))
+    val keyed = t.select(col("doc_id"),
+      concat_ws(" ", slice(col("toks"), 1, 3)).as("pre"),
+      concat_ws(" ", slice(col("toks"), -3, 3)).as("suf"))
+    def blockEdges(k: String) = {
+      val hub = keyed.groupBy(col(k).as("key"))
+        .agg(min(col("doc_id")).as("u"), count(lit(1)).as("n"))
+        .filter(col("n") > 1)
+      keyed.join(hub, col(k) === col("key"))
+        .filter(col("doc_id") =!= col("u"))
+        .select(col("u"), col("doc_id").as("v"))
+    }
+    val e0 = blockEdges("pre").union(blockEdges("suf")).distinct()
+    val loopWidth = math.min(s.sparkContext.defaultParallelism, 8)
+    val edges = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+      .repartition(loopWidth).localCheckpoint()
+    var labels = t.select(col("doc_id").as("id"), col("doc_id").as("comp"))
+      .repartition(loopWidth).localCheckpoint()
+    var prevSum = -1L
+    var curSum = 0L
+    var round = 0
+    Widths.withWidth(s, loopWidth) {
+      while (curSum != prevSum && round < 25) {
+        val nbrMin = edges.join(labels, edges("v") === labels("id"))
+          .groupBy(col("u").as("nid")).agg(min(col("comp")).as("ncomp"))
+        val stepped = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
+          .select(col("id"), least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+        val pinned = stepped.localCheckpoint()
+        val parents = pinned.select(col("id").as("pid"), col("comp").as("pcomp"))
+        labels = pinned.join(parents, pinned("comp") === parents("pid"))
+          .select(col("id"), col("pcomp").as("comp"))
+          .localCheckpoint()
+        prevSum = curSum
+        curSum = labels.agg(sum(col("comp"))).head.getLong(0)
+        round += 1
+      }
+    }
+    labels
+  }
+
   val d07CcClusters: Q = Q(
     "d07_cc_clusters",
     """WITH RECURSIVE t AS (
@@ -443,73 +488,28 @@ object DedupQueries {
       |  SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.id)
       |SELECT id AS doc_id, MIN(r) AS component
       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val t = docs(s, d).select(col("doc_id"), toks.as("toks"))
-    val keyed = t.select(col("doc_id"),
-      concat_ws(" ", slice(col("toks"), 1, 3)).as("pre"),
-      concat_ws(" ", slice(col("toks"), -3, 3)).as("suf"))
-    // STAR expansion per block, not all-pairs: a blocking key's edges
-    // only exist to merge its members into one component, and connecting
-    // every member to the block MINIMUM yields exactly the same
-    // connected components with n-1 edges per block instead of n(n-1)/2.
-    // The 1000x campaign forced this: the generator's 8 global tokens
-    // form ~512 all-global 3-gram prefixes whose blocks grow WITH the
-    // factor (every replica contributes members — the boilerplate-prefix
-    // shape of a real crawl), so all-pairs enumeration planned ~1e9
-    // edges at factor 1000 (551 s measured) where the star keeps the
-    // edge relation linear in corpus size (33 s, identical components,
-    // same all-pairs oracle — hash-verified at sf0.01 and sf1).
-    def blockEdges(k: String) = {
-      val hub = keyed.groupBy(col(k).as("key"))
-        .agg(min(col("doc_id")).as("u"), count(lit(1)).as("n"))
-        .filter(col("n") > 1)
-      keyed.join(hub, col(k) === col("key"))
-        .filter(col("doc_id") =!= col("u"))
-        .select(col("u"), col("doc_id").as("v"))
-    }
-    val e0 = blockEdges("pre").union(blockEdges("suf")).distinct()
-    // Symmetric closure, pinned once: every round's neighbor-min join
-    // rescans this — 16 bytes/edge, the whole graph as bare ids.
-    // localCheckpoint (not a parquet stage): it cuts lineage and caches
-    // executor-local blocks at a fraction of a filesystem round-trip,
-    // which matters when it runs once per ITERATION. The tradeoff is
-    // fault-tolerance — lose an executor and the blocks are gone — so a
-    // long-lived cluster job checkpoints to reliable storage every k
-    // rounds instead; the loop structure is identical.
-    // Loop width caps at 8 here: labels/edges are bare-id tables tiny at
-    // test SF, and each round pays per-task overhead x partitions x
-    // joins. At cluster scale width follows edge count (the shuffles are
-    // on 16-byte rows, so even a trillion-edge graph keys comfortably).
-    val loopWidth = math.min(s.sparkContext.defaultParallelism, 8)
-    val edges = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
-      .repartition(loopWidth).localCheckpoint()
-    var labels = t.select(col("doc_id").as("id"), col("doc_id").as("comp"))
-      .repartition(loopWidth).localCheckpoint()
-    var prevSum = -1L
-    var curSum = 0L
-    var round = 0
-    // The loop's joins inherit the session shuffle width; cap it for the
-    // same reason as loopWidth and restore after (the streaming module
-    // does the same around its bounded replays).
-    Widths.withWidth(s, loopWidth) {
-    while (curSum != prevSum && round < 25) {
-      // (1) neighbor min: m(v) = min(l(v), min over neighbors' labels)
-      val nbrMin = edges.join(labels, edges("v") === labels("id"))
-        .groupBy(col("u").as("nid")).agg(min(col("comp")).as("ncomp"))
-      val stepped = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
-        .select(col("id"), least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
-      // (2) pointer jump: l(v) <- l(l(v)) — label graph path-halving.
-      // stepped pins first so the self-join computes the round once.
-      val pinned = stepped.localCheckpoint()
-      val parents = pinned.select(col("id").as("pid"), col("comp").as("pcomp"))
-      labels = pinned.join(parents, pinned("comp") === parents("pid"))
-        .select(col("id"), col("pcomp").as("comp"))
-        .localCheckpoint()
-      prevSum = curSum
-      curSum = labels.agg(sum(col("comp"))).head.getLong(0)
-      round += 1
-    }
-    }
-    labels.select(col("id").as("doc_id"), col("comp").as("component"))
+    // Implementation lives in ccLabels (shared with d15). Key structural
+    // notes preserved here:
+    //  - STAR expansion per block, not all-pairs: a blocking key's edges
+    //    only exist to merge its members into one component, and
+    //    connecting every member to the block MINIMUM yields the same
+    //    components with n-1 edges per block instead of n(n-1)/2. The
+    //    1000x campaign forced this: the generator's 8 global tokens form
+    //    ~512 all-global 3-gram prefixes whose blocks grow WITH the
+    //    factor (the boilerplate-prefix shape of a real crawl), so
+    //    all-pairs enumeration planned ~1e9 edges at factor 1000 (551 s)
+    //    where the star keeps the edge relation linear (33 s, identical
+    //    components, same all-pairs oracle).
+    //  - localCheckpoint per round (not a parquet stage): cuts lineage
+    //    and caches executor-local blocks at a fraction of a filesystem
+    //    round-trip. Tradeoff is fault-tolerance — a long-lived cluster
+    //    job checkpoints to reliable storage every k rounds instead.
+    //  - Loop width caps at 8 (labels/edges are bare-id tables tiny at
+    //    test SF; at cluster scale width follows edge count — the
+    //    shuffles are 16-byte rows). Widths.withWidth pins the loop's
+    //    join width for the same reason.
+    ccLabels(s, d)
+      .select(col("id").as("doc_id"), col("comp").as("component"))
       .orderBy("doc_id")
   }
 
@@ -951,8 +951,56 @@ object DedupQueries {
       count(when(col("cand") && lit(10) * col("i") < lit(9) * col("u"), 1)).as("n_false_alarm"))
   }
 
+  /** SOFT dedup — per-document sampling weights instead of hard drops
+    * (the alternative modern curation pipelines use when duplicates carry
+    * signal: keep every copy, down-weight each to 1/|dup group| so the
+    * group contributes one document's worth of expected mass to
+    * training). Groups are d07's NEAR-dup connected components (exact
+    * dups are a strict subset), so Σ weight = #components — the
+    * invariant a downstream sampler relies on.
+    *
+    * Shape at scale: rides ccLabels (star-expansion edges + O(log d)
+    * pointer jumping — see d07), then ONE O(#components)-keyed hash-agg
+    * for sizes and one co-partitioned join back on the same 8-byte
+    * component key. The weight is a single correctly-rounded int/int
+    * division — deterministic across engines. */
+  val d15SoftDedupWeights: Q = Q(
+    "d15_soft_dedup_weights",
+    """WITH RECURSIVE t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |p AS (
+      |  SELECT doc_id, array_to_string(toks[1:3], ' ') AS pre,
+      |         array_to_string(toks[-3:], ' ') AS suf FROM t),
+      |e0 AS (
+      |  SELECT a.doc_id AS u, b.doc_id AS v FROM p a
+      |    JOIN p b ON a.pre = b.pre AND a.doc_id < b.doc_id
+      |  UNION
+      |  SELECT a.doc_id, b.doc_id FROM p a
+      |    JOIN p b ON a.suf = b.suf AND a.doc_id < b.doc_id),
+      |e AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+      |reach(id, r) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.id),
+      |comp AS (
+      |  SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id),
+      |sz AS (
+      |  SELECT component, COUNT(*) AS group_size FROM comp GROUP BY component)
+      |SELECT c.doc_id, c.component, sz.group_size,
+      |  CAST(1 AS DOUBLE) / sz.group_size AS weight
+      |FROM comp c JOIN sz USING (component)
+      |ORDER BY c.doc_id""".stripMargin) { (s, d) =>
+    val comp = ccLabels(s, d)
+      .select(col("id").as("doc_id"), col("comp").as("component"))
+    val sz = comp.groupBy("component").agg(count(lit(1)).as("group_size"))
+    comp.join(sz, "component")
+      .select(col("doc_id"), col("component"), col("group_size"),
+        (lit(1.0) / col("group_size")).as("weight"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(d01ExactDedup, d02HashDedup, d03MinHashLsh, d04SimHash,
     d05NgramJaccard, d06MinHashPortable, d07CcClusters, d08BloomIncremental,
     d09ShardedBloom, d10SemanticDedup, d11SimHashPortable, d12CanonicalSelect,
-    d13SubstringSpan, d14LshEval)
+    d13SubstringSpan, d14LshEval, d15SoftDedupWeights)
 }

@@ -3089,6 +3089,52 @@ object RelationalQueries {
     kept.unionByName(supp).orderBy("nation", "segment", "bal_band")
   }
 
+  /** As-of join with a TOLERANCE bound (pandas merge_asof(tolerance=…)
+    * semantics): each purchase matches the latest prior click by the same
+    * user, but only if that click is within 48 hours — staler matches
+    * return NULL exactly as if no click existed. The tolerance is applied
+    * AFTER the as-of resolution (nearest-then-check), not as a range
+    * predicate (which would instead find the latest click WITHIN the
+    * window — different semantics when a fresher-than-window click
+    * exists; nearest-then-check is what merge_asof does and what serving
+    * joins — "latest feature value, unless stale" — need).
+    *
+    * Shape at scale: identical to q29's single-shuffle union+window form
+    * (both sides shuffle once on user_id; the running `last(ignoreNulls)`
+    * needs no join), plus one per-row conditional — tolerance adds zero
+    * data movement. The DuckDB oracle resolves with native ASOF JOIN and
+    * applies the same staleness CASE. */
+  val q92AsofTolerance: Q = Q(
+    "q92_asof_tolerance",
+    """WITH purchases AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+      |     clicks AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+      |SELECT p.event_id, p.user_id, p.ts,
+      |  CASE WHEN epoch_us(p.ts) - epoch_us(c.ts) <= 172800000000 THEN c.ts END AS click_ts,
+      |  CASE WHEN epoch_us(p.ts) - epoch_us(c.ts) <= 172800000000
+      |       THEN epoch_us(p.ts) - epoch_us(c.ts) END AS gap_us
+      |FROM purchases p ASOF LEFT JOIN clicks c
+      |  ON p.user_id = c.user_id AND p.ts >= c.ts
+      |ORDER BY p.event_id""".stripMargin) { (s, d) =>
+    val ev = Tables.t(s, d, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), lit(0).as("side"),
+        lit(null).cast("long").as("event_id"), col("ts").as("click_src"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(1).as("side"),
+        col("event_id"), lit(null).cast("timestamp").as("click_src"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tolUs = 48L * 3600 * 1000 * 1000
+    clicks.unionByName(purchases)
+      .withColumn("nearest", last(col("click_src"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .withColumn("gap", unix_micros(col("ts")) - unix_micros(col("nearest")))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        when(col("gap") <= tolUs, col("nearest")).as("click_ts"),
+        when(col("gap") <= tolUs, col("gap")).as("gap_us"))
+      .orderBy("event_id")
+  }
+
   val all: Seq[Q] = Seq(
     q01ScanProject, q02Predicates, q03AggBasic, q04AggDistinct, q05Rollup,
     q06Cube, q07JoinBroadcast, q08JoinMultiway, q09JoinOuter, q10JoinFull,
@@ -3110,5 +3156,5 @@ object RelationalQueries {
     q79ParameterizedSql, q80BitmapDistinct, q81MovingMedian, q82Interpolate,
     q83Histogram, q84BitmapDistinctAuto, q85ExactQuantiles,
     q86SelfJoinWindowAuto, q87GroupQuota, q88OrJoinAuto, q89PercentileCont,
-    q90Kanon, q91GroupedPercentiles)
+    q90Kanon, q91GroupedPercentiles, q92AsofTolerance)
 }

@@ -968,12 +968,90 @@ object StreamingQueries {
       .orderBy("batch")
   }
 
+  /** END-TO-END EXACTLY-ONCE under crash-replay — the failure window
+    * every production streaming sink must survive: the engine writes a
+    * batch's output, crashes BEFORE recording the batch's commit marker,
+    * and on restart re-executes that batch into the sink. A sink that
+    * appends double-counts the replayed batch; the idempotent pattern —
+    * each batch overwrites its OWN batch-id-keyed output directory —
+    * converges to exactly-once no matter how many times a batch replays.
+    *
+    * The entry runs the real sequence, deterministically:
+    *  1. stage events into 4 parquet files; stream them with
+    *     maxFilesPerTrigger=1 (4 micro-batches) through a foreachBatch
+    *     sink writing `out/batch_id=<id>/` with per-batch overwrite;
+    *  2. CRASH SIMULATION: delete the newest checkpoint commit marker —
+    *     the batch's offsets are recorded (so its input set is pinned)
+    *     but its commit is not, which is precisely the state a real
+    *     crash between sink-write and commit leaves behind;
+    *  3. restart from the same checkpoint with AvailableNow: the engine
+    *     replays exactly that batch into the sink, then finishes.
+    * The oracle is the plain batch aggregate — any double-count from the
+    * replay hash-mismatches. (File-to-batch assignment order is
+    * irrelevant to the result: every event lands in exactly one batch.)
+    *
+    * At 100 TB the same pattern is MERGE-by-batch-id into a transactional
+    * table, or dynamic partition overwrite keyed on (date, batch) — the
+    * idempotence argument is identical. */
+  val st22RestartExactlyOnce: Q = Q(
+    "st22_restart_exactly_once",
+    s"""SELECT event_type, COUNT(*) AS n, ${Det.sqlSum("value")} AS sum_value
+       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+    val base = java.nio.file.Paths.get(graft.TempDirs.newTempDir("graft_st22_"))
+    val (stage, out, ckpt) = (base.resolve("stage").toString,
+      base.resolve("out").toString, base.resolve("ckpt").toString)
+    Tables.t(s, d, "events").repartition(4)
+      .write.mode("overwrite").parquet(stage)
+    val schema = s.read.parquet(stage).schema
+    def runOnce(): Unit = {
+      val src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(stage)
+      val q = src.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.write.mode("overwrite").parquet(s"$out/batch_id=$batchId")
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    withCappedStateWidth(s) {
+      runOnce()
+      // crash between sink-write and commit: offsets/<last> exists,
+      // commits/<last> does not
+      val commits = java.nio.file.Paths.get(ckpt, "commits")
+      val listing = java.nio.file.Files.list(commits)
+      val latest =
+        try listing.filter(p => p.getFileName.toString.forall(_.isDigit))
+          .max(java.util.Comparator.comparingLong(p => p.getFileName.toString.toLong))
+        finally listing.close()
+      java.nio.file.Files.delete(latest.get())
+      // the local ChecksumFs keeps a `.N.crc` sidecar per log file; a
+      // stale sidecar without its file is a state no real crash leaves
+      // behind (and fails the replayed commit's rename), so the
+      // simulation removes both
+      java.nio.file.Files.deleteIfExists(
+        latest.get().resolveSibling("." + latest.get().getFileName + ".crc"))
+      runOnce()
+      // self-check: the restart must actually have replayed the
+      // uncommitted batch (recreating its commit marker) — otherwise
+      // this entry would degrade to a plain two-run no-op and stop
+      // exercising the exactly-once path it exists to prove
+      require(java.nio.file.Files.exists(latest.get()),
+        "restart did not replay the uncommitted batch")
+    }
+    s.read.parquet(out)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_value"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[Q] = Seq(st01Tumbling, st02Sliding, st03Session, st04Dedup,
     st05Stateful, st06FileSink, st07StreamJoin, st08ForeachBatch,
     st09StreamStaticJoin, st10UpdateMode, st11StreamDedup, st12StreamAnnRoute,
     st13RocksdbState, st14StreamLeftOuter, st15TransformWithState, st16TimerExpiry,
     st17ChainedWindows, st18StateReader, st19JoinThenWindow, st20StreamFullOuter,
-    st21StreamNearDup)
+    st21StreamNearDup, st22RestartExactlyOnce)
 }
 
 /** st15's processor: named per-key ValueState holding (count, cents),

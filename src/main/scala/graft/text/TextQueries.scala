@@ -784,10 +784,88 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Gopher-style composite quality-rule gate (Rae et al. 2021 §A1.1's
+    * rule family, re-expressed over this corpus's signals) — the
+    * multi-signal keep/drop decision a pre-training curation pass runs
+    * after the cheap per-row filters (t04) and before dedup:
+    *
+    *  - `digit_ratio` / `alpha_ratio`: fraction of token OCCURRENCES
+    *    that are pure digits / contain a letter (Gopher's "80% of words
+    *    must contain an alphabetic character").
+    *  - `max_tok_frac`: highest single-token share of the doc — the
+    *    degenerate-repetition signal ("the the the…").
+    *  - `simpson_repeat`: the repeat probability Σc(c−1)/(n(n−1)) (the
+    *    Simpson index over the unigram distribution) — the
+    *    lexical-diversity signal. Deliberately Simpson and NOT Shannon
+    *    entropy: entropy needs a per-term ln() whose last ulp differs
+    *    across engines (t15's idf note), while Simpson is exact integer
+    *    sums through one correctly-rounded division — hash-exact by
+    *    construction.
+    *  - `keep`: all thresholds compare exact-int-derived doubles, so
+    *    the flag is deterministic on both engines.
+    *
+    * Shape at scale: one explode → (doc, tok) hash-agg (map-side
+    * combined; the shuffle carries per-doc DISTINCT tokens, not token
+    * occurrences) → per-doc agg on the 8-byte doc key. No joins, no
+    * windows; both shuffle keys are bounded by vocabulary, not corpus
+    * volume. */
+  val t21QualityRules: Q = Q(
+    "t21_quality_rules",
+    """WITH tokc AS (
+      |  SELECT doc_id, tok, COUNT(*) AS c FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      |  GROUP BY doc_id, tok),
+      |agg AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |    CAST(MAX(c) AS BIGINT) AS max_c,
+      |    CAST(SUM(c * (c - 1)) AS BIGINT) AS rep_pairs,
+      |    CAST(SUM(CASE WHEN regexp_full_match(tok, '[0-9]+') THEN c ELSE 0 END) AS BIGINT) AS digit_toks,
+      |    CAST(SUM(CASE WHEN regexp_matches(tok, '[a-zA-Z]') THEN c ELSE 0 END) AS BIGINT) AS alpha_toks
+      |  FROM tokc GROUP BY doc_id)
+      |SELECT doc_id, n_tokens,
+      |  digit_toks / n_tokens AS digit_ratio,
+      |  alpha_toks / n_tokens AS alpha_ratio,
+      |  max_c / n_tokens AS max_tok_frac,
+      |  CASE WHEN n_tokens > 1 THEN rep_pairs / (n_tokens * (n_tokens - 1)) ELSE 1.0 END AS simpson_repeat,
+      |  CASE WHEN n_tokens BETWEEN 10 AND 5000
+      |        AND digit_toks / n_tokens < 0.3
+      |        AND alpha_toks / n_tokens > 0.5
+      |        AND max_c / n_tokens < 0.2
+      |        AND n_tokens > 1 AND rep_pairs / (n_tokens * (n_tokens - 1)) < 0.05
+      |       THEN 1 ELSE 0 END AS keep
+      |FROM agg ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val tokc = docs(s, d)
+      .select(col("doc_id"), explode(toks).as("tok"))
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("c"))
+    val agg = tokc.groupBy("doc_id").agg(
+      sum(col("c")).as("n_tokens"),
+      max(col("c")).as("max_c"),
+      sum(col("c") * (col("c") - 1)).as("rep_pairs"),
+      sum(when(col("tok").rlike("^[0-9]+$"), col("c")).otherwise(0L)).as("digit_toks"),
+      sum(when(col("tok").rlike("[a-zA-Z]"), col("c")).otherwise(0L)).as("alpha_toks"))
+    val n = col("n_tokens")
+    val digitRatio = col("digit_toks") / n
+    val alphaRatio = col("alpha_toks") / n
+    val maxFrac = col("max_c") / n
+    val simpson = when(n > 1, col("rep_pairs") / (n * (n - 1))).otherwise(lit(1.0))
+    agg.select(col("doc_id"), n,
+        digitRatio.as("digit_ratio"),
+        alphaRatio.as("alpha_ratio"),
+        maxFrac.as("max_tok_frac"),
+        simpson.as("simpson_repeat"),
+        when(n.between(10, 5000) && digitRatio < 0.3 && alphaRatio > 0.5 &&
+          maxFrac < 0.2 && n > 1 && col("rep_pairs") / (n * (n - 1)) < 0.05, 1)
+          .otherwise(0).as("keep"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     t01TermFrequency, t02NgramCounts, t03LangId, t04QualityScore,
     t05LangSourceStats, t06TokenCounting, t07FingerprintBow,
     t08FingerprintRolling, t09Decontamination, t10Redaction, t11Tfidf,
     t12Repetition, t13BpePairs, t14LmScore, t15Bm25, t16Diversity,
-    t17Collocations, t18Boilerplate, t19ChunkOverlap, t20BpeEncode)
+    t17Collocations, t18Boilerplate, t19ChunkOverlap, t20BpeEncode,
+    t21QualityRules)
 }
