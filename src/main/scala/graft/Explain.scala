@@ -25,6 +25,14 @@ object Explain {
       // 275 to 163 s. Deliberately-sized scopes pin BOTH keys through
       // graft.Widths.withWidth.
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "512")
+      // Cached/checkpointed blocks that spill to disk are serialized but
+      // UNCOMPRESSED by default (spark.rdd.compress=false); the graph
+      // kernels pin corpus-sized edge tables via localCheckpoint, and at
+      // the 1000x step p05's ~1G-row edge pin + build shuffles exhausted
+      // the box's 65 GB of scratch ("no space left on device", entry
+      // dead). lz4-compressing cached blocks (2-4x on id tables) is the
+      // standard knob for exactly this and costs only block-access CPU.
+      .config("spark.rdd.compress", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

@@ -269,8 +269,8 @@ object DedupQueries {
     // stages), while at 100x the old fixed cap of 8 put 2.4M candidate
     // pairs in each of 8 tasks on a 32-core box (measured 210 -> 71 s
     // cold at sf10 with the scaled width, sf1 unchanged).
-    val d05Width = math.min(512L, math.max(8L,
-      Tables.t(s, d, "documents").count() / 6000L)).toInt
+    val nDocs = Tables.t(s, d, "documents").count()
+    val d05Width = math.min(512L, math.max(8L, nDocs / 6000L)).toInt
     Widths.withWidth(s, d05Width) {
       // Shingles reduce to 64-bit xxhash64 ids at the scan and STRINGS
       // NEVER TRAVEL: every downstream shuffle (df counts, prefix join)
@@ -347,24 +347,64 @@ object DedupQueries {
       val alpha = ceil((col("a.sz") + col("b.sz")) * lit(theta / (1 + theta)))
       val posBound = least(col("a.pos"), col("b.pos")) + lit(1) +
         least(col("a.sz") - col("a.pos") - 1, col("b.sz") - col("b.pos") - 1)
-      val inter = size(array_intersect(col("a.ord"), col("b.ord"))).cast("long")
-      val jac = inter / (col("a.sz").cast("long") + col("b.sz").cast("long") - inter)
+      def jacOf(aOrd: Column, bOrd: Column, aSz: Column, bSz: Column) = {
+        val inter = size(array_intersect(aOrd, bOrd)).cast("long")
+        inter / (aSz.cast("long") + bSz.cast("long") - inter)
+      }
+      val bucketCond =
+        col("a.ptok") === col("b.ptok") && col("a.doc_id") < col("b.doc_id") &&
+          col("b.sz") >= ceil(col("a.sz") * theta) &&
+          col("b.sz") <= floor(col("a.sz") / theta) &&
+          posBound >= alpha
+      // VERIFICATION STRATEGY is corpus-size-adaptive — the same
+      // cost-based call a planner makes, decided from the row count
+      // already fetched for the width:
+      //  - small corpora (<= ~sf10, 500k docs): the df-ordered full id
+      //    array rides with each prefix row and verification happens
+      //    INLINE in the candidate join's projection. Fewer shuffles
+      //    wins when bytes are cheap (measured 4.1 -> 2.3 s at sf0.1 vs
+      //    the join-back shape; the dup-match double-verify costs ~1.5%).
+      //  - at scale the array-bearing prefix shuffle is the bend: rows
+      //    carry ~40 exploded prefix copies x the full ~40-400-long id
+      //    array EACH, and the sf100 campaign measured it exhausting the
+      //    box's 65 GB of shuffle disk (>100 GB planned spill, entry
+      //    DEAD, not slow). The scale path ships BARE 16-byte id rows
+      //    through the bucket join, dedups candidate pairs while they
+      //    are still ids, and fetches each distinct pair's two arrays
+      //    ONCE via co-partitioned join-backs: bytes drop from
+      //    O(prefix-rows x doclen) to O(docs x doclen + candidates).
+      //    Same bounds, same survivors, same hash — verified at sf1.
       // Materialized INSIDE the conf scope so the join/filter stages
       // actually execute at the capped width (the entry's DataFrame is
       // lazy; without this pin they would plan at the restored session
-      // width after fn returns). ~hundreds of surviving rows; the lazy
-      // tail is just dedup + sort.
-      val pairs = Stage.materialize(s,
-        prefix.as("a")
-          .join(prefix.as("b"),
-            col("a.ptok") === col("b.ptok") && col("a.doc_id") < col("b.doc_id")
-              && col("b.sz") >= ceil(col("a.sz") * theta)
-              && col("b.sz") <= floor(col("a.sz") / theta)
-              && posBound >= alpha)
-          .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"), jac.as("jac"))
-          .filter(col("jac") >= theta),
-        "d05pairs")
-      pairs.dropDuplicates("i", "j").orderBy("i", "j")
+      // width after fn returns).
+      val pairs = if (nDocs <= 500000L && !sys.props.contains("graft.d05.forceJoinBack")) {
+        Stage.materialize(s,
+          prefix.as("a")
+            .join(prefix.as("b"), bucketCond)
+            .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
+              jacOf(col("a.ord"), col("b.ord"), col("a.sz"), col("b.sz")).as("jac"))
+            .filter(col("jac") >= theta),
+          "d05pairs").dropDuplicates("i", "j")
+      } else {
+        val lite = prefix.select(col("doc_id"), col("sz"), col("pos"), col("ptok"))
+        val cand = lite.as("a")
+          .join(lite.as("b"), bucketCond)
+          .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+          .dropDuplicates("i", "j")
+        val docsSide = ranked.select(col("doc_id"), col("ord"), col("sz"))
+        Stage.materialize(s,
+          cand
+            .join(docsSide.select(col("doc_id").as("i"),
+              col("ord").as("aord"), col("sz").as("asz")), "i")
+            .join(docsSide.select(col("doc_id").as("j"),
+              col("ord").as("bord"), col("sz").as("bsz")), "j")
+            .select(col("i"), col("j"),
+              jacOf(col("aord"), col("bord"), col("asz"), col("bsz")).as("jac"))
+            .filter(col("jac") >= theta),
+          "d05pairs")
+      }
+      pairs.orderBy("i", "j")
     }
   }
 

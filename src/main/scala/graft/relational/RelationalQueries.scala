@@ -3089,6 +3089,46 @@ object RelationalQueries {
     kept.unionByName(supp).orderBy("nation", "segment", "bal_band")
   }
 
+  /** ROLLING 7-day distinct users per day (the "weekly actives" series)
+    * — exact windowed COUNT(DISTINCT), which no window frame computes
+    * directly, via q80's bitmap algebra made TIME-SLIDING: build one
+    * bitmap per (day, 32k-id bucket), explode each into the ≤7 target
+    * days it contributes to, OR per (target day, bucket), count, sum
+    * buckets. Every shuffle after the first map-side-combined agg
+    * carries fixed-size bitmaps keyed by (day, bucket) — O(days ×
+    * buckets × 4 KB), never user rows — so a year of 100 TB events
+    * rolls up through a few GB of bitmap traffic, and the same rollup
+    * extends to any window length by changing one literal. Days with
+    * no events are excluded from the output (join with the
+    * days-present relation), matching the oracle's day list. */
+  val q93RollingDistinct: Q = Q(
+    "q93_rolling_distinct",
+    """WITH du AS (
+      |  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+      |  FROM events),
+      |days AS (SELECT DISTINCT day FROM du),
+      |pairs AS (
+      |  SELECT d2.day AS day, du.user_id
+      |  FROM du JOIN days d2 ON du.day BETWEEN d2.day - 6 AND d2.day)
+      |SELECT day, COUNT(DISTINCT user_id) AS n_active_7d
+      |FROM pairs GROUP BY day ORDER BY day""".stripMargin) { (s, d) =>
+    val ev = Tables.t(s, d, "events")
+      .select(to_date(col("ts")).as("day"), col("user_id").as("uid"))
+    val dayBuckets = ev
+      .groupBy(col("day"), expr("bitmap_bucket_number(uid)").as("bkt"))
+      .agg(expr("bitmap_construct_agg(bitmap_bit_position(uid))").as("bm"))
+    val contrib = dayBuckets
+      .withColumn("off", explode(sequence(lit(0), lit(6))))
+      .select(date_add(col("day"), col("off")).as("day"), col("bkt"), col("bm"))
+    val rolled = contrib
+      .groupBy("day", "bkt")
+      .agg(expr("bitmap_or_agg(bm)").as("bm7"))
+      .groupBy("day")
+      .agg(sum(expr("bitmap_count(bm7)")).as("n_active_7d"))
+    rolled.join(ev.select("day").distinct(), "day")
+      .orderBy("day")
+  }
+
   /** As-of join with a TOLERANCE bound (pandas merge_asof(tolerance=…)
     * semantics): each purchase matches the latest prior click by the same
     * user, but only if that click is within 48 hours — staler matches
@@ -3156,5 +3196,5 @@ object RelationalQueries {
     q79ParameterizedSql, q80BitmapDistinct, q81MovingMedian, q82Interpolate,
     q83Histogram, q84BitmapDistinctAuto, q85ExactQuantiles,
     q86SelfJoinWindowAuto, q87GroupQuota, q88OrJoinAuto, q89PercentileCont,
-    q90Kanon, q91GroupedPercentiles, q92AsofTolerance)
+    q90Kanon, q91GroupedPercentiles, q92AsofTolerance, q93RollingDistinct)
 }

@@ -576,7 +576,26 @@ object StreamingQueries {
     val joined = views.join(purchases,
       expr("v_user = p_user AND p_ts >= v_ts AND p_ts < v_ts + INTERVAL 1 HOUR"),
       "left_outer")
-    runToTable(s, joined, "append")
+    // The raw join emission is row-per-(view[, purchase]) — corpus-sized,
+    // unlike the small aggregate tables the memory sink holds elsewhere
+    // in this module. A memory sink COLLECTS the sink table to the
+    // driver, which capped this entry at spark.driver.maxResultSize on
+    // the 1000x corpus (1.05 GB of task results, found by the sf100
+    // campaign); the parquet sink is the production shape for raw
+    // emissions (st06) and keeps the output distributed.
+    val base = java.nio.file.Paths.get(graft.TempDirs.newTempDir("graft_st14_"))
+    val (out, ckpt) = (base.resolve("out").toString, base.resolve("ckpt").toString)
+    withCappedStateWidth(s) {
+      val q = joined.writeStream
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.read.parquet(out)
       .filter(unix_micros(col("v_ts")) < maxSide - 7200000000L)
       .groupBy(col("v_user").as("user_id"))
       .agg(count(col("p_ts")).as("n_converted"),

@@ -21,6 +21,14 @@ object Probe {
       // 275 to 163 s. Deliberately-sized scopes pin BOTH keys through
       // graft.Widths.withWidth.
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "512")
+      // Cached/checkpointed blocks that spill to disk are serialized but
+      // UNCOMPRESSED by default (spark.rdd.compress=false); the graph
+      // kernels pin corpus-sized edge tables via localCheckpoint, and at
+      // the 1000x step p05's ~1G-row edge pin + build shuffles exhausted
+      // the box's 65 GB of scratch ("no space left on device", entry
+      // dead). lz4-compressing cached blocks (2-4x on id tables) is the
+      // standard knob for exactly this and costs only block-access CPU.
+      .config("spark.rdd.compress", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
@@ -159,6 +167,27 @@ object Probe {
           graft.Det.dsum128(x * x).as("e"), graft.Det.dsum128(y * y).as("f"),
           graft.Det.dsum128(x * y).as("g"))
       }
+    }
+    if (sys.env.contains("PROBE_Q43")) {
+      // decompose the sessionize pipeline: window passes alone, + agg,
+      // + presentation sort (the full entry)
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val gapUs = unix_micros(col("ts")) -
+        unix_micros(lag(col("ts"), 1).over(w))
+      def sess = graft.Tables.t(spark, d, "events")
+        .withColumn("is_new",
+          when(gapUs.isNull || gapUs > lit(28800000000L), 1).otherwise(0))
+        .withColumn("session_id", sum(col("is_new"))
+          .over(w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      def agg = sess.groupBy("user_id", "session_id")
+        .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+          count(lit(1)).as("n_events"), graft.Det.dsum(col("value")).as("total_value"))
+      time("q43_scan_only")(graft.Tables.t(spark, d, "events")
+        .select("user_id", "event_id", "ts", "value"))
+      time("q43_windows")(sess)
+      time("q43_windows_agg")(agg)
+      time("q43_full")(agg.orderBy("user_id", "session_id"))
     }
     spark.stop()
   }

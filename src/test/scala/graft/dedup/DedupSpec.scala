@@ -37,6 +37,22 @@ class DedupSpec extends AnyFunSuite {
     assert(brute.nonEmpty, "the corpus plants near-dup pairs; an empty set means the shingling broke")
   }
 
+  test("d05's scale path (bare-id candidates + join-back verify) equals the inline path") {
+    // Above ~500k docs the entry switches from array-riding inline
+    // verification to bare-id candidates + co-partitioned join-backs
+    // (the sf100 campaign measured the inline shuffle exhausting the
+    // box's scratch disk). Both strategies must produce identical pairs.
+    val inline = DedupQueries.d05NgramJaccard.fn(s, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    System.setProperty("graft.d05.forceJoinBack", "1")
+    try {
+      val joinBack = DedupQueries.d05NgramJaccard.fn(s, d)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(joinBack == inline)
+      assert(inline.nonEmpty)
+    } finally System.clearProperty("graft.d05.forceJoinBack")
+  }
+
   test("MinHash LSH finds every planted pair with true Jaccard >= 0.9") {
     val truth = bruteForce(0.9).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val found = DedupQueries.d03MinHashLsh.fn(s, d)
