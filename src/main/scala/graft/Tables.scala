@@ -130,6 +130,21 @@ object Stage {
       cols: Seq[org.apache.spark.sql.Column], tag: String): DataFrame =
     track(df.repartition(n, cols: _*).localCheckpoint())
 
+  /** materializeBy at an explicit storage level. The default pin level
+    * (MEMORY_AND_DISK, deserialized) holds row OBJECTS on heap — right
+    * for the |V|-row tables the loops iterate on, and catastrophic for
+    * a corpus-sized pin: at the 1000x step p05's 2.3 G-row edge pin
+    * demanded ~90 GB of deserialized heap against a ~24 GB storage
+    * pool, and the resulting evict/re-promote churn
+    * (maybeCacheDiskValuesInMemory) OOM'd the 48 g JVM. SER levels
+    * store the compact bytes (lz4'd via spark.rdd.compress), cutting
+    * the resident demand ~5x and making disk re-promotion allocate
+    * bytes, not object graphs. */
+  def materializeByLevel(spark: SparkSession, df: DataFrame, n: Int,
+      cols: Seq[org.apache.spark.sql.Column], tag: String,
+      level: org.apache.spark.storage.StorageLevel): DataFrame =
+    track(df.repartition(n, cols: _*).localCheckpoint(true, level))
+
   /** Pin WITHOUT re-spreading: preserves whatever partitioning the
     * plan produced (e.g. an aggregate's hash(key) exchange output), so
     * the next iteration's join can reuse it. */

@@ -378,7 +378,14 @@ object DedupQueries {
       // actually execute at the capped width (the entry's DataFrame is
       // lazy; without this pin they would plan at the restored session
       // width after fn returns).
-      val pairs = if (nDocs <= 500000L && !sys.props.contains("graft.d05.forceJoinBack")) {
+      // Crossover measured, not guessed: at 5M docs (sf10) inline wins
+      // 65.5 s vs the join-back's 115 s (the two extra co-partitioned
+      // shuffles cost more than the fatter prefix rows at this size);
+      // at 50M docs (sf100) inline PLANS ~terabytes of prefix-array
+      // shuffle (dead on any box tier) while the join-back's
+      // O(docs × doclen + candidates) bytes are ~30x leaner. The switch
+      // sits at 20M with margin on the measured-good side.
+      val pairs = if (nDocs <= 20000000L && !sys.props.contains("graft.d05.forceJoinBack")) {
         Stage.materialize(s,
           prefix.as("a")
             .join(prefix.as("b"), bucketCond)

@@ -426,12 +426,6 @@ object PipelineQueries {
       case (k, None) => s.conf.unset(k)
     }
     try {
-      val raw = Tables.t(s, d, "lineitem").select("l_orderkey", "l_suppkey")
-        .join(Tables.t(s, d, "orders").select("o_orderkey", "o_custkey")
-          .hint("shuffle_hash"),
-          col("l_orderkey") === col("o_orderkey"))
-        .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
-        .distinct()
       // two widths, deliberately: the EDGE BUILD (|E|-row join/distinct)
       // runs at the data-scaled width, while the LOOP stays at the core
       // width — frontier/visited are |V|-row tables whose per-round
@@ -443,12 +437,42 @@ object PipelineQueries {
       val shufKey = "spark.sql.shuffle.partitions"
       val savedShuf = s.conf.get(shufKey)
       val n = s.sparkContext.defaultParallelism
-      s.conf.set(shufKey, width.toString)
-      val edges = try graft.Stage.materializeBy(s,
-        raw.select(col("c").as("src"), col("s").as("dst"))
-          .unionAll(raw.select(col("s").as("src"), col("c").as("dst"))),
-        n, Seq(col("src")), "p05edges")
-      finally s.conf.set(shufKey, savedShuf)
+      val edges = {
+        val raw = Tables.t(s, d, "lineitem").select("l_orderkey", "l_suppkey")
+          .join(Tables.t(s, d, "orders").select("o_orderkey", "o_custkey")
+            .hint("shuffle_hash"),
+            col("l_orderkey") === col("o_orderkey"))
+          .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+          .distinct()
+        s.conf.set(shufKey, width.toString)
+        // The pin itself is at the DATA-SCALED width too, not the core
+        // width: at the 1000x step a core-width pin put ~72M edge rows
+        // (≈1.7 GB unrolled) in EACH cached block, and 32 concurrent
+        // tasks unrolling their block OOM'd the 48g heap (the sf100
+        // campaign's second failure mode after the scratch exhaustion).
+        // Per-round frontier re-hashing to the pin's width is |V|-row
+        // bare ids — noise next to the 2|E|-row probe it enables.
+        // SER pin above core width (the data-scaled regime): see
+        // materializeByLevel — the deserialized default OOM'd at 1000x.
+        val lvl = if (width > n) org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+          else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        try graft.Stage.materializeByLevel(s,
+          raw.select(col("c").as("src"), col("s").as("dst"))
+            .unionAll(raw.select(col("s").as("src"), col("c").as("dst"))),
+          width, Seq(col("src")), "p05edges", lvl)
+        finally s.conf.set(shufKey, savedShuf)
+      }
+      // The build's shuffle files (fact join + distinct + the
+      // repartition feeding the pin — ~36 GB of the box's 63 GB
+      // scratch at the 1000x step) are unreachable the moment `raw`
+      // leaves the block above: the pin truncated the lineage. But the
+      // ContextCleaner only RELEASES them after a driver GC collects
+      // the ShuffleDependency objects, and its periodic-GC cadence
+      // (45 s here) lags the rounds' own shuffle production — the
+      // sf100 campaign measured the overlap exhausting scratch ("no
+      // space left on device", entry dead). One explicit GC hands the
+      // build files back before the loop starts writing.
+      System.gc()
       // bounded scalar (st14's watermark-scalar precedent): the source id
       val src0 = Tables.t(s, d, "orders")
         .agg(min(col("o_custkey"))).head().getLong(0) * 2

@@ -456,17 +456,28 @@ object SimilarityQueries {
     * Every arithmetic step is the fixed-parenthesization decimal-exact
     * form v11's scaladoc documents. */
   private def ivfPortableIndex(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
-    import org.apache.spark.sql.expressions.Window
+    import graft.functions.ArgMinLong.argmin
     val e = emb(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val dist = (dot(col("v"), col("v")) - lit(2) * dot(col("v"), col("c"))) +
       dot(col("c"), col("c"))
-    val w = Window.partitionBy("vec_id").orderBy(dist.asc, col("cell").asc)
-    def assign(centroids: DataFrame): DataFrame = e
-      .crossJoin(broadcast(centroids))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select("vec_id", "v", "cell")
+    // Assignment is the native ArgMinLong hash aggregate (d10's lesson
+    // made shared): the original window row_number shuffled AND sorted
+    // the N x k broadcast expansion WITH the 64-double arrays riding
+    // every row — measured as v11's sf100 bend (8.6 -> 106 s on the
+    // 10x step, spill-bound). The argmin collapses the expansion to one
+    // flat (double,long) buffer per vector BEFORE the exchange
+    // (map-side partials), and the arrays re-attach via one
+    // co-partitioned join-back — bytes on the wire drop from
+    // O(N*k*dim) to O(N*dim). The ranking key is char-for-char the
+    // oracle's full d2 expression with the same (dist, cell)
+    // lexicographic tie-break, so assignments are fp-identical.
+    def assign(centroids: DataFrame): DataFrame = {
+      val best = e.crossJoin(broadcast(centroids))
+        .groupBy("vec_id")
+        .agg(argmin(dist, col("cell")).as("cell"))
+      e.join(best, Seq("vec_id")).select("vec_id", "v", "cell")
+    }
     val c0 = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("cell"), col("v").as("c"))
     val c1 = assign(c0)

@@ -63,6 +63,60 @@ object Probe {
       time("assign2")(assign)
       spark.stop(); sys.exit(0)
     }
+    if (sys.env.contains("PROBE_D10S")) {
+      // d10 stage split: coarse assignment (N·g dots), fine assignment
+      // (N·k/g dots), within-cell pair stage (Σ|cell|² dots) — the
+      // terms of the 2N√k + N·cellsize cost model the 1000x step bends
+      // on. Mirrors DedupQueries.d10 exactly.
+      import graft.functions.ArgMinLong.argmin
+      graft.plans.RewriteHofDotProduct.register(spark)
+      def dotc(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+      val e = graft.Tables.t(spark, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val k = e.agg(count(lit(1)).as("n"))
+        .select(greatest(lit(8L), expr("n div 256")).as("k"))
+      val c0 = e.crossJoin(broadcast(k)).filter(col("vec_id") < col("k"))
+        .select(col("vec_id").as("cell"), col("v").as("c"),
+          dotc(col("v"), col("v")).as("cn"))
+      val g = k.select(greatest(lit(4L),
+        expr("CAST(FLOOR(SQRT(k)) AS LONG)")).as("g"))
+      val co = c0.crossJoin(broadcast(g)).filter(col("cell") < col("g"))
+        .select(col("cell").as("gcell"), col("c").as("gc"), col("cn").as("gcn"))
+      val f2c = c0.crossJoin(broadcast(co))
+        .groupBy("cell")
+        .agg(argmin(col("gcn") - lit(2) * dotc(col("c"), col("gc")),
+          col("gcell")).as("gcell"))
+      val vg = e.crossJoin(broadcast(co))
+        .groupBy("vec_id")
+        .agg(argmin(col("gcn") - lit(2) * dotc(col("v"), col("gc")),
+          col("gcell")).as("gcell"))
+      time("d10_coarse_assign")(vg)
+      val bcand = f2c.join(c0, "cell")
+        .select(col("gcell"), col("cell"), col("c"), col("cn"))
+      val eg = e.join(vg, "vec_id")
+      val fine = eg.join(broadcast(bcand), "gcell")
+        .groupBy("vec_id")
+        .agg(argmin(col("cn") - lit(2) * dotc(col("v"), col("c")),
+          col("cell")).as("cell"))
+      time("d10_coarse_plus_fine")(fine)
+      val cells = graft.Stage.materialize(spark,
+        eg.select(col("vec_id"), col("v")).join(fine, "vec_id")
+          .select(col("vec_id"), col("v"), col("cell"),
+            sqrt(dotc(col("v"), col("v"))).as("nrm")),
+        "d10cellsProbe")
+      val a = cells.select(col("cell"), col("vec_id").as("i"),
+        col("v").as("vi"), col("nrm").as("ni"))
+      val b = cells.select(col("cell"), col("vec_id").as("j"),
+        col("v").as("vj"), col("nrm").as("nj"))
+      val cos = least(greatest(
+        dotc(col("vi"), col("vj")) / (col("ni") * col("nj")), lit(-1.0)), lit(1.0))
+      val dups = a.join(b, Seq("cell"))
+        .filter(col("j") < col("i") && cos > 0.35)
+        .select(col("i").as("vec_id")).distinct()
+      time("d10_pairs")(dups)
+      spark.stop(); sys.exit(0)
+    }
     if (sys.env.contains("PROBE_Q86")) {
       // Shuffle/IO cost of the q86 naive self-join-agg shape with the
       // RewriteSelfJoinAgg rule on vs off (documentation measurement).
@@ -142,6 +196,7 @@ object Probe {
         .orderBy(col("r").desc, col("v")).limit(50).collect() }
       spark.stop(); sys.exit(0)
     }
+    if (sys.env.contains("PROBE_SUMS")) {
     val li = graft.Tables.t(spark, d, "lineitem")
     val q = col("l_quantity"); val x = col("l_discount"); val y = col("l_tax")
     for (_ <- 1 to 2) {
@@ -168,6 +223,7 @@ object Probe {
           graft.Det.dsum128(x * y).as("g"))
       }
     }
+    }
     if (sys.env.contains("PROBE_Q43")) {
       // decompose the sessionize pipeline: window passes alone, + agg,
       // + presentation sort (the full entry)
@@ -183,11 +239,16 @@ object Probe {
       def agg = sess.groupBy("user_id", "session_id")
         .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
           count(lit(1)).as("n_events"), graft.Det.dsum(col("value")).as("total_value"))
-      time("q43_scan_only")(graft.Tables.t(spark, d, "events")
+      val phases = sys.env("PROBE_Q43")
+      def on(p: String) = phases == "1" || phases.contains(p)
+      if (on("scan")) time("q43_scan_only")(graft.Tables.t(spark, d, "events")
         .select("user_id", "event_id", "ts", "value"))
-      time("q43_windows")(sess)
-      time("q43_windows_agg")(agg)
-      time("q43_full")(agg.orderBy("user_id", "session_id"))
+      if (on("windows")) time("q43_windows")(sess)
+      if (on("agg")) time("q43_windows_agg")(agg)
+      if (on("agg128")) time("q43_agg128")(sess.groupBy("user_id", "session_id")
+        .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+          count(lit(1)).as("n_events"), graft.Det.dsum128(col("value")).as("total_value")))
+      if (on("full")) time("q43_full")(agg.orderBy("user_id", "session_id"))
     }
     spark.stop()
   }
