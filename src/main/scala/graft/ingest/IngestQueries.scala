@@ -1,7 +1,8 @@
 package graft.ingest
 
-import graft.{Det, Q}
+import graft.{Det, Q, Tables}
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Oracle-checked catalog entries for the reference's ingestion pipeline
@@ -670,11 +671,72 @@ object IngestQueries {
       .orderBy("change_type")
   }
 
+  /** SNAPSHOT DRIFT DETECTION — the monitoring counterpart of i22's
+    * change feed: given two dataset snapshots (here the time-split
+    * halves of `events` — the before/after of a pipeline rerun),
+    * compare their FEATURE DISTRIBUTIONS and flag shifted cells. Drift
+    * checks gate every production training-data refresh (is today's
+    * crawl distributed like yesterday's?); the statistic here is the
+    * per-cell total-variation numerator |n_a·T_b − n_b·T_a| — the
+    * cross-multiplied form of |n_a/T_a − n_b/T_b| that stays in EXACT
+    * integer arithmetic (n ≤ 1e8 and T ≤ 1e8 at the 1000× step keeps
+    * the product < 2^63; PSI/KL need ln, which cross-engine differs in
+    * the last ulp — the t15 lesson — and divides information the
+    * consumer can derive). Two features per event (the categorical
+    * event_type and a width-25 bucketing of value) melt into (feature,
+    * bucket) rows via a 2-ary explode, so BOTH histograms build in ONE
+    * scan and one partial-aggregated shuffle whose key space is the
+    * bounded cell set, not the row count; per-feature totals are a
+    * window over the ~15-row histogram. At 100 TB: the events table
+    * streams through once, 16 bytes per row enter the agg, and the
+    * drift math runs on a table that fits in a cache line. */
+  val i23SnapshotDrift: Q = Q(
+    "i23_snapshot_drift",
+    """WITH e AS (
+      |  SELECT CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 0 ELSE 1 END AS snap,
+      |    event_type,
+      |    CAST(CAST(floor(value / 25) AS BIGINT) AS VARCHAR) AS vb
+      |  FROM events),
+      |m AS (
+      |  SELECT snap, 'event_type' AS feature, event_type AS bucket FROM e
+      |  UNION ALL
+      |  SELECT snap, 'value_bucket', vb FROM e),
+      |h AS (
+      |  SELECT feature, bucket,
+      |    CAST(SUM(CASE WHEN snap = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(SUM(CASE WHEN snap = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      |  FROM m GROUP BY feature, bucket)
+      |SELECT feature, bucket, n_a, n_b,
+      |  CAST(SUM(n_a) OVER (PARTITION BY feature) AS BIGINT) AS total_a,
+      |  CAST(SUM(n_b) OVER (PARTITION BY feature) AS BIGINT) AS total_b,
+      |  CAST(abs(n_a * (SUM(n_b) OVER (PARTITION BY feature))
+      |         - n_b * (SUM(n_a) OVER (PARTITION BY feature))) AS BIGINT) AS drift_num
+      |FROM h ORDER BY feature, bucket""".stripMargin) { (s, d) =>
+    val wF = Window.partitionBy("feature")
+    Tables.t(s, d, "events")
+      .select(
+        when(col("ts") < lit("2024-01-16").cast("timestamp"), 0).otherwise(1).as("snap"),
+        explode(array(
+          struct(lit("event_type").as("feature"), col("event_type").as("bucket")),
+          struct(lit("value_bucket").as("feature"),
+            floor(col("value") / 25).cast("long").cast("string").as("bucket")))).as("fb"))
+      .select(col("snap"), col("fb.feature"), col("fb.bucket"))
+      .groupBy("feature", "bucket")
+      .agg(sum(when(col("snap") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("snap") === 1, 1L).otherwise(0L)).as("n_b"))
+      .withColumn("total_a", sum(col("n_a")).over(wF))
+      .withColumn("total_b", sum(col("n_b")).over(wF))
+      .withColumn("drift_num",
+        abs(col("n_a") * col("total_b") - col("n_b") * col("total_a")))
+      .orderBy("feature", "bucket")
+  }
+
   val all: Seq[Q] = Seq(
     i01PageScan, i02TimestampParse, i03WatermarkFilter, i04RunningMax,
     i05PartitionedSink, i06BackfillCursor, i07DailyCounts,
     i08JsonlPermissive, i09CsvScan, i10V2SourceScan, i11CorruptRetention,
     i12SchemaEvolution, i13StreamingSource, i14DynamicOverwrite,
     i15OrcRoundtrip, i16SortedSkipping, i17Compaction, i18V2AtomicSink,
-    i19ParquetBloom, i20MergeOnRead, i21SpjJoin, i22SnapshotDiff)
+    i19ParquetBloom, i20MergeOnRead, i21SpjJoin, i22SnapshotDiff,
+    i23SnapshotDrift)
 }

@@ -967,7 +967,70 @@ object PipelineQueries {
       .orderBy("source")
   }
 
+  /** TEMPERATURE-BASED multilingual mixture (the XLM-R / mT5 upsampling
+    * scheme): sampling share ∝ (corpus share)^α with α < 1, boosting
+    * low-resource languages relative to raw proportions. α = 1/2 here,
+    * which makes the weights EXACTLY computable cross-engine: IEEE-754
+    * requires sqrt correctly rounded (the v13 MIPS entry leans on the
+    * same guarantee), n_tokens < 2^52 is exactly representable, the
+    * 2^20 scale-up multiplies the exponent only, and floor is exact —
+    * so `weight = floor(2^20·sqrt(n_tokens))` is a deterministic
+    * INTEGER on both engines, and the allocation itself is p07's
+    * integer largest-remainder apportionment (Σ alloc = budget
+    * exactly, ties by lang). General α (0.3 in XLM-R) needs pow —
+    * cross-engine transcendentals differ in the last ulp (the t15/t21
+    * lesson), so production would ship α as a rational exponent over
+    * repeated sqrt or accept per-engine rounding; the apportionment
+    * machinery is α-independent.
+    *
+    * Scale shape: one partial-aggregated scan to the per-lang token
+    * counts (|langs| rows — single-digit at any corpus size), then the
+    * window apportionment on that broadcast-sized table. The corpus
+    * never moves. */
+  val p12TemperatureMix: Q = {
+    val budget = 1000000L
+    Q(
+      "p12_temperature_mix",
+      s"""WITH b AS (
+         |  SELECT lang, COUNT(*) AS n_docs,
+         |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY lang),
+         |w AS (
+         |  SELECT lang, n_docs, n_tokens,
+         |    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1048576) AS BIGINT) AS weight
+         |  FROM b),
+         |a AS (
+         |  SELECT lang, n_docs, n_tokens, weight,
+         |    ($budget * weight) // SUM(weight) OVER () AS floor_alloc,
+         |    ($budget * weight) % SUM(weight) OVER () AS rem
+         |  FROM w)
+         |SELECT lang, n_docs, n_tokens, weight,
+         |  CAST(floor_alloc + CASE WHEN
+         |      row_number() OVER (ORDER BY rem DESC, lang)
+         |        <= $budget - SUM(floor_alloc) OVER ()
+         |    THEN 1 ELSE 0 END AS BIGINT) AS alloc
+         |FROM a ORDER BY lang""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val wAll = Window.partitionBy()
+      val b = Tables.t(s, d, "documents")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " "))).cast("long").as("n_tokens"))
+        .withColumn("weight",
+          floor(sqrt(col("n_tokens").cast("double")) * 1048576).cast("long"))
+      b.withColumn("floor_alloc", expr(s"($budget * weight) div sum(weight) over ()"))
+        .withColumn("rem", lit(budget) * col("weight") % sum(col("weight")).over(wAll))
+        .withColumn("rn", row_number().over(Window.orderBy(col("rem").desc, col("lang"))))
+        .withColumn("alloc",
+          (col("floor_alloc") +
+            when(col("rn") <= lit(budget) - sum(col("floor_alloc")).over(wAll), 1L)
+              .otherwise(0L)).cast("long"))
+        .select("lang", "n_docs", "n_tokens", "weight", "alloc")
+        .orderBy("lang")
+    }
+  }
+
   val all: Seq[Q] = Seq(p01TrainingPipeline, p02CurationPipeline, p03Pagerank, p04Triangles,
     p05BfsHops, p06BfsRecursiveCte, p07MixAllocation, p08SequencePack, p09HybridRetrieval,
-    p10InbatchNegatives, p11DataCard)
+    p10InbatchNegatives, p11DataCard, p12TemperatureMix)
 }

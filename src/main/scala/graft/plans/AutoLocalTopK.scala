@@ -165,5 +165,7 @@ object GraftEngine {
     RewriteBitmapDistinct.register(spark)
     RewriteSelfJoinAgg.register(spark)
     RewriteOrExpansion.register(spark)
+    TableConstraints.registerStarSchema()
+    RewriteJoinElimination.register(spark)
   }
 }

@@ -190,5 +190,9 @@ class GraftPlanExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => RewriteBitmapDistinct)
     ext.injectOptimizerRule(_ => RewriteSelfJoinAgg)
     ext.injectOptimizerRule(_ => RewriteOrExpansion)
+    // Fixed-point batch: column pruning exposes the dead join within the
+    // same batch's later iterations, so the elimination still fires.
+    TableConstraints.registerStarSchema()
+    ext.injectOptimizerRule(_ => RewriteJoinElimination)
   }
 }

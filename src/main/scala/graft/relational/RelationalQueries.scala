@@ -3179,6 +3179,38 @@ object RelationalQueries {
       .orderBy("event_id")
   }
 
+  /** RELY-constraint join elimination ([[graft.plans.RewriteJoinElimination]]):
+    * the view-mediated dead-dimension shape. A curated view INNER-joins
+    * lineitem to its conformed `orders` dimension (the is-this-row-valid
+    * annotation every governed fact view carries); the query then
+    * aggregates fact columns ONLY. Stock Spark runs the join anyway — a
+    * full build of the orders key set probed by every fact row, producing
+    * columns nobody reads — and structurally CANNOT remove it: inner-join
+    * elimination needs referential integrity plus key uniqueness, which
+    * are data properties (declared PK/FK RELY constraints), not plan
+    * shapes (`distinctKeys` covers only plan-constructed uniqueness, and
+    * Spark 4's EliminateOuterJoin only the outer/distinct case).
+    * JoinEliminationSpec asserts the optimized plan here has ZERO joins
+    * and ONE scan, that stock Spark keeps the join, and on/off row
+    * parity; the oracle runs the un-eliminated SQL, pinning semantic
+    * equivalence on real data. At 100 TB this is an entire exchange +
+    * build side removed per dead dimension: the fact scan never waits on
+    * `orders` at all. */
+  val q94JoinElimAuto: Q = Q(
+    "q94_join_elim_auto",
+    s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       |  ${Det.sqlSum("l_quantity")} AS sum_qty
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+    val li = Tables.t(s, d, "lineitem")
+    val dim = Tables.t(s, d, "orders")
+    li.join(dim, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), Det.dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
   val all: Seq[Q] = Seq(
     q01ScanProject, q02Predicates, q03AggBasic, q04AggDistinct, q05Rollup,
     q06Cube, q07JoinBroadcast, q08JoinMultiway, q09JoinOuter, q10JoinFull,
@@ -3200,5 +3232,6 @@ object RelationalQueries {
     q79ParameterizedSql, q80BitmapDistinct, q81MovingMedian, q82Interpolate,
     q83Histogram, q84BitmapDistinctAuto, q85ExactQuantiles,
     q86SelfJoinWindowAuto, q87GroupQuota, q88OrJoinAuto, q89PercentileCont,
-    q90Kanon, q91GroupedPercentiles, q92AsofTolerance, q93RollingDistinct)
+    q90Kanon, q91GroupedPercentiles, q92AsofTolerance, q93RollingDistinct,
+    q94JoinElimAuto)
 }

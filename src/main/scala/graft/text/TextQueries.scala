@@ -861,11 +861,66 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** HASHED LINEAR CLASSIFIER scoring — the fastText architecture
+    * (Joulin et al. 2016, "Bag of Tricks for Efficient Text
+    * Classification") that production quality filters (CCNet, GPT-3's
+    * WebText classifier) run over every document: unigram + bigram
+    * features, the hashing trick into a fixed bucket table, a linear
+    * score. Weights here are a deterministic closed form over the
+    * bucket id (a Knuth multiplicative mix into [-1024, 1024)) standing
+    * in for trained parameters, which keeps the entry INTEGER-exact
+    * end-to-end: feature hash = the catalog's md5-portable 32-bit hash
+    * (d06's spelling, bit-identical in DuckDB), bucket = h % 1024,
+    * logit = Σ w(bucket) over feature INSTANCES (fastText sums then
+    * normalizes; the sum is the exact part, so the entry reports it
+    * plus n_feats rather than dividing), keep = sign. A trained model
+    * swaps the closed form for a broadcast weight array — the plan
+    * shape (per-row map, zero shuffles) is identical.
+    *
+    * Scale posture: pure scan-local HOF fold per document — no
+    * explode, no shuffle, nothing leaves the row. The t02/st21 lesson
+    * applies: tokens materialize once, and the bigram array builds in
+    * a staged projection so the HOF's repeated references don't
+    * re-tokenize. */
+  val t22HashedClassifier: Q = Q(
+    "t22_hashed_classifier",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |f AS (
+      |  SELECT doc_id,
+      |    unnest(toks || [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]) AS feat
+      |  FROM t)
+      |SELECT doc_id, COUNT(*) AS n_feats,
+      |  CAST(SUM(((('0x' || substr(md5(feat), 1, 8))::BIGINT % 1024)
+      |            * 2654435761) % 2048 - 1024) AS BIGINT) AS logit,
+      |  CASE WHEN CAST(SUM(((('0x' || substr(md5(feat), 1, 8))::BIGINT % 1024)
+      |            * 2654435761) % 2048 - 1024) AS BIGINT) > 0
+      |       THEN 1 ELSE 0 END AS keep
+      |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val toksDf = graft.Stage.materialize(s,
+      docs(s, d).select(col("doc_id"), split(col("text"), " ").as("toks")),
+      "t22toks")
+    val t = col("toks")
+    val bigrams = when(size(t) >= 2,
+      transform(sequence(lit(1), size(t) - 1),
+        i => concat(element_at(t, i), lit(" "), element_at(t, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    def weight(f: Column): Column =
+      pmod(conv(substring(md5(f), 1, 8), 16, 10).cast("long") % 1024L
+        * 2654435761L, lit(2048L)) - 1024L
+    toksDf
+      .select(col("doc_id"), concat(t, bigrams).as("feats"))
+      .select(col("doc_id"),
+        size(col("feats")).cast("long").as("n_feats"),
+        aggregate(col("feats"), lit(0L), (acc, f) => acc + weight(f)).as("logit"))
+      .withColumn("keep", when(col("logit") > 0, 1).otherwise(0))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     t01TermFrequency, t02NgramCounts, t03LangId, t04QualityScore,
     t05LangSourceStats, t06TokenCounting, t07FingerprintBow,
     t08FingerprintRolling, t09Decontamination, t10Redaction, t11Tfidf,
     t12Repetition, t13BpePairs, t14LmScore, t15Bm25, t16Diversity,
     t17Collocations, t18Boilerplate, t19ChunkOverlap, t20BpeEncode,
-    t21QualityRules)
+    t21QualityRules, t22HashedClassifier)
 }

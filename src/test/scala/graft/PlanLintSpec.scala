@@ -50,7 +50,11 @@ class PlanLintSpec extends AnyFunSuite {
       // hundred rows at any corpus size); the data path is the
       // map-side-combined counts GROUP BY, and the within-bucket rank
       // window IS partitioned. Same bounded-by-domain argument as q74.
-      "q85_exact_quantiles", "q89_percentile_cont")
+      "q85_exact_quantiles", "q89_percentile_cont",
+      // p12's windows run on the per-LANGUAGE bucket table — single-digit
+      // rows at any corpus size (p07's argument verbatim: the remainder
+      // rank of largest-remainder apportionment is inherently global).
+      "p12_temperature_mix")
 
   test("no catalog query plans a single-partition window or a cartesian product") {
     val violations = SparkEntry.catalog.flatMap { q =>
