@@ -1,7 +1,7 @@
 package graft.ingest
 
 import graft.{Det, Q, Tables}
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -731,6 +731,89 @@ object IngestQueries {
       .orderBy("feature", "bucket")
   }
 
+  /** CONSTRAINT AUDIT — the "trust but verify" companion of the RELY
+    * declarations that license [[graft.plans.RewriteJoinElimination]]:
+    * RELY constraints are unenforced by design (enforcement at write
+    * time is what a 100 TB pipeline cannot afford per-row), so
+    * production schedules an audit query instead and revokes the
+    * declaration if it ever reports violations. One row per declared
+    * constraint: PK audits count duplicate keys (COUNT − COUNT
+    * DISTINCT, a map-side-combined scan each); FK audits count orphans
+    * (NULL or unmatched child keys). The three lineitem FKs audit in
+    * ONE scan — the child table is by far the biggest, so the plan
+    * left-joins its key triple against the three parent key sets
+    * (each a unique build side) and conditionally counts the misses,
+    * rather than re-scanning the fact table per constraint. Parent key
+    * sets are PK-unique so the joins cannot duplicate; NULL child keys
+    * never match and count as orphans, matching the SQL NOT IN + IS
+    * NULL form. All counts land in exact longs; the expected output on
+    * FK-consistent data (which ScaleUp preserves at every factor) is
+    * all-zeros — the audit's green certificate. */
+  val i24ConstraintAudit: Q = Q(
+    "i24_constraint_audit",
+    """SELECT rule_name, violations FROM (
+      |  SELECT 'pk_orders' AS rule_name,
+      |    CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS violations FROM orders
+      |  UNION ALL SELECT 'pk_customer',
+      |    CAST(COUNT(*) - COUNT(DISTINCT c_custkey) AS BIGINT) FROM customer
+      |  UNION ALL SELECT 'pk_part',
+      |    CAST(COUNT(*) - COUNT(DISTINCT p_partkey) AS BIGINT) FROM part
+      |  UNION ALL SELECT 'pk_supplier',
+      |    CAST(COUNT(*) - COUNT(DISTINCT s_suppkey) AS BIGINT) FROM supplier
+      |  UNION ALL SELECT 'fk_lineitem_orders',
+      |    CAST(COUNT(*) FILTER (WHERE l_orderkey IS NULL
+      |      OR l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS BIGINT) FROM lineitem
+      |  UNION ALL SELECT 'fk_lineitem_part',
+      |    CAST(COUNT(*) FILTER (WHERE l_partkey IS NULL
+      |      OR l_partkey NOT IN (SELECT p_partkey FROM part)) AS BIGINT) FROM lineitem
+      |  UNION ALL SELECT 'fk_lineitem_supplier',
+      |    CAST(COUNT(*) FILTER (WHERE l_suppkey IS NULL
+      |      OR l_suppkey NOT IN (SELECT s_suppkey FROM supplier)) AS BIGINT) FROM lineitem
+      |  UNION ALL SELECT 'fk_orders_customer',
+      |    CAST(COUNT(*) FILTER (WHERE o_custkey IS NULL
+      |      OR o_custkey NOT IN (SELECT c_custkey FROM customer)) AS BIGINT) FROM orders)
+      |ORDER BY rule_name""".stripMargin) { (s, d) =>
+    def pkAudit(table: String, key: String): DataFrame =
+      Tables.t(s, d, table).agg(
+        (count(lit(1)) - count_distinct(col(key))).cast("long").as("violations"))
+        .select(lit(s"pk_$table").as("rule_name"), col("violations"))
+    val li = Tables.t(s, d, "lineitem")
+    def parentKeys(table: String, key: String, marker: String): DataFrame =
+      Tables.t(s, d, table).select(col(key), lit(1).as(marker))
+    // one fact scan, three unique-build left joins, conditional counts
+    val liAudit = li.select("l_orderkey", "l_partkey", "l_suppkey")
+      .join(parentKeys("orders", "o_orderkey", "hit_o"),
+        col("l_orderkey") === col("o_orderkey"), "left")
+      .join(parentKeys("part", "p_partkey", "hit_p"),
+        col("l_partkey") === col("p_partkey"), "left")
+      .join(parentKeys("supplier", "s_suppkey", "hit_s"),
+        col("l_suppkey") === col("s_suppkey"), "left")
+      .agg(
+        sum(when(col("hit_o").isNull, 1L).otherwise(0L)).as("fk_lineitem_orders"),
+        sum(when(col("hit_p").isNull, 1L).otherwise(0L)).as("fk_lineitem_part"),
+        sum(when(col("hit_s").isNull, 1L).otherwise(0L)).as("fk_lineitem_supplier"))
+    val liRows = liAudit.select(explode(array(
+      struct(lit("fk_lineitem_orders").as("rule_name"),
+        col("fk_lineitem_orders").as("violations")),
+      struct(lit("fk_lineitem_part").as("rule_name"),
+        col("fk_lineitem_part").as("violations")),
+      struct(lit("fk_lineitem_supplier").as("rule_name"),
+        col("fk_lineitem_supplier").as("violations")))).as("r"))
+      .select(col("r.rule_name"), col("r.violations"))
+    val ordAudit = Tables.t(s, d, "orders")
+      .join(parentKeys("customer", "c_custkey", "hit_c"),
+        col("o_custkey") === col("c_custkey"), "left")
+      .agg(sum(when(col("hit_c").isNull, 1L).otherwise(0L)).as("violations"))
+      .select(lit("fk_orders_customer").as("rule_name"), col("violations"))
+    pkAudit("orders", "o_orderkey")
+      .unionByName(pkAudit("customer", "c_custkey"))
+      .unionByName(pkAudit("part", "p_partkey"))
+      .unionByName(pkAudit("supplier", "s_suppkey"))
+      .unionByName(liRows)
+      .unionByName(ordAudit)
+      .orderBy("rule_name")
+  }
+
   val all: Seq[Q] = Seq(
     i01PageScan, i02TimestampParse, i03WatermarkFilter, i04RunningMax,
     i05PartitionedSink, i06BackfillCursor, i07DailyCounts,
@@ -738,5 +821,5 @@ object IngestQueries {
     i12SchemaEvolution, i13StreamingSource, i14DynamicOverwrite,
     i15OrcRoundtrip, i16SortedSkipping, i17Compaction, i18V2AtomicSink,
     i19ParquetBloom, i20MergeOnRead, i21SpjJoin, i22SnapshotDiff,
-    i23SnapshotDrift)
+    i23SnapshotDrift, i24ConstraintAudit)
 }

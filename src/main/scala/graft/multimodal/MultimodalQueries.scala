@@ -309,7 +309,85 @@ object MultimodalQueries {
       .orderBy("cycle", "kind")
   }
 
+  /** CONTENT-DEFINED CHUNKING (CDC) — the shift-resistant complement of
+    * m06's fixed-size shredding and the primitive every
+    * content-addressable blob store (LBFS, restic, borg, FastCDC) cuts
+    * on: a chunk boundary falls wherever a hash of the trailing W-byte
+    * WINDOW clears a modulus, so boundaries depend only on LOCAL content.
+    * Insert one byte at the front of an asset and fixed-size chunking
+    * re-hashes every chunk; CDC re-hashes only up to the first boundary
+    * (CdcChunkingSpec proves exactly that). W = 16, modulus 32 → ~32-byte
+    * expected chunks at this fixture size.
+    *
+    * The window hash here is the catalog's md5-portable form so every
+    * boundary decision is bit-identical in DuckDB (one md5 per position —
+    * O(L·W) hashing that the oracle can mirror); a production engine
+    * swaps in a GEAR/Rabin ROLLING hash (O(L), one table lookup + shift
+    * per byte) as a codegen'd Expression — the boundary CONTRACT and
+    * everything downstream (chunk rows, dedup by chunk_md5) is hash-
+    * function-agnostic. Per-asset work is a scan-local array program
+    * (sequence → filter → zip_with → posexplode): assets never meet each
+    * other, so the op is embarrassingly parallel at any corpus size; the
+    * doc_id < 100 scope matches m06 (bounds the oracle, not the
+    * engine). */
+  val m09CdcChunking: Q = Q(
+    "m09_cdc_chunking",
+    """WITH a AS (SELECT doc_id AS asset_id, text, length(text) AS L
+      |           FROM documents WHERE doc_id < 100 AND length(text) > 0),
+      |b AS (SELECT asset_id, text, L,
+      |        [p FOR p IN range(16, L)
+      |         IF ('0x' || substr(md5(substr(text, CAST(p - 15 AS INT), 16)), 1, 4))::BIGINT % 32 = 0] AS bounds
+      |      FROM a),
+      |c AS (SELECT asset_id, text,
+      |        list_prepend(CAST(1 AS BIGINT), [CAST(b + 1 AS BIGINT) FOR b IN bounds]) AS starts,
+      |        list_append([CAST(b AS BIGINT) FOR b IN bounds], CAST(L AS BIGINT)) AS ends
+      |      FROM b)
+      |SELECT asset_id, CAST(i - 1 AS BIGINT) AS chunk_idx,
+      |  starts[i] AS start_pos,
+      |  ends[i] - starts[i] + 1 AS chunk_len,
+      |  md5(substr(text, CAST(starts[i] AS INT),
+      |             CAST(ends[i] - starts[i] + 1 AS INT))) AS chunk_md5
+      |FROM c, LATERAL unnest(range(1, len(starts) + 1)) AS t(i)
+      |ORDER BY asset_id, chunk_idx""".stripMargin) { (s, d) =>
+    val t = col("text")
+    val len = length(t)
+    // position p (1-based) ends a window text[p-15..p]; p = L stays the
+    // final chunk end, so candidates stop at L-1. sequence() guard: the
+    // m06 lesson — Spark sequence(16, 15) DESCENDS, DuckDB range(16, 16)
+    // is empty.
+    val candidates = when(len >= lit(17), sequence(lit(16), len - 1))
+      .otherwise(array().cast("array<int>"))
+    val isBoundary = (p: org.apache.spark.sql.Column) =>
+      conv(substring(md5(t.substr(p - 15, lit(16))), 1, 4), 16, 10)
+        .cast("long") % 32 === 0
+    val boundsL = transform(filter(candidates, isBoundary), _.cast("long"))
+    // Boundary detection (an md5 per position) materializes ONCE: starts
+    // and ends both reference the bounds array, and projection collapse
+    // would inline the full window-hash scan into each (the t02/st21
+    // recompute lesson — measured 10.3 s → ~4 s at sf0.1).
+    val staged = graft.Stage.materialize(s,
+      docs(s, d)
+        .filter(col("doc_id") < 100 && len > 0)
+        .select(col("doc_id").as("asset_id"), t,
+          boundsL.as("bounds"), len.cast("long").as("len")),
+      "m09bounds")
+    val b = col("bounds")
+    val starts = concat(array(lit(1L)), transform(b, _ + 1L))
+    val ends = concat(b, array(col("len")))
+    staged
+      .select(col("asset_id"), t,
+        zip_with(starts, ends, (a, x) => struct(a.as("st"), x.as("en"))).as("pairs"))
+      .select(col("asset_id"), t, posexplode(col("pairs")))
+      .select(col("asset_id"),
+        col("pos").cast("long").as("chunk_idx"),
+        col("col.st").as("start_pos"),
+        (col("col.en") - col("col.st") + 1L).as("chunk_len"),
+        md5(t.substr(col("col.st").cast("int"),
+          (col("col.en") - col("col.st") + 1L).cast("int"))).as("chunk_md5"))
+      .orderBy("asset_id", "chunk_idx")
+  }
+
   val all: Seq[Q] = Seq(m01AssetCatalog, m02DecodeMeta, m03ResizeBatch,
     m04FrameSample, m05TypedMetaByKind, m06AssetChunking, m07BinaryNearDup,
-    m08Interleave)
+    m08Interleave, m09CdcChunking)
 }

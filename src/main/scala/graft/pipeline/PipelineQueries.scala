@@ -1030,7 +1030,65 @@ object PipelineQueries {
     }
   }
 
+  /** DETERMINISTIC GLOBAL SHUFFLE → balanced training shards — the data
+    * loader's prerequisite (WebDataset/TFRecord sharding): documents get
+    * a pseudo-random but REPRODUCIBLE order (rank by a portable keyed
+    * hash — 15 md5 hex digits, 60 bits, collision-broken by doc_id so
+    * the order is total), then round-robin into 16 shards, which makes
+    * shard sizes provably balanced (max − min ≤ 1 doc, ShardShuffleSpec)
+    * rather than merely balanced in expectation as hash-mod sharding
+    * would be. The entry emits the per-shard manifest (doc/token counts
+    * + id checksum) — what a loader validates before training.
+    *
+    * The global rank uses NO global window: m08's distributed-rank
+    * machinery — the hash key's high bits bucket the order domain into
+    * 128 ranges, ranks are per-bucket row_numbers plus broadcast bucket
+    * offsets (the offset table is 128 rows at any corpus size). One
+    * shuffle of (8B key, 8B id) pairs; document text never moves. At
+    * 100 TB the physical write would be `partitionBy(shard)` on this
+    * same assignment; the manifest here is the part an oracle can
+    * hash-check. */
+  val p13ShardShuffle: Q = Q(
+    "p13_shard_shuffle",
+    """WITH r AS (
+      |  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+      |    ROW_NUMBER() OVER (ORDER BY
+      |      ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT, doc_id) AS rnk
+      |  FROM documents)
+      |SELECT CAST((rnk - 1) % 16 AS BIGINT) AS shard,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+      |FROM r GROUP BY 1 ORDER BY shard""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val keyed = Tables.t(s, d, "documents")
+        .select(col("doc_id"),
+          org.apache.spark.sql.GraftPlanShim.column(graft.functions.CountTokens(
+            org.apache.spark.sql.GraftPlanShim.expression(col("text")))).as("n_tokens"),
+          conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+            .cast("long").as("ok"))
+        .withColumn("bkt", expr("ok div 4503599627370496")) // 2^52 → ≤256 ranges of the 60-bit key
+      val rnLocal = row_number()
+        .over(Window.partitionBy("bkt").orderBy("ok", "doc_id")).cast("long")
+      val offsets = keyed.groupBy("bkt")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("off",
+          coalesce(sum(col("n")).over(Window.orderBy("bkt")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("bkt", "off")
+      keyed
+        .withColumn("rn", rnLocal)
+        .join(broadcast(offsets), Seq("bkt"))
+        .select(((col("off") + col("rn") - 1L) % 16).as("shard"),
+          col("doc_id"), col("n_tokens"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          sum(col("doc_id")).as("id_checksum"))
+        .orderBy("shard")
+    }
+
   val all: Seq[Q] = Seq(p01TrainingPipeline, p02CurationPipeline, p03Pagerank, p04Triangles,
     p05BfsHops, p06BfsRecursiveCte, p07MixAllocation, p08SequencePack, p09HybridRetrieval,
-    p10InbatchNegatives, p11DataCard, p12TemperatureMix)
+    p10InbatchNegatives, p11DataCard, p12TemperatureMix, p13ShardShuffle)
 }

@@ -171,9 +171,16 @@ object TextQueries {
       |  len(regexp_extract_all(text, '[aeiou]+|[b-df-hj-np-tv-z]+')) AS n_subword,
       |  n_chars
       |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    // native zero-allocation token count (split semantics = #spaces + 1;
+    // CountTokens scaladoc) — size(split()) materialized the full token
+    // array per row only to read its length. The oracle keeps
+    // len(string_split): same count, and CountTokensSpec pins parity.
+    val nWs = org.apache.spark.sql.GraftPlanShim.column(
+      graft.functions.CountTokens(
+        org.apache.spark.sql.GraftPlanShim.expression(col("text"))))
     docs(s, d)
       .select(col("doc_id"),
-        size(toks).cast("long").as("n_ws"),
+        nWs.as("n_ws"),
         // regexp_count counts matches without materializing the match
         // array (the oracle keeps len(regexp_extract_all) — same count)
         regexp_count(col("text"), lit("[a-z0-9]+")).cast("long").as("n_words"),

@@ -250,6 +250,46 @@ object Probe {
           count(lit(1)).as("n_events"), graft.Det.dsum128(col("value")).as("total_value")))
       if (on("full")) time("q43_full")(agg.orderBy("user_id", "session_id"))
     }
+    if (sys.env.contains("PROBE_T06")) {
+      // token counting: array-materializing size(split()) vs the native
+      // zero-allocation byte scan (CountTokens) — same count by the same
+      // split semantics (spec-pinned), different per-row cost.
+      val base = graft.Tables.t(spark, d, "documents")
+      def splitForm = base.select(size(split(col("text"), " ")).cast("long").as("n"))
+        .agg(sum(col("n")).as("total"))
+      def nativeForm = base.select(org.apache.spark.sql.GraftPlanShim.column(
+          graft.functions.CountTokens(
+            org.apache.spark.sql.GraftPlanShim.expression(col("text")))).as("n"))
+        .agg(sum(col("n")).as("total"))
+      time("t06_split_size_warm")(splitForm)
+      time("t06_split_size")(splitForm)
+      time("t06_native_count_warm")(nativeForm)
+      time("t06_native_count")(nativeForm)
+    }
+    if (sys.env.contains("PROBE_Q94")) {
+      // RELY join elimination: the q94 shape with the rule OFF (stock
+      // plan — fact shuffles/broadcast-probes against the orders build)
+      // vs ON (join deleted, one scan). Also prints scan counts.
+      def shape = {
+        val li = graft.Tables.t(spark, d, "lineitem")
+        val dim = graft.Tables.t(spark, d, "orders")
+        li.join(dim, col("l_orderkey") === col("o_orderkey"))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("n"), graft.Det.dsum(col("l_quantity")).as("sum_qty"))
+          .orderBy("l_returnflag", "l_linestatus")
+      }
+      def scans(df: DataFrame): Int = df.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
+      }.size
+      time("q94_rule_off_warm")(shape)
+      time("q94_rule_off")(shape)
+      println(s"[probe] q94_rule_off scans=${scans(shape)}")
+      graft.plans.TableConstraints.registerStarSchema()
+      graft.plans.RewriteJoinElimination.register(spark)
+      time("q94_rule_on_warm")(shape)
+      time("q94_rule_on")(shape)
+      println(s"[probe] q94_rule_on  scans=${scans(shape)}")
+    }
     spark.stop()
   }
 }

@@ -54,7 +54,11 @@ class PlanLintSpec extends AnyFunSuite {
       // p12's windows run on the per-LANGUAGE bucket table — single-digit
       // rows at any corpus size (p07's argument verbatim: the remainder
       // rank of largest-remainder apportionment is inherently global).
-      "p12_temperature_mix")
+      "p12_temperature_mix",
+      // p13's running-offset window runs on the 256-row bucket-count
+      // relation (m08's distributed-rank machinery) — bounded by the
+      // 60-bit key domain's div-2^52 bucketing, never by the corpus.
+      "p13_shard_shuffle")
 
   test("no catalog query plans a single-partition window or a cartesian product") {
     val violations = SparkEntry.catalog.flatMap { q =>
