@@ -167,5 +167,6 @@ object GraftEngine {
     RewriteOrExpansion.register(spark)
     TableConstraints.registerStarSchema()
     RewriteJoinElimination.register(spark)
+    RewriteTopKThroughJoin.register(spark)
   }
 }

@@ -194,5 +194,6 @@ class GraftPlanExtensions extends (SparkSessionExtensions => Unit) {
     // same batch's later iterations, so the elimination still fires.
     TableConstraints.registerStarSchema()
     ext.injectOptimizerRule(_ => RewriteJoinElimination)
+    ext.injectOptimizerRule(_ => RewriteTopKThroughJoin)
   }
 }

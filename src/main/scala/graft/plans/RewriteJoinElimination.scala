@@ -190,22 +190,29 @@ object RewriteJoinElimination extends Rule[LogicalPlan] with PredicateHelper {
   }
 
   private def survivor(parentRefs: AttributeSet, j: Join): Option[LogicalPlan] =
+    preservedSides(j).find(k => parentRefs.subsetOf(k.outputSet))
+
+  /** The join sides whose ROW MULTISET the join provably preserves under
+    * the declared constraints — each fact row appears in the output
+    * exactly once, with its own column values intact. This is the shared
+    * license: elimination drops the join when the parent reads only a
+    * preserved side; top-k pushdown ([[RewriteTopKThroughJoin]]) commutes
+    * an ORDER-BY-fact-columns LIMIT below the join for the same reason. */
+  private[plans] def preservedSides(j: Join): Seq[LogicalPlan] =
     j.joinType match {
       case Inner =>
-        tryEliminate(parentRefs, j, j.left, j.right, outer = false)
-          .orElse(tryEliminate(parentRefs, j, j.right, j.left, outer = false))
-      case LeftOuter => tryEliminate(parentRefs, j, j.left, j.right, outer = true)
-      case RightOuter => tryEliminate(parentRefs, j, j.right, j.left, outer = true)
-      case _ => None
+        (tryLicense(j, j.left, j.right, outer = false) ++
+          tryLicense(j, j.right, j.left, outer = false)).toSeq
+      case LeftOuter => tryLicense(j, j.left, j.right, outer = true).toSeq
+      case RightOuter => tryLicense(j, j.right, j.left, outer = true).toSeq
+      case _ => Nil
     }
 
-  private def tryEliminate(
-      parentRefs: AttributeSet,
+  private def tryLicense(
       j: Join,
       kept: LogicalPlan,
       dropped: LogicalPlan,
       outer: Boolean): Option[LogicalPlan] = {
-    if (!parentRefs.subsetOf(kept.outputSet)) return None
     val cond = j.condition.getOrElse(return None)
     if (!cond.deterministic) return None
     val (dimTable, scan, dimFilters) = dimScan(dropped).getOrElse(return None)

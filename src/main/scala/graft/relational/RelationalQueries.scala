@@ -3211,6 +3211,31 @@ object RelationalQueries {
       .orderBy("l_returnflag", "l_linestatus")
   }
 
+  /** Top-k-through-join rule demonstration
+    * ([[graft.plans.RewriteTopKThroughJoin]]): the "top deals with their
+    * order priority" shape — a fact top-k that READS a dimension column,
+    * so join elimination cannot fire, yet the join still need not see
+    * the whole fact table: the FK license proves the join preserves the
+    * fact multiset, so the TakeOrdered commutes below it and the join
+    * probes 20 rows instead of everything. Sort keys form a total order
+    * (price, orderkey, linenumber), so the pushed and unpushed plans
+    * pick identical rows and the oracle is exact. TopKJoinSpec asserts
+    * the pushed plan shape (a GlobalLimit UNDER the join) and that
+    * stock Spark keeps the full join under the sort. */
+  val q95TopkJoinAuto: Q = Q(
+    "q95_topk_join_auto",
+    """SELECT l_orderkey, l_linenumber, l_extendedprice, o_orderpriority
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 20""".stripMargin) {
+    (s, d) =>
+      Tables.t(s, d, "lineitem")
+        .join(Tables.t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"), col("o_orderpriority"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(20)
+  }
+
   val all: Seq[Q] = Seq(
     q01ScanProject, q02Predicates, q03AggBasic, q04AggDistinct, q05Rollup,
     q06Cube, q07JoinBroadcast, q08JoinMultiway, q09JoinOuter, q10JoinFull,
@@ -3233,5 +3258,5 @@ object RelationalQueries {
     q83Histogram, q84BitmapDistinctAuto, q85ExactQuantiles,
     q86SelfJoinWindowAuto, q87GroupQuota, q88OrJoinAuto, q89PercentileCont,
     q90Kanon, q91GroupedPercentiles, q92AsofTolerance, q93RollingDistinct,
-    q94JoinElimAuto)
+    q94JoinElimAuto, q95TopkJoinAuto)
 }
