@@ -266,6 +266,42 @@ object Probe {
       time("t06_native_count_warm")(nativeForm)
       time("t06_native_count")(nativeForm)
     }
+    if (sys.env.contains("PROBE_Q95")) {
+      // Top-k-through-join: the q95 shape with the rule OFF (stock plan
+      // — the ENTIRE fact table flows through the join, then TakeOrdered)
+      // vs ON (TakeOrdered below the join; the join probes k rows).
+      // Tracks join-input volume via shuffle/output records.
+      val s = spark
+      @volatile var recs = 0L
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          recs += sc.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten
+      }
+      s.sparkContext.addSparkListener(listener)
+      def shape = {
+        val li = graft.Tables.t(s, d, "lineitem")
+        val dim = graft.Tables.t(s, d, "orders")
+        li.join(dim, col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_extendedprice"), col("o_orderpriority"))
+          .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+          .limit(20)
+      }
+      def run(tag: String): Unit = {
+        recs = 0
+        val t0 = System.nanoTime()
+        shape.write.format("noop").mode("overwrite").save()
+        Thread.sleep(1500)
+        println(f"[probe] $tag%-18s wall ${(System.nanoTime() - t0) / 1e9}%6.2f s " +
+          f"shuffleRecs $recs%,12d")
+      }
+      run("q95_rule_off_warm"); run("q95_rule_off")
+      graft.plans.TableConstraints.registerStarSchema()
+      graft.plans.RewriteTopKThroughJoin.register(s)
+      run("q95_rule_on_warm"); run("q95_rule_on")
+      spark.stop(); sys.exit(0)
+    }
     if (sys.env.contains("PROBE_Q94")) {
       // RELY join elimination: the q94 shape with the rule OFF (stock
       // plan — fact shuffles/broadcast-probes against the orders build)
