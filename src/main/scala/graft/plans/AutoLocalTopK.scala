@@ -168,5 +168,6 @@ object GraftEngine {
     TableConstraints.registerStarSchema()
     RewriteJoinElimination.register(spark)
     RewriteTopKThroughJoin.register(spark)
+    RewriteDistinctByKey.register(spark)
   }
 }

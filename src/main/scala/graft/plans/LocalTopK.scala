@@ -195,5 +195,6 @@ class GraftPlanExtensions extends (SparkSessionExtensions => Unit) {
     TableConstraints.registerStarSchema()
     ext.injectOptimizerRule(_ => RewriteJoinElimination)
     ext.injectOptimizerRule(_ => RewriteTopKThroughJoin)
+    ext.injectOptimizerRule(_ => RewriteDistinctByKey)
   }
 }

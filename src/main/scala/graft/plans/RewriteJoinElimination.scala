@@ -57,6 +57,15 @@ object TableConstraints {
     declareFk("lineitem", Seq("l_suppkey"), "supplier", Seq("s_suppkey"))
     declareFk("orders", Seq("o_custkey"), "customer", Seq("c_custkey"))
     declareFk("customer", Seq("c_nationkey"), "nation", Seq("n_nationkey"))
+    // Event/corpus tables: single-column surrogate keys, uniqueness
+    // verified in every shipped sf dir and preserved by ScaleUp's
+    // per-replica key strides (lineitem deliberately has NO declared
+    // key — its (l_orderkey, l_linenumber) is not unique in this
+    // synthetic corpus, and declaring an unverified key is exactly the
+    // RELY bargain violated).
+    declarePk("events", Seq("event_id"))
+    declarePk("documents", Seq("doc_id"))
+    declarePk("embeddings", Seq("vec_id"))
   }
 }
 
@@ -106,7 +115,7 @@ object TableConstraints {
 object RewriteJoinElimination extends Rule[LogicalPlan] with PredicateHelper {
 
   /** Terminal-segment table name of a single-root file scan. */
-  private def tableOf(l: LogicalRelation): Option[String] = l.relation match {
+  private[plans] def tableOf(l: LogicalRelation): Option[String] = l.relation match {
     case h: HadoopFsRelation =>
       h.location.rootPaths.map(_.getName).distinct match {
         case Seq(one) if one.endsWith(".parquet") => Some(one.stripSuffix(".parquet"))

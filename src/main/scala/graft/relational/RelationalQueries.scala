@@ -3236,6 +3236,29 @@ object RelationalQueries {
         .limit(20)
   }
 
+  /** Distinct-elimination rule demonstration
+    * ([[graft.plans.RewriteDistinctByKey]]): the "latest distinct
+    * records" report shape — DISTINCT over columns that happen to cover
+    * the table's declared unique key, then a top-k. Stock Spark
+    * full-width-shuffles every row through a dedup Aggregate that
+    * cannot remove a single one (event_id is unique under RELY); the
+    * rule deletes it, collapsing the whole query to a TakeOrdered heap
+    * scan — zero exchanges. At 100 TB the deleted exchange IS the
+    * query's cost. DistinctElimSpec asserts both plan shapes and row
+    * parity; PROBE_Q96 measures the win. ORDER BY is total
+    * (value can tie; event_id cannot). */
+  val q96DistinctElimAuto: Q = Q(
+    "q96_distinct_elim_auto",
+    """SELECT event_id, event_type, value
+      |FROM (SELECT DISTINCT event_id, event_type, value FROM events) t
+      |ORDER BY value DESC, event_id LIMIT 20""".stripMargin) { (s, d) =>
+    Tables.t(s, d, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+      .distinct()
+      .orderBy(col("value").desc, col("event_id"))
+      .limit(20)
+  }
+
   val all: Seq[Q] = Seq(
     q01ScanProject, q02Predicates, q03AggBasic, q04AggDistinct, q05Rollup,
     q06Cube, q07JoinBroadcast, q08JoinMultiway, q09JoinOuter, q10JoinFull,
@@ -3258,5 +3281,5 @@ object RelationalQueries {
     q83Histogram, q84BitmapDistinctAuto, q85ExactQuantiles,
     q86SelfJoinWindowAuto, q87GroupQuota, q88OrJoinAuto, q89PercentileCont,
     q90Kanon, q91GroupedPercentiles, q92AsofTolerance, q93RollingDistinct,
-    q94JoinElimAuto, q95TopkJoinAuto)
+    q94JoinElimAuto, q95TopkJoinAuto, q96DistinctElimAuto)
 }

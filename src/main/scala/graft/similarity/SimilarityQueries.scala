@@ -1258,9 +1258,45 @@ object SimilarityQueries {
       .limit(20)
   }
 
+  /** FILTERED vector search — top-k under a metadata predicate, the
+    * production retrieval shape every vector store ships (Qdrant/
+    * Vespa/pgvector "filtered ANN"): "nearest English docs of at least
+    * 200 chars", where the predicate lives on the documents DIM table,
+    * not the vector table. Strategy here is PRE-FILTER, the exact one:
+    * resolve the predicate on the skinny metadata table, semi-join the
+    * allowed ids into the vector scan (broadcast at this selectivity;
+    * at 100 TB an over-broadcast-sized allow set degrades to an 8-byte
+    * key shuffle — the 256-byte vectors never move either way), then
+    * exact cosine + TakeOrdered over survivors. Chosen over
+    * POST-filter (ANN shortlist → apply predicate), which silently
+    * under-fills k when the predicate is selective — the classic
+    * filtered-ANN recall trap; with the filter pushed into the scan,
+    * exactness costs one pass over the SURVIVORS only, and the v07/v11
+    * cell-pruning composes on top when even that pass is too big. */
+  val v21FilteredAnn: Q = Q(
+    "v21_filtered_ann",
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |p AS (SELECT v AS pv FROM e WHERE vec_id = 0),
+      |allowed AS (SELECT doc_id FROM documents WHERE lang = 'en' AND n_chars >= 200)
+      |SELECT e.vec_id, list_cosine_similarity(e.v, p.pv) AS cos_sim
+      |FROM e JOIN allowed a ON e.vec_id = a.doc_id, p
+      |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin) { (s, d) =>
+    val e = emb(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val allowed = Tables.t(s, d, "documents")
+      .filter(col("lang") === "en" && col("n_chars") >= 200)
+      .select(col("doc_id"))
+    val probe = e.filter(col("vec_id") === 0).select(col("v").as("pv"))
+    e.join(broadcast(allowed), col("vec_id") === col("doc_id"), "left_semi")
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"), cosine(col("v"), col("pv")).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
   val all: Seq[Q] = Seq(v01CosineTopK, v02DotTopK, v03AnnLshBucket,
     v04EmbeddingNearDup, v05CosineTopKNative, v06AnnIvf, v07AnnPartitionPruned,
     v08LabelCentroids, v09KmeansPortable, v10QuantizedDot, v11IvfPortable,
     v12CertifiedRerank, v13MaxipLsh, v14BatchedAnn, v15PqAdc, v16MmrRerank,
-    v17AnnRecall, v18IvfRecall, v19BinarySig, v20IvfPq)
+    v17AnnRecall, v18IvfRecall, v19BinarySig, v20IvfPq, v21FilteredAnn)
 }

@@ -302,6 +302,37 @@ object Probe {
       run("q95_rule_on_warm"); run("q95_rule_on")
       spark.stop(); sys.exit(0)
     }
+    if (sys.env.contains("PROBE_Q96")) {
+      // Distinct elimination: the q96 shape with the rule OFF (stock —
+      // the dedup Aggregate full-width-shuffles every row) vs ON (the
+      // DISTINCT is deleted; the query is one TakeOrdered scan).
+      val s = spark
+      @volatile var recs = 0L
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          recs += sc.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten
+      }
+      s.sparkContext.addSparkListener(listener)
+      def shape = graft.Tables.t(s, d, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+        .distinct()
+        .orderBy(col("value").desc, col("event_id"))
+        .limit(20)
+      def run(tag: String): Unit = {
+        recs = 0
+        val t0 = System.nanoTime()
+        shape.write.format("noop").mode("overwrite").save()
+        Thread.sleep(1500)
+        println(f"[probe] $tag%-18s wall ${(System.nanoTime() - t0) / 1e9}%6.2f s " +
+          f"shuffleRecs $recs%,12d")
+      }
+      run("q96_rule_off_warm"); run("q96_rule_off")
+      graft.plans.TableConstraints.registerStarSchema()
+      graft.plans.RewriteDistinctByKey.register(s)
+      run("q96_rule_on_warm"); run("q96_rule_on")
+      spark.stop(); sys.exit(0)
+    }
     if (sys.env.contains("PROBE_Q94")) {
       // RELY join elimination: the q94 shape with the rule OFF (stock
       // plan — fact shuffles/broadcast-probes against the orders build)

@@ -90,10 +90,13 @@ class JoinEliminationSpec extends AnyFunSuite {
     val refDim = li.join(orders, col("l_orderkey") === col("o_orderkey"))
       .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
     assert(joins(refDim) == 1, "eliminated a join whose dim side is read")
-    // events has no declared PK — untouched even when unreferenced
+    // lineitem is the one table with NO declared key (its 2-col key is
+    // not unique in this corpus) — untouched even when unreferenced.
+    // (events moved to the declared side when RewriteDistinctByKey
+    // landed its verified event_id/doc_id/vec_id declarations.)
     val ev = graft.Tables.t(s, d, "events")
-    val undeclared = li.join(ev, col("l_orderkey") === col("event_id"), "left_outer")
-      .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+    val undeclared = ev.join(li, col("event_id") === col("l_orderkey"), "left_outer")
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
     assert(joins(undeclared) == 1, "eliminated against an undeclared table")
   }
 
