@@ -691,17 +691,24 @@ object DedupQueries {
     * 10× data at the 100× step), the exact failure mode SemDeDup's
     * own k ∝ N prescription exists to prevent. With k ∝ N a FLAT
     * assignment scan is itself O(N·k) = O(N²/256) — measured as the
-    * next bend (125 of 132 s at sf10) — so assignment is TWO-LEVEL,
-    * the v07 partition-pruning discipline applied to dedup: the k fine
-    * centroids are bucketed under g = √k coarse ones, each vector
-    * finds its coarse bucket (N·g distances) and probes only that
-    * bucket's fine centroids (N·k/g expected), O(N·√k) total. Every
-    * argmin is the native [[graft.functions.ArgMinLong]] hash
-    * aggregate on the exploded stream — flat codegen'd buffer,
-    * map-side partial aggregation, so no expansion ever crosses the
-    * wire — ranking by the reduced key |c|²-2v·c (|v|² is constant
-    * per group; both engines rank by the same reduced expression, so
-    * fp ties agree), lexicographic (dist, cell) tie-break.
+    * next bend (125 of 132 s at sf10) — so assignment descends a
+    * THREE-LEVEL quantizer tree, the v07 partition-pruning discipline
+    * applied recursively: k fine centroids bucket under m = t² mid
+    * centroids, mids under t = ⌊∛k⌋ tops (t found by integer search —
+    * no cross-engine pow(x,1/3) last-ulp hazard), and each vector pays
+    * t + m/t + k/m ≈ 3∛k distances instead of the two-level 2√k —
+    * exponent 1.5 → 4/3 on the assignment term, the bend the 1000×
+    * campaign measured (22.4× per decade at sf100, model-predicted).
+    * The remaining 4/3 is the fixed depth: the fixed-text oracle can't
+    * express a data-dependent level count, so the full log-depth tree
+    * (N·b·log_b k, per-decade-linear) stays the documented production
+    * step beyond this demonstrated rung. Every argmin is the native
+    * [[graft.functions.ArgMinLong]] hash aggregate on the exploded
+    * stream — flat codegen'd buffer, map-side partial aggregation, so
+    * no expansion ever crosses the wire — ranking by the reduced key
+    * |c|²-2v·c (|v|² is constant per group; both engines rank by the
+    * same reduced expression, so fp ties agree), lexicographic
+    * (dist, cell) tie-break.
     * At extreme scale the broadcast centroid set itself outgrows the
     * driver — that regime shards the centroid table and the coarse
     * probe becomes v07's partition-pruned join. Keep-lowest-id is the
@@ -713,28 +720,51 @@ object DedupQueries {
   val d10SemanticDedup: Q = Q(
     "d10_semantic_dedup",
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-      |kk AS (SELECT GREATEST(8, COUNT(*) // 256) AS k FROM e),
-      |gg AS (SELECT GREATEST(4, CAST(FLOOR(SQRT(k)) AS BIGINT)) AS g FROM kk),
-      |c0 AS (SELECT vec_id AS cell, v AS c, list_dot_product(v, v) AS cn
-      |       FROM e, kk WHERE vec_id < kk.k),
-      |co AS (SELECT cell AS gcell, c AS gc, cn AS gcn
-      |       FROM c0, gg WHERE cell < gg.g),
-      |f2c AS (SELECT cell, gcell FROM (
-      |   SELECT c0.cell, co.gcell,
+      |nn AS (SELECT COUNT(*) AS n FROM e),
+      |kk AS (SELECT GREATEST(8, n // 256) AS k FROM nn),
+      |tt AS (SELECT GREATEST(2, (SELECT MAX(i) FROM range(1, 4097) r(i), kk
+      |                           WHERE i * i * i <= kk.k)) AS t),
+      |mm AS (SELECT t * t AS m FROM tt),
+      |bb AS (SELECT vec_id,
+      |         ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT AS h
+      |       FROM e),
+      |bc AS (SELECT vec_id, h, h % kk.k AS cell FROM bb, kk),
+      |mh AS (SELECT cell, MIN(h) AS mh FROM bc GROUP BY cell),
+      |win AS (SELECT bc.cell, MIN(bc.vec_id) AS cvid FROM bc
+      |        JOIN mh ON bc.cell = mh.cell AND bc.h = mh.mh GROUP BY bc.cell),
+      |c0 AS (SELECT win.cell, e.v AS c, list_dot_product(e.v, e.v) AS cn
+      |       FROM win JOIN e ON e.vec_id = win.cvid),
+      |cm AS (SELECT cell AS mcell, c AS mc, cn AS mcn
+      |       FROM c0, kk, mm WHERE cell % (kk.k // mm.m) = 0),
+      |ct AS (SELECT cell AS tcell, c AS tc, cn AS tcn
+      |       FROM c0, kk, tt WHERE cell % (kk.k // tt.t) = 0),
+      |m2t AS (SELECT mcell, tcell FROM (
+      |   SELECT cm.mcell, ct.tcell,
+      |     row_number() OVER (PARTITION BY cm.mcell ORDER BY
+      |       (ct.tcn - 2 * list_dot_product(cm.mc, ct.tc)), ct.tcell) AS rn
+      |   FROM cm, ct) WHERE rn = 1),
+      |f2m AS (SELECT cell, mcell FROM (
+      |   SELECT c0.cell, cm.mcell,
       |     row_number() OVER (PARTITION BY c0.cell ORDER BY
-      |       (co.gcn - 2 * list_dot_product(c0.c, co.gc)), co.gcell) AS rn
-      |   FROM c0, co) WHERE rn = 1),
-      |vg AS (SELECT vec_id, v, gcell FROM (
-      |   SELECT e.vec_id, e.v, co.gcell,
+      |       (cm.mcn - 2 * list_dot_product(c0.c, cm.mc)), cm.mcell) AS rn
+      |   FROM c0, cm) WHERE rn = 1),
+      |vt AS (SELECT vec_id, v, tcell FROM (
+      |   SELECT e.vec_id, e.v, ct.tcell,
       |     row_number() OVER (PARTITION BY e.vec_id ORDER BY
-      |       (co.gcn - 2 * list_dot_product(e.v, co.gc)), co.gcell) AS rn
-      |   FROM e, co) WHERE rn = 1),
+      |       (ct.tcn - 2 * list_dot_product(e.v, ct.tc)), ct.tcell) AS rn
+      |   FROM e, ct) WHERE rn = 1),
+      |vm AS (SELECT vec_id, v, mcell FROM (
+      |   SELECT vt.vec_id, vt.v, cm.mcell,
+      |     row_number() OVER (PARTITION BY vt.vec_id ORDER BY
+      |       (cm.mcn - 2 * list_dot_product(vt.v, cm.mc)), cm.mcell) AS rn
+      |   FROM vt JOIN m2t ON m2t.tcell = vt.tcell
+      |           JOIN cm ON cm.mcell = m2t.mcell) WHERE rn = 1),
       |a1 AS (SELECT vec_id, v, cell FROM (
-      |   SELECT vg.vec_id, vg.v, c0.cell,
-      |     row_number() OVER (PARTITION BY vg.vec_id ORDER BY
-      |       (c0.cn - 2 * list_dot_product(vg.v, c0.c)), c0.cell) AS rn
-      |   FROM vg JOIN f2c ON f2c.gcell = vg.gcell
-      |           JOIN c0 ON c0.cell = f2c.cell) WHERE rn = 1),
+      |   SELECT vm.vec_id, vm.v, c0.cell,
+      |     row_number() OVER (PARTITION BY vm.vec_id ORDER BY
+      |       (c0.cn - 2 * list_dot_product(vm.v, c0.c)), c0.cell) AS rn
+      |   FROM vm JOIN f2m ON f2m.mcell = vm.mcell
+      |           JOIN c0 ON c0.cell = f2m.cell) WHERE rn = 1),
       |dups AS (SELECT DISTINCT a.vec_id AS i FROM a1 a JOIN a1 b
       |   ON a.cell = b.cell AND b.vec_id < a.vec_id
       |   WHERE list_cosine_similarity(a.v, b.v) > 0.35)
@@ -747,42 +777,86 @@ object DedupQueries {
     graft.plans.RewriteHofDotProduct.register(s)
     val e = Tables.t(s, d, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val k = e.agg(count(lit(1)).as("n"))
+    // dimension scalars, all integer-derived so both engines branch
+    // identically: k fine cells; t = ⌊∛k⌋ by integer search (no
+    // cross-engine pow(x,1/3) last-ulp hazard, covers k to 2^36);
+    // m = t² mids; ms/ts the level strides.
+    val dims = e.agg(count(lit(1)).as("n"))
       .select(greatest(lit(8L), expr("n div 256")).as("k"))
+      .select(col("k"), explode(sequence(lit(1L), lit(4096L))).as("i"))
+      .filter(col("i") * col("i") * col("i") <= col("k"))
+      .groupBy("k").agg(max(col("i")).as("t0"))
+      .select(col("k"), greatest(lit(2L), col("t0")).as("t"))
+      .select(col("k"), col("t"), (col("t") * col("t")).as("m"))
+      .select(col("k"), col("t"), col("m"),
+        expr("k div m").as("ms"), expr("k div t").as("ts"))
+    // CENTROID SELECTION must be a hash-uniform sample, not an id
+    // prefix or stride: ids are replica-sparse (rep·10M + orig), so a
+    // prefix lands entirely in replica 0 — and under ScaleUp's
+    // decorrelation every other replica's vectors see only
+    // background-cosine centroids and funnel into a handful of cells
+    // (measured at sf100: 2,000 live cells, max cell 34,073,
+    // Σ|cell|² = 15.2 B — and the pair stage IS that sum). Hash
+    // bucketing gives every replica ~k/R centroids in expectation, so
+    // within-replica geometry (which rotation preserves) drives every
+    // assignment: bucket = md5₃₂(id) % k, centroid = the bucket's
+    // (h, id)-min member — one map-side-combining min per bucket, the
+    // portable-hash discipline of d06/d11.
+    val hb = e.select(col("vec_id"),
+        conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10)
+          .cast("long").as("h"))
+      .crossJoin(broadcast(dims))
+      .select(col("vec_id"), col("h"), (col("h") % col("k")).as("cell"))
+    val win = hb.groupBy("cell")
+      .agg(min(struct(col("h"), col("vec_id"))).as("w"))
+      .select(col("cell"), col("w").getField("vec_id").as("cvid"))
     // fine centroid table, with |c|^2 precomputed once: the per-pair
     // ranking key is |c|^2 - 2 v.c — |v|^2 is constant within each
     // argmin group, so it is dropped from the ORDER entirely (both
     // engines rank by the same reduced expression, so fp ties agree)
-    val c0 = e.crossJoin(broadcast(k)).filter(col("vec_id") < col("k"))
-      .select(col("vec_id").as("cell"), col("v").as("c"),
-        dot(col("v"), col("v")).as("cn"))
-    val g = k.select(greatest(lit(4L),
-      expr("CAST(FLOOR(SQRT(k)) AS LONG)")).as("g"))
-    val co = c0.crossJoin(broadcast(g)).filter(col("cell") < col("g"))
-      .select(col("cell").as("gcell"), col("c").as("gc"), col("cn").as("gcn"))
-    val f2c = c0.crossJoin(broadcast(co))
+    val c0 = e.join(broadcast(win), col("vec_id") === col("cvid"))
+      .crossJoin(broadcast(dims))
+      .select(col("cell"), col("v").as("c"), dot(col("v"), col("v")).as("cn"),
+        col("ms"), col("ts"))
+    val cm = c0.filter(col("cell") % col("ms") === 0)
+      .select(col("cell").as("mcell"), col("c").as("mc"), col("cn").as("mcn"))
+    val ct = c0.filter(col("cell") % col("ts") === 0)
+      .select(col("cell").as("tcell"), col("c").as("tc"), col("cn").as("tcn"))
+    // centroid-side tree edges (k·m + m·t dots — centroid-sized, tiny
+    // next to any N-scaled stage, so both are exhaustive argmins)
+    val m2t = cm.crossJoin(broadcast(ct))
+      .groupBy("mcell")
+      .agg(argmin(col("tcn") - lit(2) * dot(col("mc"), col("tc")),
+        col("tcell")).as("tcell"))
+    val f2m = c0.crossJoin(broadcast(cm))
       .groupBy("cell")
-      .agg(argmin(col("gcn") - lit(2) * dot(col("c"), col("gc")),
-        col("gcell")).as("gcell"))
-    // coarse assignment: N x g distances, argmin partial-agged map-side
-    val vg = e.crossJoin(broadcast(co))
+      .agg(argmin(col("mcn") - lit(2) * dot(col("c"), col("mc")),
+        col("mcell")).as("mcell"))
+    // descent, three broadcast-probe stages: top (N·t dots), mid within
+    // the top bucket (N·m/t = N·t expected), fine within the mid bucket
+    // (N·k/m ≈ N·t expected) — 3N·∛k total vs the two-level 2N·√k.
+    // Each argmin is partial-agged map-side; the vector table shuffles
+    // once onto vec_id and every later join-back is co-partitioned.
+    val vtop = e.crossJoin(broadcast(ct))
       .groupBy("vec_id")
-      .agg(argmin(col("gcn") - lit(2) * dot(col("v"), col("gc")),
-        col("gcell")).as("gcell"))
-    // fine assignment probes only the vector's own coarse bucket:
-    // N x (k/g) distances instead of N x k. eg is hash(vec_id)
-    // partitioned after the vg join; the broadcast probe preserves that
-    // partitioning, so the fine argmin and the join-back below add no
-    // further exchange.
-    val bcand = f2c.join(c0, "cell")
-      .select(col("gcell"), col("cell"), col("c"), col("cn"))
-    val eg = e.join(vg, "vec_id")
-    val fine = eg.join(broadcast(bcand), "gcell")
+      .agg(argmin(col("tcn") - lit(2) * dot(col("v"), col("tc")),
+        col("tcell")).as("tcell"))
+    val mcand = m2t.join(cm, "mcell")
+      .select(col("tcell"), col("mcell"), col("mc"), col("mcn"))
+    val et = e.join(vtop, "vec_id")
+    val vm = et.join(broadcast(mcand), "tcell")
+      .groupBy("vec_id")
+      .agg(argmin(col("mcn") - lit(2) * dot(col("v"), col("mc")),
+        col("mcell")).as("mcell"))
+    val bcand = f2m.join(c0, "cell")
+      .select(col("mcell"), col("cell"), col("c"), col("cn"))
+    val em = et.select(col("vec_id"), col("v")).join(vm, "vec_id")
+    val fine = em.join(broadcast(bcand), "mcell")
       .groupBy("vec_id")
       .agg(argmin(col("cn") - lit(2) * dot(col("v"), col("c")),
         col("cell")).as("cell"))
     val cells = Stage.materialize(s,
-      eg.select(col("vec_id"), col("v")).join(fine, "vec_id")
+      em.select(col("vec_id"), col("v")).join(fine, "vec_id")
         .select(col("vec_id"), col("v"), col("cell"),
           sqrt(dot(col("v"), col("v"))).as("nrm")),
       "d10cells")

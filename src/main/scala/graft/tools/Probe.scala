@@ -117,6 +117,80 @@ object Probe {
       time("d10_pairs")(dups)
       spark.stop(); sys.exit(0)
     }
+    if (sys.env.contains("PROBE_D10T")) {
+      // three-level d10 stage split: descent stages + pair stage, plus
+      // the cell-size distribution (pair volume = sum |cell|^2).
+      import graft.functions.ArgMinLong.argmin
+      graft.plans.RewriteHofDotProduct.register(spark)
+      def dotc(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+      val e = graft.Tables.t(spark, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val dims = e.agg(count(lit(1)).as("n"))
+        .select(greatest(lit(8L), expr("n div 256")).as("k"))
+        .select(col("k"), explode(sequence(lit(1L), lit(4096L))).as("i"))
+        .filter(col("i") * col("i") * col("i") <= col("k"))
+        .groupBy("k").agg(max(col("i")).as("t0"))
+        .select(col("k"), greatest(lit(2L), col("t0")).as("t"))
+        .select(col("k"), col("t"), (col("t") * col("t")).as("m"))
+        .select(col("k"), col("t"), col("m"),
+          expr("k div m").as("ms"), expr("k div t").as("ts"))
+      val hbp = e.select(col("vec_id"),
+          conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10)
+            .cast("long").as("h"))
+        .crossJoin(broadcast(dims))
+        .select(col("vec_id"), col("h"), (col("h") % col("k")).as("cell"))
+      val win = hbp.groupBy("cell")
+        .agg(min(struct(col("h"), col("vec_id"))).as("w"))
+        .select(col("cell"), col("w").getField("vec_id").as("cvid"))
+      val c0 = e.join(broadcast(win), col("vec_id") === col("cvid"))
+        .crossJoin(broadcast(dims))
+        .select(col("cell"), col("v").as("c"), dotc(col("v"), col("v")).as("cn"),
+          col("ms"), col("ts"))
+      val cm = c0.filter(col("cell") % col("ms") === 0)
+        .select(col("cell").as("mcell"), col("c").as("mc"), col("cn").as("mcn"))
+      val ct = c0.filter(col("cell") % col("ts") === 0)
+        .select(col("cell").as("tcell"), col("c").as("tc"), col("cn").as("tcn"))
+      val m2t = cm.crossJoin(broadcast(ct)).groupBy("mcell")
+        .agg(argmin(col("tcn") - lit(2) * dotc(col("mc"), col("tc")), col("tcell")).as("tcell"))
+      val f2m = c0.crossJoin(broadcast(cm)).groupBy("cell")
+        .agg(argmin(col("mcn") - lit(2) * dotc(col("c"), col("mc")), col("mcell")).as("mcell"))
+      val vtop = e.crossJoin(broadcast(ct)).groupBy("vec_id")
+        .agg(argmin(col("tcn") - lit(2) * dotc(col("v"), col("tc")), col("tcell")).as("tcell"))
+      time("d10t_vtop")(vtop)
+      val mcand = m2t.join(cm, "mcell")
+        .select(col("tcell"), col("mcell"), col("mc"), col("mcn"))
+      val et = e.join(vtop, "vec_id")
+      val vm = et.join(broadcast(mcand), "tcell").groupBy("vec_id")
+        .agg(argmin(col("mcn") - lit(2) * dotc(col("v"), col("mc")), col("mcell")).as("mcell"))
+      time("d10t_vtop_plus_vm")(vm)
+      val bcand = f2m.join(c0, "cell")
+        .select(col("mcell"), col("cell"), col("c"), col("cn"))
+      val em = et.select(col("vec_id"), col("v")).join(vm, "vec_id")
+      val fine = em.join(broadcast(bcand), "mcell").groupBy("vec_id")
+        .agg(argmin(col("cn") - lit(2) * dotc(col("v"), col("c")), col("cell")).as("cell"))
+      time("d10t_full_descent")(fine)
+      val cells = graft.Stage.materialize(spark,
+        em.select(col("vec_id"), col("v")).join(fine, "vec_id")
+          .select(col("vec_id"), col("v"), col("cell"),
+            sqrt(dotc(col("v"), col("v"))).as("nrm")), "d10tProbe")
+      // bucket fanouts + pair volume
+      cells.groupBy("cell").agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("cells"), max("n").as("max_cell"),
+          sum(col("n") * col("n")).as("pair_vol")).show(false)
+      vm.groupBy("mcell").agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("mids"), max("n").as("max_mid")).show(false)
+      vtop.groupBy("tcell").agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("tops"), max("n").as("max_top")).show(false)
+      val a = cells.select(col("cell"), col("vec_id").as("i"), col("v").as("vi"), col("nrm").as("ni"))
+      val b = cells.select(col("cell"), col("vec_id").as("j"), col("v").as("vj"), col("nrm").as("nj"))
+      val cos = least(greatest(
+        dotc(col("vi"), col("vj")) / (col("ni") * col("nj")), lit(-1.0)), lit(1.0))
+      time("d10t_pairs")(a.join(b, Seq("cell"))
+        .filter(col("j") < col("i") && cos > 0.35)
+        .select(col("i").as("vec_id")).distinct())
+      spark.stop(); sys.exit(0)
+    }
     if (sys.env.contains("PROBE_Q86")) {
       // Shuffle/IO cost of the q86 naive self-join-agg shape with the
       // RewriteSelfJoinAgg rule on vs off (documentation measurement).
