@@ -1294,9 +1294,64 @@ object SimilarityQueries {
       .limit(10)
   }
 
+  /** The POST-FILTER side of v21's tradeoff, measured as data — the
+    * v17/v18 swap-the-index evaluation discipline applied to filtered
+    * search: take the unfiltered top-20 shortlist (what an ANN index
+    * returns when the engine cannot push the predicate), apply the
+    * predicate AFTER, and score it against v21's exact pre-filtered
+    * top-10. `filled` shows the under-fill (a selective predicate
+    * leaves fewer than k survivors in any fixed shortlist) and
+    * `recall` what fraction of the true answer survived — the number
+    * a production team looks at before choosing shortlist
+    * over-fetch vs predicate pushdown. All counts integer-exact; one
+    * division at the end. */
+  val v22FilteredRecall: Q = Q(
+    "v22_filtered_recall",
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |p AS (SELECT v AS pv FROM e WHERE vec_id = 0),
+      |allowed AS (SELECT doc_id FROM documents WHERE lang = 'en' AND n_chars >= 200),
+      |exact AS (SELECT vec_id FROM (
+      |  SELECT e.vec_id, list_cosine_similarity(e.v, p.pv) AS cs
+      |  FROM e JOIN allowed a ON e.vec_id = a.doc_id, p
+      |  ORDER BY cs DESC, vec_id LIMIT 10)),
+      |short AS (SELECT vec_id FROM (
+      |  SELECT e.vec_id, list_cosine_similarity(e.v, p.pv) AS cs FROM e, p
+      |  ORDER BY cs DESC, vec_id LIMIT 20)),
+      |post AS (SELECT s.vec_id FROM short s JOIN allowed a ON s.vec_id = a.doc_id),
+      |kk AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM exact),
+      |ff AS (SELECT CAST(COUNT(*) AS BIGINT) AS filled FROM post),
+      |hh AS (SELECT CAST(COUNT(*) AS BIGINT) AS hits
+      |       FROM exact JOIN post USING (vec_id))
+      |SELECT k, filled, hits,
+      |  CAST(hits AS DOUBLE) / CAST(k AS DOUBLE) AS recall
+      |FROM kk, ff, hh""".stripMargin) { (s, d) =>
+    val e = emb(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val allowed = Tables.t(s, d, "documents")
+      .filter(col("lang") === "en" && col("n_chars") >= 200)
+      .select(col("doc_id"))
+    val probe = e.filter(col("vec_id") === 0).select(col("v").as("pv"))
+    val exact = e.join(broadcast(allowed), col("vec_id") === col("doc_id"), "left_semi")
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"), cosine(col("v"), col("pv")).as("cs"))
+      .orderBy(col("cs").desc, col("vec_id")).limit(10)
+      .select("vec_id")
+    val short = e.crossJoin(broadcast(probe))
+      .select(col("vec_id"), cosine(col("v"), col("pv")).as("cs"))
+      .orderBy(col("cs").desc, col("vec_id")).limit(20)
+      .select("vec_id")
+    val post = short.join(broadcast(allowed), col("vec_id") === col("doc_id"), "left_semi")
+    exact.agg(count(lit(1)).cast("long").as("k"))
+      .crossJoin(post.agg(count(lit(1)).cast("long").as("filled")))
+      .crossJoin(exact.join(post, "vec_id").agg(count(lit(1)).cast("long").as("hits")))
+      .select(col("k"), col("filled"), col("hits"),
+        (col("hits").cast("double") / col("k").cast("double")).as("recall"))
+  }
+
   val all: Seq[Q] = Seq(v01CosineTopK, v02DotTopK, v03AnnLshBucket,
     v04EmbeddingNearDup, v05CosineTopKNative, v06AnnIvf, v07AnnPartitionPruned,
     v08LabelCentroids, v09KmeansPortable, v10QuantizedDot, v11IvfPortable,
     v12CertifiedRerank, v13MaxipLsh, v14BatchedAnn, v15PqAdc, v16MmrRerank,
-    v17AnnRecall, v18IvfRecall, v19BinarySig, v20IvfPq, v21FilteredAnn)
+    v17AnnRecall, v18IvfRecall, v19BinarySig, v20IvfPq, v21FilteredAnn,
+    v22FilteredRecall)
 }
