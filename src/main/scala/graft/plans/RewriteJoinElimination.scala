@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeSet, EqualTo, Expression, PredicateHelper}
-import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter, RightOuter}
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter, LeftSemi, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -273,6 +273,20 @@ object RewriteJoinElimination extends Rule[LogicalPlan] with PredicateHelper {
       survivor(p.references, j).map(Project(list, _)).getOrElse(p)
     case a @ Aggregate(_, _, j: Join, _) =>
       survivor(a.references, j).map(k => a.copy(child = k)).getOrElse(a)
+    // SEMI elimination — `WHERE fk IN (SELECT pk FROM dim)` is the
+    // identity under referential integrity: every fact row has a match,
+    // so the whole semi join (a fact-table-sized exchange in the
+    // non-broadcast regime) filters nothing and drops. The inner
+    // license is exactly the needed proof (it certifies ≥1 match; its
+    // additional ≤1 is merely unused). No parent guard needed: a semi
+    // join's output IS its left side. LeftAnti is deliberately NOT
+    // rewritten even though the same license proves it empty: anti
+    // joins on the declared FK are precisely how the trust-but-verify
+    // audit (i24_constraint_audit) CHECKS the declarations, and an
+    // optimizer that deletes the audit's probe would make RELY
+    // self-certifying.
+    case j @ Join(_, _, LeftSemi, _, _) =>
+      tryLicense(j, j.left, j.right, outer = false).getOrElse(j)
   }
 
   /** Session-path registration (mirrors the other graft rules). */

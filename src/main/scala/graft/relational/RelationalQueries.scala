@@ -3236,6 +3236,31 @@ object RelationalQueries {
         .limit(20)
   }
 
+  /** Semi-join-elimination demonstration (the fourth RELY consumer,
+    * [[graft.plans.RewriteJoinElimination]]'s LeftSemi channel): the
+    * "only rows with a valid parent" guard shape — `WHERE l_orderkey
+    * IN (SELECT o_orderkey FROM orders)` — which under referential
+    * integrity filters NOTHING, yet stock Spark executes as a full
+    * semi join (a fact-table exchange once orders outgrows the
+    * broadcast threshold). The rule deletes it; the query becomes one
+    * scan + agg. Anti joins are deliberately untouched (i24's audit
+    * probe — see the rule scaladoc). SemiElimSpec asserts both plan
+    * shapes, row parity, and the refusals. */
+  val q97SemiElimAuto: Q = Q(
+    "q97_semi_elim_auto",
+    s"""SELECT l_returnflag, COUNT(*) AS n,
+       |  ${Det.sqlSum("l_quantity")} AS sum_qty
+       |FROM lineitem
+       |WHERE l_orderkey IN (SELECT o_orderkey FROM orders)
+       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    Tables.t(s, d, "lineitem")
+      .join(Tables.t(s, d, "orders").select("o_orderkey"),
+        col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), Det.dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
   /** Distinct-elimination rule demonstration
     * ([[graft.plans.RewriteDistinctByKey]]): the "latest distinct
     * records" report shape — DISTINCT over columns that happen to cover
@@ -3281,5 +3306,5 @@ object RelationalQueries {
     q83Histogram, q84BitmapDistinctAuto, q85ExactQuantiles,
     q86SelfJoinWindowAuto, q87GroupQuota, q88OrJoinAuto, q89PercentileCont,
     q90Kanon, q91GroupedPercentiles, q92AsofTolerance, q93RollingDistinct,
-    q94JoinElimAuto, q95TopkJoinAuto, q96DistinctElimAuto)
+    q94JoinElimAuto, q95TopkJoinAuto, q96DistinctElimAuto, q97SemiElimAuto)
 }

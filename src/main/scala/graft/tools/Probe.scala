@@ -376,6 +376,37 @@ object Probe {
       run("q95_rule_on_warm"); run("q95_rule_on")
       spark.stop(); sys.exit(0)
     }
+    if (sys.env.contains("PROBE_Q97")) {
+      // Semi-join elimination: the q97 IN-subquery guard with the rule
+      // OFF (stock executes the full semi join) vs ON (deleted).
+      val s = spark
+      @volatile var recs = 0L
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          recs += sc.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten
+      }
+      s.sparkContext.addSparkListener(listener)
+      def shape = graft.Tables.t(s, d, "lineitem")
+        .join(graft.Tables.t(s, d, "orders").select("o_orderkey"),
+          col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), graft.Det.dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("l_returnflag")
+      def run(tag: String): Unit = {
+        recs = 0
+        val t0 = System.nanoTime()
+        shape.write.format("noop").mode("overwrite").save()
+        Thread.sleep(1500)
+        println(f"[probe] $tag%-18s wall ${(System.nanoTime() - t0) / 1e9}%6.2f s " +
+          f"shuffleRecs $recs%,12d")
+      }
+      run("q97_rule_off_warm"); run("q97_rule_off")
+      graft.plans.TableConstraints.registerStarSchema()
+      graft.plans.RewriteJoinElimination.register(s)
+      run("q97_rule_on_warm"); run("q97_rule_on")
+      spark.stop(); sys.exit(0)
+    }
     if (sys.env.contains("PROBE_Q96")) {
       // Distinct elimination: the q96 shape with the rule OFF (stock —
       // the dedup Aggregate full-width-shuffles every row) vs ON (the
