@@ -58,26 +58,58 @@ object RewriteDistinctByKey extends Rule[LogicalPlan] {
   }
 
   /** The identity form of an aggregate-list entry over a keys-unique
-    * child: a grouping attribute, a rename of one, or `first(col)` /
-    * `any_value(col)` of a child column — `ReplaceDeduplicateWithAggregate`
-    * spells dropDuplicates' payload columns as exactly that, and with
-    * one row per group `first` IS the column (ignoreNulls immaterial:
-    * the group's only value, null or not, is what either form returns).
-    * Anything else (a real aggregate, a FILTER clause) refuses. */
+    * child — with one row per group, aggregates degenerate to scalar
+    * expressions (the warehouse "group-by key elimination"):
+    *  - a grouping attribute, or a rename of one;
+    *  - `first`/`any_value(col)` IS the column
+    *    (`ReplaceDeduplicateWithAggregate` spells dropDuplicates'
+    *    payload columns as exactly that; ignoreNulls immaterial — the
+    *    group's only value, null or not, is what either form returns);
+    *  - `min`/`max(col)` IS the column (same datatype, null-safe);
+    *  - `sum(col)` is the column cast to the sum's result type — kept
+    *    only for long/double/integral inputs where the cast is
+    *    value-exact (decimal sums change precision semantics; refused);
+    *  - `avg(col)` is the column cast to double when that is the
+    *    declared result type (x/1 — Spark's own division of the 1-row
+    *    sum produces the identical double);
+    *  - `count(*)` is 1; `count(col)` is `IF(col IS NULL, 0, 1)`.
+    * Anything else (a real multi-row aggregate, a FILTER clause)
+    * refuses. */
   private def asPassthrough(groupings: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
       child: LogicalPlan)(ne: NamedExpression): Option[NamedExpression] = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, If, IsNull, Literal}
+    import org.apache.spark.sql.types.{DoubleType, LongType}
     def isGrouping(a: Attribute): Boolean = groupings.exists {
       case g: Attribute => g.exprId == a.exprId
       case _ => false
     }
+    def own(a: Attribute): Boolean = child.outputSet.contains(a)
+    def rewrap(al: Alias, e: Expression): NamedExpression =
+      Alias(e, al.name)(al.exprId, al.qualifier, al.explicitMetadata,
+        al.nonInheritableMetadataKeys)
     ne match {
       case a: Attribute if isGrouping(a) => Some(a)
       case Alias(a: Attribute, _) if isGrouping(a) => Some(ne)
-      case al @ Alias(ae: aggregate.AggregateExpression, name) if ae.filter.isEmpty =>
+      case al @ Alias(ae: aggregate.AggregateExpression, _) if ae.filter.isEmpty =>
         ae.aggregateFunction match {
-          case aggregate.First(a: Attribute, _) if child.outputSet.contains(a) =>
-            Some(Alias(a, name)(al.exprId, al.qualifier, al.explicitMetadata,
-              al.nonInheritableMetadataKeys))
+          case aggregate.First(a: Attribute, _) if own(a) => Some(rewrap(al, a))
+          case aggregate.Min(a: Attribute) if own(a) => Some(rewrap(al, a))
+          case aggregate.Max(a: Attribute) if own(a) => Some(rewrap(al, a))
+          case s @ aggregate.Sum(a: Attribute, _)
+              if own(a) && (s.dataType == a.dataType ||
+                (s.dataType == LongType && a.dataType != DoubleType &&
+                  Cast.canUpCast(a.dataType, LongType))) =>
+            Some(rewrap(al,
+              if (s.dataType == a.dataType) a else Cast(a, s.dataType)))
+          case av @ aggregate.Average(a: Attribute, _)
+              if own(a) && av.dataType == DoubleType &&
+                Cast.canUpCast(a.dataType, DoubleType) =>
+            Some(rewrap(al, Cast(a, DoubleType)))
+          case aggregate.Count(Seq(Literal(_, _))) =>
+            Some(rewrap(al, Literal(1L, LongType)))
+          case aggregate.Count(Seq(a: Attribute)) if own(a) =>
+            Some(rewrap(al,
+              If(IsNull(a), Literal(0L, LongType), Literal(1L, LongType))))
           case _ => None
         }
       case _ => None

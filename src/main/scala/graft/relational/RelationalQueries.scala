@@ -3284,6 +3284,30 @@ object RelationalQueries {
       .limit(20)
   }
 
+  /** Group-by-key elimination ([[graft.plans.RewriteDistinctByKey]]'s
+    * aggregate-degeneration channel): GROUP BY columns covering the
+    * declared unique key make every group one row, so the aggregates
+    * are scalar identities — max(v) is v, count(*) is 1, avg(v) is
+    * cast(v as double) — and the whole hash aggregate (a full-width
+    * exchange of every row, building a hash table the size of the
+    * table) deletes. Stock Spark cannot: a bare scan has empty
+    * distinctKeys. The remaining plan is one TakeOrdered scan.
+    * DistinctElimSpec pins the rewrite and the refusals. */
+  val q98GroupbyKeyElim: Q = Q(
+    "q98_groupby_key_elim",
+    """SELECT event_id, event_type, MAX(value) AS max_v, COUNT(*) AS n,
+      |  AVG(value) AS avg_v
+      |FROM events GROUP BY event_id, event_type
+      |ORDER BY max_v DESC, event_id LIMIT 20""".stripMargin) { (s, d) =>
+    Tables.t(s, d, "events")
+      .groupBy(col("event_id"), col("event_type"))
+      .agg(max(col("value")).as("max_v"),
+        count(lit(1)).as("n"),
+        avg(col("value")).as("avg_v"))
+      .orderBy(col("max_v").desc, col("event_id"))
+      .limit(20)
+  }
+
   val all: Seq[Q] = Seq(
     q01ScanProject, q02Predicates, q03AggBasic, q04AggDistinct, q05Rollup,
     q06Cube, q07JoinBroadcast, q08JoinMultiway, q09JoinOuter, q10JoinFull,
@@ -3306,5 +3330,6 @@ object RelationalQueries {
     q83Histogram, q84BitmapDistinctAuto, q85ExactQuantiles,
     q86SelfJoinWindowAuto, q87GroupQuota, q88OrJoinAuto, q89PercentileCont,
     q90Kanon, q91GroupedPercentiles, q92AsofTolerance, q93RollingDistinct,
-    q94JoinElimAuto, q95TopkJoinAuto, q96DistinctElimAuto, q97SemiElimAuto)
+    q94JoinElimAuto, q95TopkJoinAuto, q96DistinctElimAuto, q97SemiElimAuto,
+    q98GroupbyKeyElim)
 }

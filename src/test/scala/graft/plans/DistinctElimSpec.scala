@@ -80,6 +80,26 @@ class DistinctElimSpec extends AnyFunSuite {
     assert(j.collect().map(_.toSeq).toSeq == off)
   }
 
+  test("group-by-key elimination: aggregates over the unique key degenerate") {
+    register()
+    def shape = ev.groupBy(col("event_id"), col("event_type"))
+      .agg(max(col("value")).as("max_v"), count(lit(1)).as("n"),
+        avg(col("value")).as("avg_v"), sum(col("user_id")).as("su"),
+        min(col("ts")).as("mt"), count(col("value")).as("nv"))
+      .orderBy(col("max_v").desc, col("event_id")).limit(20)
+    assert(!hasDedup(shape), "keyed group-by aggregate was not eliminated")
+    val off = withoutRule {
+      val ndf = shape
+      assert(hasDedup(ndf), "stock Spark eliminated a bare-scan group-by?!")
+      ndf.collect().map(_.toSeq).toSeq
+    }
+    assert(shape.collect().map(_.toSeq).toSeq == off, "rows differ")
+    // a DECIMAL sum changes precision semantics — must refuse
+    val dec = ev.groupBy(col("event_id"))
+      .agg(sum(col("value").cast("decimal(12,2)")).as("s"))
+    assert(hasDedup(dec), "eliminated a decimal sum")
+  }
+
   test("narrowness: uncovered keys, duplicating child, unlicensed join, undeclared table") {
     register()
     // unique key not covered — a real dedup, must stay
