@@ -139,8 +139,15 @@ object RewriteDistinctByKey extends Rule[LogicalPlan] {
       }
     case d: Deduplicate => AttributeSet(d.keys).subsetOf(keys)
     case j: Join =>
-      RewriteJoinElimination.preservedSides(j).exists { side =>
-        uniqueOn(side, keys.filter(side.outputSet.contains))
+      import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftSemi}
+      j.joinType match {
+        // semi/anti output is a row SUBSET of the left side
+        case LeftSemi | LeftAnti =>
+          uniqueOn(j.left, keys.filter(j.left.outputSet.contains))
+        case _ =>
+          RewriteJoinElimination.preservedSides(j).exists { side =>
+            uniqueOn(side, keys.filter(side.outputSet.contains))
+          }
       }
     case f: Filter if f.condition.deterministic => uniqueOn(f.child, keys)
     case s: Sort => uniqueOn(s.child, keys)

@@ -66,6 +66,10 @@ object TableConstraints {
     declarePk("events", Seq("event_id"))
     declarePk("documents", Seq("doc_id"))
     declarePk("embeddings", Seq("vec_id"))
+    // verified: zero nulls, zero orphans in every shipped sf dir AND
+    // the ScaleUp outputs through sf100 (the generator's strides are
+    // FK-consistent by construction)
+    declareFk("events", Seq("user_id"), "customer", Seq("c_custkey"))
   }
 }
 

@@ -52,16 +52,18 @@ object RewriteTopKThroughJoin extends Rule[LogicalPlan] {
       k: Int, ord: Seq[SortOrder], child: LogicalPlan): Option[LogicalPlan] =
     child match {
       case j: Join => pushJoin(k, ord, j)
-      case p @ Project(list, j: Join) =>
+      case p @ Project(list, inner) =>
         // resolve sort keys through the projection's aliases so derived
-        // sort columns (e.g. a renamed fact column) still trace
+        // sort columns (e.g. a renamed fact column) still trace; recurse
+        // so Project stacks (e.g. the residue of a sibling rule's
+        // rewrite before CollapseProject reruns) don't block the push
         val aliasMap = AttributeMap(list.collect {
           case a @ Alias(e, _) => a.toAttribute -> e
         })
         val remapped = ord.map(_.transformUp {
           case a: Attribute => aliasMap.getOrElse(a, a)
         }.asInstanceOf[SortOrder])
-        pushJoin(k, remapped, j).map(nj => p.copy(child = nj))
+        pushThrough(k, remapped, inner).map(nc => p.copy(child = nc))
       case _ => None
     }
 

@@ -3308,6 +3308,41 @@ object RelationalQueries {
       .limit(20)
   }
 
+  /** LICENSE CAPSTONE — q70's composition discipline applied to the
+    * RELY family: one query through which FOUR constraint-licensed
+    * rewrites fire in a single optimizer batch, leaving a plan stock
+    * Spark cannot reach from any amount of plan-shape analysis:
+    *  1. the `user_id IN (SELECT c_custkey …)` guard — semi-join
+    *     elimination (q97's channel) deletes it;
+    *  2. DISTINCT over columns covering events' unique key — distinct
+    *     elimination (q96) fires THROUGH the preserved FK join;
+    *  3. the events⋈customer join survives (c_mktsegment is read), but
+    *     top-k pushdown (q95) commutes the TakeOrdered below it;
+    *  4. so the final plan is: TakeOrdered(20) over ONE events scan,
+    *     then a 20-row join to customer. Stock Spark runs a semi join,
+    *     a full-width dedup exchange, and a fact-sized inner join to
+    *     keep 20 rows. LicenseCapstoneSpec asserts the collapsed plan
+    *     shape; the events→customer FK it all rests on is declared
+    *     after verification at every scale (zero nulls/orphans through
+    *     sf100). */
+  val q99LicenseCapstone: Q = Q(
+    "q99_license_capstone",
+    """SELECT event_id, event_type, value, c_mktsegment
+      |FROM (SELECT DISTINCT e.event_id, e.event_type, e.value, c.c_mktsegment
+      |      FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      |      WHERE e.user_id IN (SELECT c_custkey FROM customer)) t
+      |ORDER BY value DESC, event_id LIMIT 20""".stripMargin) { (s, d) =>
+    Tables.t(s, d, "events")
+      .join(Tables.t(s, d, "customer").select("c_custkey"),
+        col("user_id") === col("c_custkey"), "left_semi")
+      .join(Tables.t(s, d, "customer"), col("user_id") === col("c_custkey"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("c_mktsegment"))
+      .distinct()
+      .orderBy(col("value").desc, col("event_id"))
+      .limit(20)
+  }
+
   val all: Seq[Q] = Seq(
     q01ScanProject, q02Predicates, q03AggBasic, q04AggDistinct, q05Rollup,
     q06Cube, q07JoinBroadcast, q08JoinMultiway, q09JoinOuter, q10JoinFull,
@@ -3331,5 +3366,5 @@ object RelationalQueries {
     q86SelfJoinWindowAuto, q87GroupQuota, q88OrJoinAuto, q89PercentileCont,
     q90Kanon, q91GroupedPercentiles, q92AsofTolerance, q93RollingDistinct,
     q94JoinElimAuto, q95TopkJoinAuto, q96DistinctElimAuto, q97SemiElimAuto,
-    q98GroupbyKeyElim)
+    q98GroupbyKeyElim, q99LicenseCapstone)
 }

@@ -376,6 +376,42 @@ object Probe {
       run("q95_rule_on_warm"); run("q95_rule_on")
       spark.stop(); sys.exit(0)
     }
+    if (sys.env.contains("PROBE_Q99")) {
+      // License capstone: all three rules off (stock: semi join +
+      // dedup exchange + fact-sized join) vs on (one TakeOrdered scan
+      // + 20-row join).
+      val s = spark
+      @volatile var recs = 0L
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          recs += sc.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten
+      }
+      s.sparkContext.addSparkListener(listener)
+      def shape = graft.Tables.t(s, d, "events")
+        .join(graft.Tables.t(s, d, "customer").select("c_custkey"),
+          col("user_id") === col("c_custkey"), "left_semi")
+        .join(graft.Tables.t(s, d, "customer"), col("user_id") === col("c_custkey"))
+        .select(col("event_id"), col("event_type"), col("value"), col("c_mktsegment"))
+        .distinct()
+        .orderBy(col("value").desc, col("event_id"))
+        .limit(20)
+      def run(tag: String): Unit = {
+        recs = 0
+        val t0 = System.nanoTime()
+        shape.write.format("noop").mode("overwrite").save()
+        Thread.sleep(1500)
+        println(f"[probe] $tag%-18s wall ${(System.nanoTime() - t0) / 1e9}%6.2f s " +
+          f"shuffleRecs $recs%,12d")
+      }
+      run("q99_rules_off_warm"); run("q99_rules_off")
+      graft.plans.TableConstraints.registerStarSchema()
+      graft.plans.RewriteJoinElimination.register(s)
+      graft.plans.RewriteTopKThroughJoin.register(s)
+      graft.plans.RewriteDistinctByKey.register(s)
+      run("q99_rules_on_warm"); run("q99_rules_on")
+      spark.stop(); sys.exit(0)
+    }
     if (sys.env.contains("PROBE_Q97")) {
       // Semi-join elimination: the q97 IN-subquery guard with the rule
       // OFF (stock executes the full semi join) vs ON (deleted).
