@@ -169,5 +169,6 @@ object GraftEngine {
     RewriteJoinElimination.register(spark)
     RewriteTopKThroughJoin.register(spark)
     RewriteDistinctByKey.register(spark)
+    RewriteNotInToAnti.register(spark)
   }
 }

@@ -196,5 +196,6 @@ class GraftPlanExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => RewriteJoinElimination)
     ext.injectOptimizerRule(_ => RewriteTopKThroughJoin)
     ext.injectOptimizerRule(_ => RewriteDistinctByKey)
+    ext.injectOptimizerRule(_ => RewriteNotInToAnti)
   }
 }

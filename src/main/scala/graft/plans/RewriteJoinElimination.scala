@@ -41,6 +41,13 @@ object TableConstraints {
   def fkOf(childTable: String, parentTable: String): Option[Fk] =
     fks.get((childTable, parentTable))
 
+  /** Is this column declared NOT NULL? True for PK columns (RELY PK ⇒
+    * NOT NULL) and FK child columns (the NOT NULL FK form — see the
+    * class scaladoc). */
+  def nonNullColumn(table: String, col: String): Boolean =
+    pks.get(table).exists(_.contains(col)) ||
+      fks.values.exists(fk => fk.childTable == table && fk.childCols.contains(col))
+
   /** The synthetic star schema's keys (TESTDATA.md; integrity verified
     * against every shipped sf dir and preserved by ScaleUp's
     * FK-consistent strides). A production deployment would declare these
@@ -166,7 +173,7 @@ object RewriteJoinElimination extends Rule[LogicalPlan] with PredicateHelper {
     * exprIds but BOTH children's values), Expand (grouping sets null-out
     * grouping columns), full-outer, generators, unknown nodes — refuses,
     * and the rule stays its hand. */
-  private def traceScanCol(p: LogicalPlan, a: Attribute): Option[(String, String)] = p match {
+  private[plans] def traceScanCol(p: LogicalPlan, a: Attribute): Option[(String, String)] = p match {
     case l: LogicalRelation =>
       l.output.find(_.exprId == a.exprId)
         .flatMap(o => tableOf(l).map(t => (t, o.name)))

@@ -3343,6 +3343,44 @@ object RelationalQueries {
       .limit(20)
   }
 
+  /** NOT-IN conversion demonstration
+    * ([[graft.plans.RewriteNotInToAnti]], the sixth RELY consumer):
+    * the "exclude a computed blocklist" shape — events whose user is
+    * NOT in a customer segment. Stock Spark must plan the null-aware
+    * anti join, whose broadcast build is FORCED — `PROBE_Q100` shows
+    * the plan pinned to `BroadcastHashJoin(…, isNullAware=true)` even
+    * at a 1 KB threshold, because no shuffle strategy implements the
+    * null semantics; at 100 TB that is a mandatory multi-GB blocklist
+    * broadcast or an OOM. With user_id and c_custkey both declared
+    * NOT NULL the
+    * null-aware disjunct is statically false; the rule rewrites the
+    * condition to plain equality and the planner picks shuffle-capable
+    * anti strategies. Unlike elimination this CONVERTS — the probe
+    * still runs, so violated declarations surface instead of
+    * disappearing. The engine side states the NAAJ condition shape
+    * explicitly (`a = b OR isnull(a = b)` — the exact pattern
+    * NOT IN lowers to); the oracle states the NOT IN. NaajConvertSpec
+    * pins the conversion, q58's refusal, and an undeclared refusal. */
+  val q100NotinAntiAuto: Q = Q(
+    "q100_notin_anti_auto",
+    """SELECT event_type, COUNT(*) AS n
+      |FROM events
+      |WHERE user_id NOT IN
+      |  (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+      |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+    val blocklist = Tables.t(s, d, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    Tables.t(s, d, "events")
+      .join(blocklist,
+        col("user_id") === col("c_custkey") ||
+          isnull(col("user_id") === col("c_custkey")),
+        "left_anti")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[Q] = Seq(
     q01ScanProject, q02Predicates, q03AggBasic, q04AggDistinct, q05Rollup,
     q06Cube, q07JoinBroadcast, q08JoinMultiway, q09JoinOuter, q10JoinFull,
@@ -3366,5 +3404,5 @@ object RelationalQueries {
     q86SelfJoinWindowAuto, q87GroupQuota, q88OrJoinAuto, q89PercentileCont,
     q90Kanon, q91GroupedPercentiles, q92AsofTolerance, q93RollingDistinct,
     q94JoinElimAuto, q95TopkJoinAuto, q96DistinctElimAuto, q97SemiElimAuto,
-    q98GroupbyKeyElim, q99LicenseCapstone)
+    q98GroupbyKeyElim, q99LicenseCapstone, q100NotinAntiAuto)
 }

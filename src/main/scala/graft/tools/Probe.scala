@@ -376,6 +376,39 @@ object Probe {
       run("q95_rule_on_warm"); run("q95_rule_on")
       spark.stop(); sys.exit(0)
     }
+    if (sys.env.contains("PROBE_Q100")) {
+      // NOT IN at the beyond-broadcast cliff: threshold forced to 1 KB
+      // to show the NAAJ build is FORCED, not chosen — rule OFF stays
+      // BroadcastHashJoin(..., isNullAware=true) regardless, because no
+      // shuffle strategy implements null-aware semantics; rule ON is
+      // free to plan a shuffle-capable SortMergeJoin anti.
+      val s = spark
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "1KB")
+      s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "1KB")
+      def shape = graft.Tables.t(s, d, "events")
+        .join(graft.Tables.t(s, d, "customer")
+            .filter(col("c_mktsegment") === "BUILDING").select("c_custkey"),
+          col("user_id") === col("c_custkey") ||
+            isnull(col("user_id") === col("c_custkey")),
+          "left_anti")
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+        .orderBy("event_type")
+      def run(tag: String): Unit = {
+        val ex = shape.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+        val joinNode = ex.linesIterator.map(_.trim)
+          .find(l => l.contains("Join") || l.contains("join"))
+          .getOrElse("?").take(90)
+        val t0 = System.nanoTime()
+        shape.write.format("noop").mode("overwrite").save()
+        println(f"[probe] $tag%-18s wall ${(System.nanoTime() - t0) / 1e9}%7.2f s  $joinNode")
+      }
+      run("q100_rule_off_warm"); run("q100_rule_off")
+      graft.plans.TableConstraints.registerStarSchema()
+      graft.plans.RewriteNotInToAnti.register(s)
+      run("q100_rule_on_warm"); run("q100_rule_on")
+      spark.stop(); sys.exit(0)
+    }
     if (sys.env.contains("PROBE_Q99")) {
       // License capstone: all three rules off (stock: semi join +
       // dedup exchange + fact-sized join) vs on (one TakeOrdered scan
