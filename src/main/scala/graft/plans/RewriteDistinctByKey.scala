@@ -44,7 +44,16 @@ import org.apache.spark.sql.execution.datasources.LogicalRelation
   * the node; batch when the rule sees it first) and the grouping-only
   * `Aggregate` whose aggregate list is pure grouping-attribute
   * passthrough — replaced by the equivalent Project to keep output
-  * exprIds intact. Idempotent: the rewrite removes the node it matched. */
+  * exprIds intact. Idempotent: the rewrite removes the node it matched.
+  *
+  * Deliberately out of scope: STREAMING dedup state elimination. A
+  * declared-key stream's `dropDuplicates` is dead state the same way,
+  * but `uniqueOn` can only certify sources it can NAME, and a
+  * micro-batch plan's scan is a per-batch file-list relation (no
+  * single table root), so the trace refuses. Licensing streams would
+  * need a declaration keyed to the stream's identity, not its scan —
+  * a different trust surface than the table contract this family is
+  * built on. */
 object RewriteDistinctByKey extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
