@@ -1264,9 +1264,17 @@ object SimilarityQueries {
     * 200 chars", where the predicate lives on the documents DIM table,
     * not the vector table. Strategy here is PRE-FILTER, the exact one:
     * resolve the predicate on the skinny metadata table, semi-join the
-    * allowed ids into the vector scan (broadcast at this selectivity;
-    * at 100 TB an over-broadcast-sized allow set degrades to an 8-byte
-    * key shuffle — the 256-byte vectors never move either way), then
+    * allowed ids into the vector scan — UNHINTED, deliberately. The
+    * allow set is fact-proportional (~30% of docs), so the first cut's
+    * pinned broadcast() grew into a forced ~120 MB broadcast at the
+    * 1000× step; unhinted, the planner broadcasts at small scales and
+    * flips to a shuffle semi join at sf100 (measured: 14.3 s vs 8.7 s
+    * forced-broadcast on ONE 48 g box, where 120 MB still fits — but
+    * the forced plan is the one that stops existing on a real
+    * fleet-sized allow set, and when the flip costs more than it
+    * should, that is Spark telling you the predicate belongs
+    * CO-LOCATED with the vectors, the layout production stores use) —
+    * then
     * exact cosine + TakeOrdered over survivors. Chosen over
     * POST-filter (ANN shortlist → apply predicate), which silently
     * under-fills k when the predicate is selective — the classic
@@ -1287,7 +1295,7 @@ object SimilarityQueries {
       .filter(col("lang") === "en" && col("n_chars") >= 200)
       .select(col("doc_id"))
     val probe = e.filter(col("vec_id") === 0).select(col("v").as("pv"))
-    e.join(broadcast(allowed), col("vec_id") === col("doc_id"), "left_semi")
+    e.join(allowed, col("vec_id") === col("doc_id"), "left_semi")
       .crossJoin(broadcast(probe))
       .select(col("vec_id"), cosine(col("v"), col("pv")).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
@@ -1331,7 +1339,7 @@ object SimilarityQueries {
       .filter(col("lang") === "en" && col("n_chars") >= 200)
       .select(col("doc_id"))
     val probe = e.filter(col("vec_id") === 0).select(col("v").as("pv"))
-    val exact = e.join(broadcast(allowed), col("vec_id") === col("doc_id"), "left_semi")
+    val exact = e.join(allowed, col("vec_id") === col("doc_id"), "left_semi")
       .crossJoin(broadcast(probe))
       .select(col("vec_id"), cosine(col("v"), col("pv")).as("cs"))
       .orderBy(col("cs").desc, col("vec_id")).limit(10)
@@ -1340,7 +1348,7 @@ object SimilarityQueries {
       .select(col("vec_id"), cosine(col("v"), col("pv")).as("cs"))
       .orderBy(col("cs").desc, col("vec_id")).limit(20)
       .select("vec_id")
-    val post = short.join(broadcast(allowed), col("vec_id") === col("doc_id"), "left_semi")
+    val post = short.join(allowed, col("vec_id") === col("doc_id"), "left_semi")
     exact.agg(count(lit(1)).cast("long").as("k"))
       .crossJoin(post.agg(count(lit(1)).cast("long").as("filled")))
       .crossJoin(exact.join(post, "vec_id").agg(count(lit(1)).cast("long").as("hits")))
