@@ -1120,8 +1120,71 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** C4-style line-level corpus dedup (Raffel et al. 2020 §2.2 drop every
+    * occurrence of any "line" repeated >= 3 times corpus-wide; reference
+    * has no sub-document dedup — this is the LLM-pipeline north-star op
+    * that removed ~20% of C4's raw text as boilerplate). The corpus here
+    * has no newlines, so a "line" is a fixed 3-token span (i = 1, 4, 7, …
+    * over the whitespace tokens — the plumbing is identical to real line
+    * splits, only the delimiter is synthetic; at sf0.01 ~9% of spans are
+    * hot, so the drop path is genuinely exercised).
+    *
+    * Scale shape — two corpus passes, NEITHER shuffles document text:
+    *  1. count pass: explode spans AS 8-BYTE xxhash64 keys only; hash-agg
+    *     with map-side combine — the shuffle moves ints, not strings;
+    *  2. rewrite pass: the hot-span set (distinct lines repeated >= 3x —
+    *     boilerplate, a tiny distinct set even on huge corpora) collapses
+    *     to ONE array row and broadcasts; each doc then drops its hot
+    *     spans with a per-row higher-order filter(...) — no explode, no
+    *     join, no shuffle on the fact side; reassembly is array_join in
+    *     the SAME row, so document order never needs a groupBy to restore.
+    * If the hot set ever outgrows a broadcast, the degraded plan is a
+    * left-anti join on the 8-byte hash — still never the text. A cold->hot
+    * hash collision would drop a good span (P ~ n_cold*n_hot/2^64); the
+    * oracle counts the strings themselves, so any collision surfaces as a
+    * hash mismatch — none occurs.
+    *
+    * The double reference to `kept` (array_join + size) re-evaluates the
+    * cheap codegen'd lambda after CollapseProject inlines it — deliberate:
+    * pinning a corpus-wide stage (Stage.materialize) to save a per-row
+    * string filter is the wrong trade at 100 TB. */
+  val d16LineDedup: Q = Q(
+    "d16_line_dedup",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |ch AS (SELECT doc_id, i, array_to_string(toks[i:i+2], ' ') AS chunk
+      |       FROM t, unnest(range(1, len(toks) + 1, 3)) u(i)),
+      |f AS (SELECT doc_id, i, chunk,
+      |        count(*) OVER (PARTITION BY chunk) AS cnt FROM ch)
+      |SELECT doc_id,
+      |  string_agg(chunk, ' ' ORDER BY i) FILTER (WHERE cnt < 3) AS clean_text,
+      |  count(*) FILTER (WHERE cnt < 3) AS n_kept,
+      |  count(*) FILTER (WHERE cnt >= 3) AS n_dropped
+      |FROM f GROUP BY doc_id
+      |HAVING count(*) FILTER (WHERE cnt < 3) > 0
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    def spans(c: Column): Column = transform(
+      sequence(lit(1), size(c), lit(3)),
+      i => concat_ws(" ", slice(c, i, lit(3))))
+    val base = docs(s, d).select(col("doc_id"), spans(toks).as("chunks"))
+    val hot = base
+      .select(explode(col("chunks")).as("chunk"))
+      .select(xxhash64(col("chunk")).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 3)
+      .agg(collect_set(col("h")).as("hotset"))
+    val kept = filter(col("chunks"),
+      c => not(array_contains(col("hotset"), xxhash64(c))))
+    base.crossJoin(broadcast(hot))
+      .select(col("doc_id"),
+        array_join(kept, " ").as("clean_text"),
+        size(kept).cast("long").as("n_kept"),
+        (size(col("chunks")) - size(kept)).cast("long").as("n_dropped"))
+      .filter(col("n_kept") > 0)
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(d01ExactDedup, d02HashDedup, d03MinHashLsh, d04SimHash,
     d05NgramJaccard, d06MinHashPortable, d07CcClusters, d08BloomIncremental,
     d09ShardedBloom, d10SemanticDedup, d11SimHashPortable, d12CanonicalSelect,
-    d13SubstringSpan, d14LshEval, d15SoftDedupWeights)
+    d13SubstringSpan, d14LshEval, d15SoftDedupWeights, d16LineDedup)
 }

@@ -923,11 +923,114 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** GPT-style sequence packing (concat-and-chunk): concatenate documents
+    * in a deterministic order and slice the token stream into fixed
+    * 256-token training sequences, emitting each document's (sequence id,
+    * offset) placement. This is the layout step every pretraining run
+    * needs between "clean corpus" and "batches" — the reference has
+    * nothing like it.
+    *
+    * Scale shape: packing is per-SHARD, never global — a single global
+    * prefix sum would serialize the corpus through one partition. Each
+    * shard's running token count is one window over that shard
+    * (production: shard count ~ O(cluster cores); 8 here to keep the
+    * sf0.01 oracle readable). Sharding is doc_id % 8 so DuckDB can
+    * reproduce it — production would use the same pmod over xxhash64.
+    * Token counts come from the zero-allocation native CountTokens
+    * (t06), not size(split(...)). The window carries (8-byte id, long
+    * count) only — document text never enters the shuffle. */
+  val t23SequencePack: Q = Q(
+    "t23_sequence_pack",
+    """WITH s AS (SELECT doc_id, doc_id % 8 AS shard,
+      |    len(string_split(text, ' ')) AS n_tok FROM documents),
+      |w AS (SELECT doc_id, shard, n_tok,
+      |    CAST(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+      |        ROWS UNBOUNDED PRECEDING) - n_tok AS BIGINT) AS start_tok FROM s)
+      |SELECT doc_id, shard, n_tok,
+      |  start_tok // 256 AS seq_id, start_tok % 256 AS seq_off
+      |FROM w ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val nTok = org.apache.spark.sql.GraftPlanShim.column(
+      graft.functions.CountTokens(
+        org.apache.spark.sql.GraftPlanShim.expression(col("text"))))
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs(s, d)
+      .select(col("doc_id"), pmod(col("doc_id"), lit(8L)).as("shard"),
+        nTok.as("n_tok"))
+      .withColumn("start_tok", sum(col("n_tok")).over(w) - col("n_tok"))
+      .select(col("doc_id"), col("shard"), col("n_tok"),
+        expr("start_tok div 256").as("seq_id"),
+        pmod(col("start_tok"), lit(256L)).as("seq_off"))
+      .orderBy("doc_id")
+  }
+
+  /** Token-budget subset selection: "give me the best 10k training tokens"
+    * — rank docs by a quality score (per-mille distinct-token ratio,
+    * integer arithmetic so both engines agree exactly), walk the ranking,
+    * and keep the prefix whose cumulative token count fits the budget.
+    * The curation step behind every quality-pareto ablation (e.g. the
+    * FineWeb/DCLM "top-X%-by-classifier" recipes).
+    *
+    * Scale shape — the oracle's global window (one ordered prefix sum over
+    * the corpus) would serialize 100 TB through a single partition, so the
+    * Spark plan is the two-phase equivalent:
+    *  1. aggregate token totals per score bucket (scores are already
+    *     per-mille ints, so <= 1001 groups — a map-side-combined hash agg
+    *     whose output is tiny), prefix-sum THAT on the driver-scale table,
+    *     and keep only buckets that start under budget;
+    *  2. broadcast the surviving (score -> tokens-before-this-bucket)
+    *     list back, window WITHIN each score bucket (parallel across
+    *     buckets, never global), and filter bucket_prior + in-bucket
+    *     prefix <= budget.
+    * Identical output to the global window because (score DESC, doc_id)
+    * ordering is exactly (bucket, in-bucket) ordering — proven by the
+    * hash match, including the reconstructed global `cum` column. */
+  val t24TokenBudgetSelect: Q = Q(
+    "t24_token_budget_select",
+    """WITH s AS (SELECT doc_id,
+      |    len(string_split(text, ' ')) AS n_tok,
+      |    (1000 * len(list_distinct(string_split(text, ' '))))
+      |      // len(string_split(text, ' ')) AS score
+      |  FROM documents),
+      |w AS (SELECT doc_id, score, n_tok,
+      |    CAST(sum(n_tok) OVER (ORDER BY score DESC, doc_id
+      |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      |  FROM s)
+      |SELECT doc_id, score, n_tok, cum FROM w
+      |WHERE cum <= 10000 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val budget = 10000L
+    val nTok = org.apache.spark.sql.GraftPlanShim.column(
+      graft.functions.CountTokens(
+        org.apache.spark.sql.GraftPlanShim.expression(col("text"))))
+    val base = docs(s, d)
+      .select(col("doc_id"), nTok.as("n_tok"),
+        size(array_distinct(toks)).cast("long").as("n_uniq"))
+      .select(col("doc_id"), col("n_tok"),
+        expr("(1000 * n_uniq) div n_tok").as("score"))
+    // Phase 1: <= 1001 bucket rows — the single-partition window is over
+    // this tiny aggregate, never the corpus.
+    val bw = Window.orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val priors = base.groupBy("score").agg(sum(col("n_tok")).as("btok"))
+      .withColumn("bprior", sum(col("btok")).over(bw) - col("btok"))
+      .filter(col("bprior") < budget)
+      .select(col("score"), col("bprior"))
+    // Phase 2: per-bucket windows, bucket-pruned by the broadcast priors.
+    val ww = Window.partitionBy("score").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.join(broadcast(priors), "score")
+      .withColumn("cum", col("bprior") + sum(col("n_tok")).over(ww))
+      .filter(col("cum") <= budget)
+      .select(col("doc_id"), col("score"), col("n_tok"), col("cum"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     t01TermFrequency, t02NgramCounts, t03LangId, t04QualityScore,
     t05LangSourceStats, t06TokenCounting, t07FingerprintBow,
     t08FingerprintRolling, t09Decontamination, t10Redaction, t11Tfidf,
     t12Repetition, t13BpePairs, t14LmScore, t15Bm25, t16Diversity,
     t17Collocations, t18Boilerplate, t19ChunkOverlap, t20BpeEncode,
-    t21QualityRules, t22HashedClassifier)
+    t21QualityRules, t22HashedClassifier, t23SequencePack,
+    t24TokenBudgetSelect)
 }
