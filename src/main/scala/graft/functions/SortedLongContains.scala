@@ -1,0 +1,61 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, LongType}
+
+/** Shared by interpreted eval and generated code (generated classes call
+  * it by fqn — graft classes ride the executor classpath). */
+object SortedSearch {
+  def contains(arr: ArrayData, v: Long): Boolean = {
+    var lo = 0
+    var hi = arr.numElements() - 1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      val m = arr.getLong(mid)
+      if (m == v) return true
+      if (m < v) lo = mid + 1 else hi = mid - 1
+    }
+    false
+  }
+}
+
+/** O(log n) membership test against a SORTED long array — the broadcast
+  * blocklist probe `array_contains` can't be: array_contains is a linear
+  * scan, so a per-row probe against a corpus-derived set costs
+  * O(rows × |set|) and took d16's rewrite pass to 77 s at sf0.1 the
+  * moment the synthetic corpus's 40-word vocabulary made the hot-span
+  * set corpus-proportional (~50k entries) instead of boilerplate-sized.
+  * Binary search makes the same plan O(rows × log |set|) — 16
+  * comparisons against the pathological 50k set — while keeping the
+  * zero-shuffle broadcast-HOF shape.
+  *
+  * Contract: the array argument is sorted ascending with no nulls (build
+  * it with sort_array over an agg of non-null longs); elements are probed
+  * with exact long equality. Inside a higher-order filter() this runs in
+  * eval mode (HOFs don't codegen) — the win here is algorithmic, not
+  * codegen; doGenCode is provided for flat-projection callers. */
+case class SortedLongContains(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), LongType) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"graft_sorted_contains expects (array<bigint>, bigint), got ($l, $r)")
+  }
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_sorted_contains"
+
+  override def nullSafeEval(arr: Any, v: Any): Any =
+    SortedSearch.contains(arr.asInstanceOf[ArrayData], v.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, v) =>
+      s"${ev.value} = graft.functions.SortedSearch.contains($a, $v);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedLongContains =
+    copy(left = newLeft, right = newRight)
+}

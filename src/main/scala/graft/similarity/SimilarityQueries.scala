@@ -1356,10 +1356,55 @@ object SimilarityQueries {
         (col("hits").cast("double") / col("k").cast("double")).as("recall"))
   }
 
+  /** v21's semi join at fleet scale, with the SHUFFLE WIDTH fixed. When
+    * the allow set outgrows a broadcast, v21's unhinted plan becomes a
+    * shuffle semi join whose probe side carries (vec_id, v) — the
+    * 8-byte-per-dim vectors themselves cross the wire (sf100: 9 s of
+    * the 14.3 s ladder step is that exchange). The cosine does not
+    * depend on the predicate, so score FIRST and semi-join the scores:
+    * the exchanged rows shrink to (8 B id, 8 B score) — ~16 B/row
+    * instead of ~520 B — and the extra cosines computed on disallowed
+    * vectors are codegen'd flops against a column already in cache,
+    * the cheap side of the trade at any scale where the shuffle is the
+    * bottleneck.
+    *
+    * The catch, and why the repartition is load-bearing:
+    * PushDownLeftSemiAntiJoin rewrites Join(Project(scan), dim) to
+    * Project(Join(scan, dim)) — Catalyst would undo the score-first
+    * ordering and put the vectors right back in the exchange. The rule
+    * pushes through Project/Aggregate/Window/Union but NOT through a
+    * user Repartition, so `repartition(vec_id)` pins the projection
+    * below the join — and the exchange it introduces is not extra
+    * work at scale: it IS the semi join's required left-side
+    * hashpartitioning (AQE reuses it; `allowed` exchanges opposite).
+    * Same rows as v21, same oracle; SimilaritySpec asserts no vector
+    * column below this plan's exchange. */
+  val v23FilteredAnnSlim: Q = Q(
+    "v23_filtered_ann_slim",
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |p AS (SELECT v AS pv FROM e WHERE vec_id = 0),
+      |allowed AS (SELECT doc_id FROM documents WHERE lang = 'en' AND n_chars >= 200)
+      |SELECT e.vec_id, list_cosine_similarity(e.v, p.pv) AS cos_sim
+      |FROM e JOIN allowed a ON e.vec_id = a.doc_id, p
+      |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin) { (s, d) =>
+    val e = emb(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val allowed = Tables.t(s, d, "documents")
+      .filter(col("lang") === "en" && col("n_chars") >= 200)
+      .select(col("doc_id"))
+    val probe = e.filter(col("vec_id") === 0).select(col("v").as("pv"))
+    e.crossJoin(broadcast(probe))
+      .select(col("vec_id"), cosine(col("v"), col("pv")).as("cos_sim"))
+      .repartition(col("vec_id"))
+      .join(allowed, col("vec_id") === col("doc_id"), "left_semi")
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
   val all: Seq[Q] = Seq(v01CosineTopK, v02DotTopK, v03AnnLshBucket,
     v04EmbeddingNearDup, v05CosineTopKNative, v06AnnIvf, v07AnnPartitionPruned,
     v08LabelCentroids, v09KmeansPortable, v10QuantizedDot, v11IvfPortable,
     v12CertifiedRerank, v13MaxipLsh, v14BatchedAnn, v15PqAdc, v16MmrRerank,
     v17AnnRecall, v18IvfRecall, v19BinarySig, v20IvfPq, v21FilteredAnn,
-    v22FilteredRecall)
+    v22FilteredRecall, v23FilteredAnnSlim)
 }

@@ -376,6 +376,39 @@ object Probe {
       run("q95_rule_on_warm"); run("q95_rule_on")
       spark.stop(); sys.exit(0)
     }
+    if (sys.env.contains("PROBE_V23")) {
+      // Filtered ANN beyond the broadcast cliff: threshold forced to 1 KB
+      // so the allow-set semi join must shuffle (the sf100 regime, where
+      // the allow set is fact-proportional). v21 semi-joins the vector
+      // rows (the exchange carries ~520 B/row of embeddings); v23 scores
+      // first behind a repartition barrier so the exchange carries
+      // (8 B id, 8 B score). Shuffle bytes written is the story.
+      val s = spark
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "1KB")
+      s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "1KB")
+      @volatile var bytes = 0L
+      @volatile var recs = 0L
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          bytes += sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten
+          recs += sc.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten
+        }
+      }
+      s.sparkContext.addSparkListener(listener)
+      def run(tag: String, name: String): Unit = {
+        val q = graft.SparkEntry.catalog.find(_.name == name).get
+        bytes = 0; recs = 0
+        val t0 = System.nanoTime()
+        q.fn(s, d).write.format("noop").mode("overwrite").save()
+        Thread.sleep(1500)
+        println(f"[probe] $tag%-22s wall ${(System.nanoTime() - t0) / 1e9}%7.2f s " +
+          f"shuffle ${bytes / 1e6}%9.1f MB / $recs%,12d recs")
+      }
+      run("v21_fat_semi_warm", "v21_filtered_ann"); run("v21_fat_semi", "v21_filtered_ann")
+      run("v23_slim_semi_warm", "v23_filtered_ann_slim"); run("v23_slim_semi", "v23_filtered_ann_slim")
+      spark.stop(); sys.exit(0)
+    }
     if (sys.env.contains("PROBE_Q100")) {
       // NOT IN at the beyond-broadcast cliff: threshold forced to 1 KB
       // to show the NAAJ build is FORCED, not chosen — rule OFF stays

@@ -102,4 +102,36 @@ class SimilaritySpec extends AnyFunSuite {
     val recall = (exact & quant).size
     assert(recall >= 15, s"quantized top-20 kept only $recall/20 of exact top-20")
   }
+
+  test("v23 slim filtered ANN: same rows as v21, vectors never cross a shuffle") {
+    val v21 = SimilarityQueries.v21FilteredAnn.fn(s, d).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    def check(): Unit = {
+      val df = SimilarityQueries.v23FilteredAnnSlim.fn(s, d)
+      val got = df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got == v21, "v23 must return exactly v21's answer")
+      val shuffled = SparkTestBase.flattenPlan(df.queryExecution.executedPlan)
+        .collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike =>
+            e.child.output }
+      assert(shuffled.nonEmpty, "the repartition barrier must survive planning")
+      assert(shuffled.forall(_.forall(a =>
+        !a.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])),
+        "an embedding column crossed a shuffle — the score-first projection " +
+          s"was pushed back above the semi join:\n${df.queryExecution}")
+    }
+    check() // broadcast regime: allow set broadcasts, exchange carries scores
+    // beyond-broadcast regime (the sf100 shape): the semi join must plan a
+    // shuffle strategy and STILL move only (id, score) rows
+    val thr = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val athr = s.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", thr)
+    try {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      check()
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+      s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", athr)
+    }
+  }
 }
