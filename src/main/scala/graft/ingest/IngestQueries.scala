@@ -814,6 +814,63 @@ object IngestQueries {
       .orderBy("rule_name")
   }
 
+  /** Parquet FOOTER aggregate pushdown — the third data-skipping channel
+    * after i16 (sorted min/max) and i19 (bloom): an unfiltered global
+    * COUNT/MIN/MAX never needs to decode a single data page, because the
+    * parquet footer already carries row counts and per-column min/max
+    * stats. Spark's DSv2 parquet scan ships exactly this rewrite
+    * (`ParquetScanBuilder.pushAggregation`, gated on
+    * `spark.sql.parquet.aggregatePushdown` + the V2 read path), turning a
+    * full-table aggregate into #row-groups footer reads — at 100 TB the
+    * difference between touching every byte of the corpus and touching
+    * kilobytes of metadata per file. The V1 path Spark defaults to has no
+    * such channel, so the entry scopes `useV1SourceList` off for parquet.
+    *
+    * The footer-only scan must EXECUTE while those confs hold (the
+    * pushdown is re-decided at each optimization, so a lazily-returned
+    * plan would re-plan after the finally restores them); the result is
+    * ONE row — the bounded-scalar idiom — materialized here and returned
+    * as a local relation. `AggPushdownSpec` asserts the plan carries
+    * `PushedAggregation` and that the scan reads one record per row
+    * group, not per row. */
+  val i25AggPushdown: Q = Q(
+    "i25_agg_pushdown",
+    """SELECT COUNT(*) AS n_rows,
+      |  MIN(l_orderkey) AS min_key, MAX(l_orderkey) AS max_key,
+      |  MIN(l_linenumber) AS min_line, MAX(l_linenumber) AS max_line
+      |FROM lineitem""".stripMargin) { (s, d) =>
+    val (df, rows) = pushedFooterAggPlan(s, d)
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+  }
+
+  /** Builds the pushed-aggregate query, executes it under the scoped
+    * confs, and returns (the executed Dataset, its one result row).
+    * Exposed to `AggPushdownSpec` so the assertion sees the SAME
+    * QueryExecution that produced the answer. */
+  private[ingest] def pushedFooterAggPlan(
+      s: org.apache.spark.sql.SparkSession, d: String)
+      : (DataFrame, Array[org.apache.spark.sql.Row]) = {
+    val confs = Seq(
+      // route parquet through DSv2 — aggregate pushdown lives in
+      // ParquetScanBuilder, which the default V1 FileSourceScan bypasses
+      "spark.sql.sources.useV1SourceList" -> "",
+      "spark.sql.parquet.aggregatePushdown" -> "true")
+    val saved = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      val df = s.read.parquet(s"$d/lineitem.parquet")
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("l_orderkey")).as("min_key"),
+          max(col("l_orderkey")).as("max_key"),
+          min(col("l_linenumber")).as("min_line"),
+          max(col("l_linenumber")).as("max_line"))
+      (df, df.collect())
+    } finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
+  }
+
   val all: Seq[Q] = Seq(
     i01PageScan, i02TimestampParse, i03WatermarkFilter, i04RunningMax,
     i05PartitionedSink, i06BackfillCursor, i07DailyCounts,
@@ -821,5 +878,5 @@ object IngestQueries {
     i12SchemaEvolution, i13StreamingSource, i14DynamicOverwrite,
     i15OrcRoundtrip, i16SortedSkipping, i17Compaction, i18V2AtomicSink,
     i19ParquetBloom, i20MergeOnRead, i21SpjJoin, i22SnapshotDiff,
-    i23SnapshotDrift, i24ConstraintAudit)
+    i23SnapshotDrift, i24ConstraintAudit, i25AggPushdown)
 }
