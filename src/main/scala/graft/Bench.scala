@@ -136,9 +136,12 @@ object Bench {
     val headline = Seq(
       "q37_stats_exact", "q43_sessionize", "q51_tpch_composite", "q63_funnel",
       "q66_eager_agg", "q70_pruning_capstone", "q71_eager_decimal",
+      "q93_rolling_distinct", "q99_license_capstone",
       "d05_ngram_jaccard", "d07_cc_clusters", "d10_semantic_dedup",
-      "v07_ann_partition_pruned", "v11_ivf_portable", "t14_lm_score",
-      "t15_bm25", "st07_stream_stream_join", "st14_stream_left_outer_join",
+      "d16_line_dedup", "v07_ann_partition_pruned", "v11_ivf_portable",
+      "v20_ivf_pq", "v23_filtered_ann_slim", "t14_lm_score",
+      "t15_bm25", "t24_token_budget_select",
+      "st07_stream_stream_join", "st14_stream_left_outer_join",
       "p03_pagerank", "p04_triangles", "p05_bfs_hops", "p08_sequence_pack")
     val rmap = results.toMap
     val compactQs = headline.flatMap(n => rmap.get(n).map(v => f""""$n":$v%.3f"""))

@@ -1197,8 +1197,71 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** Leakage-safe train/val/test split — the eval-hygiene op q47's
+    * per-document hash split cannot provide: hashing doc_id scatters the
+    * members of a near-duplicate cluster independently, so ~1 −
+    * (0.8² + 0.1² + 0.1²) = 34% of near-dup PAIRS straddle a split
+    * boundary and the test set scores memorization, not generalization
+    * (the train/test-overlap failure the decontamination entry t09
+    * guards against for BENCHMARKS, applied to the corpus's own
+    * near-dups). The fix is to hash the d07 CONNECTED COMPONENT, not
+    * the document: every doc inherits its cluster's draw, so a cluster
+    * lands wholly in one split by construction — zero straddling pairs,
+    * spec-proven against the doc-hash baseline, same 80/10/10 md5
+    * apportionment as q47 so the split stays engine-portable.
+    *
+    * Scale shape: the labels table is (8 B id, 8 B comp) rows off d07's
+    * pointer-jumping loop — the join back to documents carries doc_id +
+    * n_chars only (never text), and the per-split rollup is a 3-group
+    * hash aggregate. Splitting cost is the clustering cost, which the
+    * 1000× campaign already measured linear (SCALE.md d07). */
+  val d17LeakageSplit: Q = Q(
+    "d17_leakage_safe_split",
+    """WITH RECURSIVE t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |p AS (
+      |  SELECT doc_id, array_to_string(toks[1:3], ' ') AS pre,
+      |         array_to_string(toks[-3:], ' ') AS suf FROM t),
+      |e0 AS (
+      |  SELECT a.doc_id AS u, b.doc_id AS v FROM p a
+      |    JOIN p b ON a.pre = b.pre AND a.doc_id < b.doc_id
+      |  UNION
+      |  SELECT a.doc_id, b.doc_id FROM p a
+      |    JOIN p b ON a.suf = b.suf AND a.doc_id < b.doc_id),
+      |e AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+      |reach(id, r) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.id),
+      |lab AS (SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id),
+      |sp AS (SELECT d.n_chars, lab.component,
+      |    ('0x' || substr(md5(CAST(lab.component AS VARCHAR)), 1, 8))::BIGINT % 100 AS pct
+      |  FROM documents d JOIN lab USING (doc_id))
+      |SELECT CASE WHEN pct < 80 THEN 'train' WHEN pct < 90 THEN 'val' ELSE 'test' END AS split,
+      |  COUNT(*) AS n_docs, COUNT(DISTINCT component) AS n_components,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      |FROM sp GROUP BY split ORDER BY split""".stripMargin) { (s, d) =>
+    val pct = conv(substring(md5(col("component").cast("string")), 1, 8), 16, 10)
+      .cast("long") % 100
+    docs(s, d).select("doc_id", "n_chars")
+      .join(ccLabels(s, d)
+          .select(col("id").as("doc_id"), col("comp").as("component")),
+        Seq("doc_id"))
+      .select(col("n_chars"), col("component"), pct.as("pct"))
+      .select(
+        when(col("pct") < 80, "train").when(col("pct") < 90, "val")
+          .otherwise("test").as("split"),
+        col("n_chars"), col("component"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("component")).as("n_components"),
+        sum(col("n_chars")).as("total_chars"))
+      .orderBy("split")
+  }
+
   val all: Seq[Q] = Seq(d01ExactDedup, d02HashDedup, d03MinHashLsh, d04SimHash,
     d05NgramJaccard, d06MinHashPortable, d07CcClusters, d08BloomIncremental,
     d09ShardedBloom, d10SemanticDedup, d11SimHashPortable, d12CanonicalSelect,
-    d13SubstringSpan, d14LshEval, d15SoftDedupWeights, d16LineDedup)
+    d13SubstringSpan, d14LshEval, d15SoftDedupWeights, d16LineDedup,
+    d17LeakageSplit)
 }
