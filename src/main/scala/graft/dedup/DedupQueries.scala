@@ -474,11 +474,18 @@ object DedupQueries {
     * reachable doc_id), shared by d07 (the cluster report) and d15 (the
     * soft-dedup weighting). See d07's scaladoc for the star-expansion +
     * pointer-jumping scale story. */
-  private def ccLabels(s: SparkSession, d: String): DataFrame = {
-    val t = docs(s, d).select(col("doc_id"), toks.as("toks"))
-    val keyed = t.select(col("doc_id"),
-      concat_ws(" ", slice(col("toks"), 1, 3)).as("pre"),
-      concat_ws(" ", slice(col("toks"), -3, 3)).as("suf"))
+  private def ccLabels(s: SparkSession, d: String): DataFrame =
+    ccFromKeyed(s, keyedOf(s, d))
+
+  /** (doc_id, pre, suf) blocking keys — the d07 near-dup graph's edge
+    * generator, shared with the incremental path (d18). */
+  private def keyedOf(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"),
+        concat_ws(" ", slice(col("toks"), 1, 3)).as("pre"),
+        concat_ws(" ", slice(col("toks"), -3, 3)).as("suf"))
+
+  private def ccFromKeyed(s: SparkSession, keyed: DataFrame): DataFrame = {
     def blockEdges(k: String) = {
       val hub = keyed.groupBy(col(k).as("key"))
         .agg(min(col("doc_id")).as("u"), count(lit(1)).as("n"))
@@ -488,10 +495,17 @@ object DedupQueries {
         .select(col("u"), col("doc_id").as("v"))
     }
     val e0 = blockEdges("pre").union(blockEdges("suf")).distinct()
+    ccLoop(s, e0, keyed.select(col("doc_id").as("id")))
+  }
+
+  /** Min-label pointer-jumping CC over (u, v) edges (given one
+    * direction; symmetrized here) and an `id` node list — d07's loop,
+    * extracted so d18 can run it on the contracted DELTA graph. */
+  private def ccLoop(s: SparkSession, e0: DataFrame, nodes: DataFrame): DataFrame = {
     val loopWidth = math.min(s.sparkContext.defaultParallelism, 8)
     val edges = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
       .repartition(loopWidth).localCheckpoint()
-    var labels = t.select(col("doc_id").as("id"), col("doc_id").as("comp"))
+    var labels = nodes.select(col("id"), col("id").as("comp"))
       .repartition(loopWidth).localCheckpoint()
     var prevSum = -1L
     var curSum = 0L
@@ -1259,9 +1273,107 @@ object DedupQueries {
       .orderBy("split")
   }
 
+  /** Incremental CLUSTER maintenance — d08/d09 answer "is today's doc an
+    * exact dup of history?"; d18 answers the harder standing question a
+    * production near-dup index must: merge today's batch into
+    * yesterday's CLUSTERING without reclustering the corpus. Reclustering
+    * is O(corpus) every day; at 100 TB that is the difference between a
+    * nightly job and an impossible one.
+    *
+    * The algorithm is CC on the CONTRACTED graph. Yesterday's labeling
+    * already collapsed each old component to its min-id; a new doc can
+    * only merge components it shares a blocking key with, and any two
+    * OLD docs sharing a key are already co-labeled (that key made them
+    * one component yesterday) — so each key touched by a new doc
+    * contributes its new members plus AT MOST ONE old component id.
+    * Nodes = {touched old component ids} ∪ {new doc ids}; star edges per
+    * touched key; d07's pointer-jumping loop runs on THIS graph, whose
+    * size follows the DELTA, not the corpus. Old labels then remap
+    * through the delta roots with one join (untouched components pass
+    * through a coalesce), new docs take their root directly. Component
+    * ids stay canonical: every contracted node id is itself a min doc-id,
+    * so the delta root is the min over the merged component — the
+    * labeling is IDENTICAL to a full recompute, which is exactly what
+    * the oracle (and `IncrementalCcSpec`, structurally) checks.
+    *
+    * "Today's batch" is the deterministic doc_id % 10 = 0 slice (d08's
+    * convention); yesterday's labels are recomputed here for
+    * self-containment where production reads the stored table — the
+    * delta machinery after that line is the entry's point. */
+  val d18IncrementalCc: Q = Q(
+    "d18_incremental_cc",
+    """WITH RECURSIVE t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |p AS (
+      |  SELECT doc_id, array_to_string(toks[1:3], ' ') AS pre,
+      |         array_to_string(toks[-3:], ' ') AS suf FROM t),
+      |e0 AS (
+      |  SELECT a.doc_id AS u, b.doc_id AS v FROM p a
+      |    JOIN p b ON a.pre = b.pre AND a.doc_id < b.doc_id
+      |  UNION
+      |  SELECT a.doc_id, b.doc_id FROM p a
+      |    JOIN p b ON a.suf = b.suf AND a.doc_id < b.doc_id),
+      |e AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+      |reach(id, r) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.id)
+      |SELECT id AS doc_id, MIN(r) AS component, (id % 10 = 0) AS arrived_today
+      |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    incrementalCcParts(s, d)._3
+  }
+
+  /** d18's stages, exposed to `IncrementalCcSpec`:
+    * (yesterday's labels, contracted delta nodes, final labeling). */
+  private[dedup] def incrementalCcParts(
+      s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
+    val keyed = keyedOf(s, d)
+    val isNew = col("doc_id") % 10 === 0
+    val newKeyed = keyed.filter(isNew)
+    // yesterday's stored state (recomputed for self-containment)
+    val oldLabels = ccFromKeyed(s, keyed.filter(!isNew))
+    // melt both channels, NAMESPACED: d07 joins pre with pre and suf with
+    // suf — an unprefixed melt would let a pre string equal to some suf
+    // string fabricate an edge the full graph does not have
+    def melt(df: DataFrame) = df.select(
+      explode(array(concat(lit("P:"), col("pre")),
+        concat(lit("S:"), col("suf")))).as("key"), col("doc_id"))
+    // each old doc's keys, mapped to its component: per key at most one
+    // distinct comp survives the distinct (see scaladoc invariant)
+    val oldKeyComp = melt(keyed.filter(!isNew))
+      .join(oldLabels, col("doc_id") === col("id"))
+      .select(col("key"), col("comp")).distinct()
+    val newKeys = melt(newKeyed)
+    // contracted members per touched key: its new docs + its old component
+    val members = newKeys.select(col("key"), col("doc_id").as("m"))
+      .union(oldKeyComp
+        .join(newKeys.select("key").distinct(), Seq("key"))
+        .select(col("key"), col("comp").as("m")))
+    val hub = members.groupBy("key")
+      .agg(min(col("m")).as("u"), count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+    val e0 = members.join(hub, Seq("key"))
+      .filter(col("m") =!= col("u"))
+      .select(col("u"), col("m").as("v")).distinct()
+    val deltaNodes = members.select(col("m").as("id")).distinct()
+    val deltaLabels = ccLoop(s, e0, deltaNodes)
+    val remappedOld = oldLabels
+      .join(deltaLabels.select(col("id").as("ocomp"), col("comp").as("root")),
+        oldLabels("comp") === col("ocomp"), "left")
+      .select(col("id").as("doc_id"),
+        coalesce(col("root"), col("comp")).as("component"))
+    val newRows = deltaLabels
+      .join(newKeyed.select("doc_id"), deltaLabels("id") === col("doc_id"))
+      .select(col("doc_id"), col("comp").as("component"))
+    val result = remappedOld.union(newRows)
+      .withColumn("arrived_today", col("doc_id") % 10 === 0)
+      .orderBy("doc_id")
+    (oldLabels, deltaNodes, result)
+  }
+
   val all: Seq[Q] = Seq(d01ExactDedup, d02HashDedup, d03MinHashLsh, d04SimHash,
     d05NgramJaccard, d06MinHashPortable, d07CcClusters, d08BloomIncremental,
     d09ShardedBloom, d10SemanticDedup, d11SimHashPortable, d12CanonicalSelect,
     d13SubstringSpan, d14LshEval, d15SoftDedupWeights, d16LineDedup,
-    d17LeakageSplit)
+    d17LeakageSplit, d18IncrementalCc)
 }
