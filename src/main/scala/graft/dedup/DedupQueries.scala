@@ -1371,9 +1371,79 @@ object DedupQueries {
     (oldLabels, deltaNodes, result)
   }
 
+  /** Asymmetric CONTAINMENT dedup — the doc-inside-doc case Jaccard
+    * structurally misses: a short document quoted whole inside a long
+    * one has |A∩B|/|A∪B| ≈ |A|/|B| (tiny) but |A∩B|/|A| ≈ 1. Web
+    * corpora are full of exactly this (articles + their aggregator
+    * pages, posts + quoted replies), and training on both leaks the
+    * short doc twice. Reports every directed pair with
+    * C(A→B) = |A∩B|/|A| ≥ 0.9 over 3-gram shingle sets.
+    *
+    * The prefix filter survives the asymmetry with ONE change: if
+    * C(A→B) ≥ t then B misses at most |A| − ⌈t·|A|⌉ of A's shingles,
+    * so any (|A| − ⌈t·|A|⌉ + 1)-token prefix of A must hit B — but B
+    * contributes its WHOLE set to the index (no prefix on the container
+    * side: containment puts no upper bound on |B|, only |B| ≥ ⌈t·|A|⌉,
+    * which rides in the join). The index side is therefore the corpus
+    * postings list — t15 BM25's scale class, 8-byte shingle ids only
+    * (d05's hashing argument) — while the probe side explodes just the
+    * df-ascending-rarest prefix, keeping candidate buckets small for
+    * the same reason d05's are. Verification is inline (ord arrays ride
+    * the join); survivors dedup at ~dozens of rows. */
+  val d19Containment: Q = Q(
+    "d19_containment",
+    """WITH sh AS (
+      |  SELECT doc_id, list_sort(list_distinct(
+      |           [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+      |            for i in range(1, len(toks) - 1)])) AS s
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      |  WHERE len(toks) >= 3)
+      |SELECT a.doc_id AS i, b.doc_id AS j,
+      |  len(list_intersect(a.s, b.s))::DOUBLE / len(a.s) AS containment
+      |FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+      |WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(a.s) >= 0.9
+      |ORDER BY i, j""".stripMargin) { (s, d) =>
+    val theta = 0.9
+    val sh = {
+      val t = col("toks")
+      val shStr = array_distinct(transform(
+        sequence(lit(1), greatest(size(t) - 2, lit(0))),
+        i => concat_ws(" ", element_at(t, i), element_at(t, i + 1),
+          element_at(t, i + 2))))
+      docs(s, d).select(col("doc_id"), toks.as("toks"))
+        .select(col("doc_id"), transform(shStr, x => xxhash64(x)).as("s"))
+        .filter(size(col("s")) > 0)
+    }
+    val dfCounts = sh.select(explode(col("s")).as("shingle"))
+      .groupBy("shingle").agg(count(lit(1)).as("df"))
+    val ranked = Stage.materialize(s,
+      sh.select(col("doc_id"), explode(col("s")).as("shingle"))
+        .join(dfCounts, "shingle")
+        .groupBy("doc_id")
+        .agg(array_sort(collect_list(struct(col("df"), col("shingle")))).as("o"))
+        .select(col("doc_id"),
+          transform(col("o"), x => x.getField("shingle")).as("ord"))
+        .withColumn("sz", size(col("ord"))),
+      "d19ranked")
+    val probe = ranked.select(col("doc_id"), col("sz"), col("ord"),
+      explode(slice(col("ord"), lit(1),
+        (col("sz") - ceil(col("sz") * theta) + 1).cast("int"))).as("ptok"))
+    val index = ranked.select(col("doc_id").as("j"), col("sz").as("jsz"),
+      col("ord").as("jord"), explode(col("ord")).as("tok"))
+    val containment = size(array_intersect(col("ord"), col("jord")))
+      .cast("double") / col("sz").cast("double")
+    probe.join(index,
+        col("ptok") === col("tok") && col("doc_id") =!= col("j") &&
+          col("jsz") >= ceil(col("sz") * theta))
+      .select(col("doc_id").as("i"), col("j"), containment.as("containment"))
+      .filter(col("containment") >= theta)
+      .dropDuplicates("i", "j")
+      .orderBy("i", "j")
+  }
+
   val all: Seq[Q] = Seq(d01ExactDedup, d02HashDedup, d03MinHashLsh, d04SimHash,
     d05NgramJaccard, d06MinHashPortable, d07CcClusters, d08BloomIncremental,
     d09ShardedBloom, d10SemanticDedup, d11SimHashPortable, d12CanonicalSelect,
     d13SubstringSpan, d14LshEval, d15SoftDedupWeights, d16LineDedup,
-    d17LeakageSplit, d18IncrementalCc)
+    d17LeakageSplit, d18IncrementalCc, d19Containment)
 }

@@ -1,0 +1,39 @@
+package graft.dedup
+
+import graft.{SparkTestBase, Tables}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** d19: the prefix-filtered containment join must be lossless against
+  * brute-force all-directed-pairs over STRING shingles (also exercising
+  * the hash-id reduction), and must actually prune candidates. */
+class ContainmentSpec extends AnyFunSuite {
+  private lazy val s = SparkTestBase.spark
+  private val d = SparkTestBase.sfDir
+
+  test("d19 equals brute-force directed containment, string shingles") {
+    val toks = split(col("text"), " ")
+    val sh = Tables.t(s, d, "documents")
+      .select(col("doc_id"), sort_array(array_distinct(transform(
+        sequence(lit(1), greatest(size(toks) - 2, lit(0))),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
+          element_at(toks, i + 2))))).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val cont = size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+      size(col("a.sh")).cast("double")
+    val brute = sh.as("a").crossJoin(sh.as("b"))
+      .filter(col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"), cont.as("c"))
+      .filter(col("c") >= 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = DedupQueries.d19Containment.fn(s, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == brute,
+      s"missing=${(brute -- got).take(5)} extra=${(got -- brute).take(5)}")
+    assert(brute.nonEmpty, "fixture has no containment pairs — test is vacuous")
+    // the asymmetry must be exercised: some pair qualifies in one
+    // direction only (the doc-inside-doc case Jaccard misses)
+    assert(brute.exists { case (i, j, _) => !brute.exists(p => p._1 == j && p._2 == i) },
+      "every pair is symmetric — fixture never exercises containment asymmetry")
+  }
+}
