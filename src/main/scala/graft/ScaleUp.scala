@@ -82,15 +82,38 @@ object ScaleUp {
     def write(df: DataFrame, t: String): Unit =
       df.write.mode("overwrite").parquet(s"$dst/$t.parquet")
 
+    /** Source table size in bytes (file or directory-of-parts). */
+    def srcBytes(t: String): Long = {
+      def sz(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles().map(sz).sum else f.length()
+      sz(new java.io.File(s"$src/$t.parquet"))
+    }
+
     // Cross product with replica ids 0..factor-1, then per-column remap.
     // The `rep` column is dropped before writing.
+    //
+    // The output is hash-repartitioned on the table's first surrogate key
+    // into ~64 MB files before writing. The generator originally wrote
+    // each table from its scan's task count — the SOURCE's file count,
+    // i.e. ONE file (one row group) for every non-lineitem table at any
+    // factor. A single row group is an unsplittable scan unit, so every
+    // map stage over the scaled documents/events tables ran as ONE task
+    // regardless of data volume — d16's shuffle-free rewrite pass (whose
+    // parallelism IS the scan's) measured 26× on a 10× step purely from
+    // the fixture's layout, 21 minutes of one busy core at sf10. A real
+    // corpus at any of these scales is thousands of files; the fixture
+    // must model that or it mis-measures the whole scan layer. Hash (not
+    // round-robin) placement keeps regeneration deterministic.
     def scaled(t: String, keyCols: Seq[String])(extra: DataFrame => DataFrame): Unit = {
       val base = read(t)
       val reps = base.withColumn("rep", explode(sequence(lit(0L), lit(factor - 1L))))
       val remapped = keyCols.foldLeft(reps) { (df, k) =>
         df.withColumn(k, col(k) + col("rep") * Stride)
       }
-      write(extra(remapped).select(base.columns.map(col).toSeq: _*), t)
+      val nFiles = math.max(8L,
+        math.min(512L, srcBytes(t) * factor / (64L << 20))).toInt
+      write(extra(remapped).select(base.columns.map(col).toSeq: _*)
+        .repartition(nFiles, col(keyCols.head)), t)
     }
 
     Seq("region", "nation").foreach(t => write(read(t), t))

@@ -1188,7 +1188,13 @@ object DedupQueries {
     def spans(c: Column): Column = transform(
       sequence(lit(1), size(c), lit(3)),
       i => concat_ws(" ", slice(c, i, lit(3))))
-    val base = docs(s, d).select(col("doc_id"), spans(toks).as("chunks"))
+    // Layout.widen: the rewrite pass is deliberately shuffle-free, so its
+    // parallelism IS the scan's split count — a single-row-group fixture
+    // file would run the whole corpus rewrite on one core (21 min at
+    // sf10, measured). One guarded repartition when the layout
+    // under-splits; no-op on a real multi-file corpus.
+    val base = graft.Layout.widen(s,
+      docs(s, d).select(col("doc_id"), spans(toks).as("chunks")))
     val hot = base
       .select(explode(col("chunks")).as("chunk"))
       .select(xxhash64(col("chunk")).as("h"))

@@ -46,10 +46,23 @@ class CurationOpsSpec extends AnyFunSuite {
     val nodes = SparkTestBase.flattenPlan(df.queryExecution.executedPlan)
     val exchanges = nodes.collect {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e }
-    // hot-span count agg + single-row collect_set + final ORDER BY — and
-    // nothing else: the rewrite pass reaches the parquet scan with no
-    // Exchange in between.
-    assert(exchanges.size == 3, s"extra shuffle appeared:\n${df.queryExecution}")
+    // The ALGORITHM's exchanges are hot-span count agg + single-row
+    // collect_set + final ORDER BY — none carrying text. Layout.widen's
+    // guarded scan repair (which FIRES here: the fixture is a
+    // single-row-group file) is the only exchange allowed to carry the
+    // chunk arrays, and must be a row-preserving REPARTITION_BY_NUM.
+    val (widen, algo) = exchanges.partition {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        e.shuffleOrigin == org.apache.spark.sql.execution.exchange.REPARTITION_BY_NUM
+      case _ => false
+    }
+    assert(widen.nonEmpty, "the widen guard must fire on the one-file fixture")
+    assert(algo.size == 3, s"extra algorithm shuffle:\n${df.queryExecution}")
+    // the algorithm's exchanges move span HASHES and finished result rows,
+    // never the chunk arrays
+    assert(algo.forall(!_.child.output.exists(
+        _.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])),
+      s"a chunk array crossed an algorithm shuffle:\n${df.queryExecution}")
     assert(nodes.exists(
       _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]),
       "hot set must reach the corpus as a broadcast, not a join shuffle")
