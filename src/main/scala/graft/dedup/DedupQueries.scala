@@ -1158,19 +1158,33 @@ object DedupQueries {
     * oracle counts the strings themselves, so any collision surfaces as a
     * hash mismatch — none occurs.
     *
-    * The membership probe is the native O(log n) [[graft.functions
-    * .SortedLongContains]] over the SORTED hot array, not array_contains:
-    * this corpus's 40-word vocabulary makes the hot set
-    * corpus-proportional (~50k spans at sf0.1, vs the boilerplate-sized
-    * sets of real corpora), and the linear probe cost
-    * O(spans x |hotset|) — 77 s at sf0.1, unbounded growth beyond.
-    * Binary search restores O(spans x log): 3.6 s at sf0.1 (21x), and
-    * the hot set stays vocab-bounded (<= 512 KB broadcast) at any sf.
+    * The hot-set PROBE went through three generations, each a measured
+    * scale lesson (this corpus's 40-word vocabulary makes the set
+    * corpus-proportional — ~50k spans at sf0.1, 2.6M at sf10 — where
+    * real corpora have boilerplate-sized sets, so it stress-tests the
+    * probe deliberately):
+    *  1. array_contains over a broadcast-joined array column: LINEAR
+    *     scan, O(spans × |set|) — 77 s at sf0.1.
+    *  2. [[graft.functions.SortedLongContains]] binary search over the
+    *     same column: O(spans × log) — 3.6 s at sf0.1 — but the set
+    *     still rides the ROW SCHEMA, and because the HOF lambda blocks
+    *     codegen, the nested-loop join's interpreted path memcpys the
+    *     whole set into every materialized row: rows × |set| BYTES —
+    *     207 s at sf10 with a 21 MB set, the array_contains disease
+    *     reborn one layer down.
+    *  3. [[graft.functions.BroadcastSortedContains]]: the set lives in
+    *     a Spark BROADCAST, off-row; no join exists at all. The driver
+    *     materializes it once, BOUNDED by spark.graft.d16.hotBroadcastMax
+    *     (default 4M entries = 32 MB); beyond the budget the entry
+    *     switches to the anti-join form: span hashes explode with their
+    *     positions, anti-join the hot table ((id, pos, hash) ints only),
+    *     kept positions re-aggregate per doc and ONE co-partitioned join
+    *     reassembles against the chunks — the only text-bearing shuffle
+    *     in either path, paid only when the set outgrows any broadcast.
     *
-    * The double reference to `kept` (array_join + size) re-evaluates the
-    * cheap codegen'd lambda after CollapseProject inlines it — deliberate:
-    * pinning a corpus-wide stage (Stage.materialize) to save a per-row
-    * string filter is the wrong trade at 100 TB. */
+    * The triple reference to `kept` re-evaluates the cheap lambda after
+    * CollapseProject inlines it — deliberate: pinning a corpus-wide
+    * stage to save a per-row filter is the wrong trade at 100 TB. */
   val d16LineDedup: Q = Q(
     "d16_line_dedup",
     """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
@@ -1195,26 +1209,49 @@ object DedupQueries {
     // under-splits; no-op on a real multi-file corpus.
     val base = graft.Layout.widen(s,
       docs(s, d).select(col("doc_id"), spans(toks).as("chunks")))
-    val hot = base
+    val hot = Stage.materialize(s, base
       .select(explode(col("chunks")).as("chunk"))
       .select(xxhash64(col("chunk")).as("h"))
       .groupBy("h").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= 3)
-      .agg(sort_array(collect_set(col("h"))).as("hotset"))
-    def sortedContains(arr: Column, v: Column): Column =
-      org.apache.spark.sql.GraftPlanShim.column(
-        graft.functions.SortedLongContains(
-          org.apache.spark.sql.GraftPlanShim.expression(arr),
-          org.apache.spark.sql.GraftPlanShim.expression(v)))
-    val kept = filter(col("chunks"),
-      c => not(sortedContains(col("hotset"), xxhash64(c))))
-    base.crossJoin(broadcast(hot))
-      .select(col("doc_id"),
-        array_join(kept, " ").as("clean_text"),
-        size(kept).cast("long").as("n_kept"),
-        (size(col("chunks")) - size(kept)).cast("long").as("n_dropped"))
-      .filter(col("n_kept") > 0)
-      .orderBy("doc_id")
+      .select(col("h")), "d16hot")
+    val budget = s.conf.getOption("spark.graft.d16.hotBroadcastMax")
+      .map(_.toLong).getOrElse(4000000L)
+    if (hot.count() <= budget) {
+      // broadcast path: the set lives OFF-ROW in a Spark broadcast — no
+      // join, so no plan boundary can ever copy it per row
+      val sorted = hot.collect().map(_.getLong(0))
+      java.util.Arrays.sort(sorted)
+      val bc = s.sparkContext.broadcast(sorted)
+      def hotContains(v: Column): Column =
+        org.apache.spark.sql.GraftPlanShim.column(
+          graft.functions.BroadcastSortedContains(bc,
+            org.apache.spark.sql.GraftPlanShim.expression(v)))
+      val kept = filter(col("chunks"), c => not(hotContains(xxhash64(c))))
+      base.select(col("doc_id"),
+          array_join(kept, " ").as("clean_text"),
+          size(kept).cast("long").as("n_kept"),
+          (size(col("chunks")) - size(kept)).cast("long").as("n_dropped"))
+        .filter(col("n_kept") > 0)
+        .orderBy("doc_id")
+    } else {
+      // beyond-broadcast path: positions anti-join — every shuffle
+      // before the final reassembly join moves (id, pos, hash) ints
+      val keptPos = base
+        .select(col("doc_id"), posexplode(col("chunks")).as(Seq("pos", "chunk")))
+        .select(col("doc_id"), col("pos"), xxhash64(col("chunk")).as("h"))
+        .join(hot, Seq("h"), "left_anti")
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list(col("pos"))).as("keep"))
+      base.join(keptPos, Seq("doc_id"))
+        .select(col("doc_id"),
+          array_join(transform(col("keep"),
+            p => element_at(col("chunks"), p + 1)), " ").as("clean_text"),
+          size(col("keep")).cast("long").as("n_kept"),
+          (size(col("chunks")) - size(col("keep"))).cast("long").as("n_dropped"))
+        .filter(col("n_kept") > 0)
+        .orderBy("doc_id")
+    }
   }
 
   /** Leakage-safe train/val/test split — the eval-hygiene op q47's

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, LongType}
 
@@ -20,6 +20,9 @@ object SortedSearch {
     }
     false
   }
+
+  def contains(arr: Array[Long], v: Long): Boolean =
+    java.util.Arrays.binarySearch(arr, v) >= 0
 }
 
 /** O(log n) membership test against a SORTED long array — the broadcast
@@ -58,4 +61,43 @@ case class SortedLongContains(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): SortedLongContains =
     copy(left = newLeft, right = newRight)
+}
+
+/** [[SortedLongContains]] with the set OFF-ROW: the sorted array lives in
+  * a Spark broadcast, not in a column. Carrying a corpus-derived set as a
+  * (broadcast-joined) COLUMN puts it in the row schema, and any plan
+  * boundary that materializes rows then memcpys the whole set PER ROW —
+  * d16's rewrite measured 207 s at sf10 because the HOF condition blocks
+  * codegen, so the nested-loop join's interpreted path wrote each doc row
+  * with its 21 MB hotset attached (rows × |set| bytes, the array_contains
+  * disease reborn as memcpy). A broadcast handle serializes in bytes, the
+  * value is fetched once per executor, and the probe stays O(log n).
+  *
+  * The driver materializes the array once to create the broadcast, so
+  * callers must BOUND it (d16 gates this path on a size budget and falls
+  * back to an anti-join form beyond it). */
+case class BroadcastSortedContains(
+    bc: org.apache.spark.broadcast.Broadcast[Array[Long]],
+    child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_bc_sorted_contains expects bigint, got $t")
+  }
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_bc_sorted_contains"
+
+  override def nullSafeEval(v: Any): Any =
+    SortedSearch.contains(bc.value, v.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("hotsetBc", bc,
+      "org.apache.spark.broadcast.Broadcast<long[]>")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.SortedSearch.contains((long[]) $bcRef.value(), $v);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BroadcastSortedContains =
+    copy(child = newChild)
 }

@@ -40,32 +40,51 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got.exists(_._4 > 0), "the corpus always has hot spans to drop")
   }
 
-  test("d16 plan: count pass shuffles hashes only; the fact side never shuffles") {
+  test("d16 plan: the hot set never appears in a row schema; no join in the broadcast path") {
     val df = graft.dedup.DedupQueries.d16LineDedup.fn(s, d)
     df.collect()
     val nodes = SparkTestBase.flattenPlan(df.queryExecution.executedPlan)
+    // the hot set lives OFF-ROW in a Spark broadcast: the rewrite plan has
+    // NO join node at all, so no plan boundary can copy the set per row
+    // (generation 2 of this entry materialized rows × 21 MB at sf10)
+    assert(!nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec]),
+      s"broadcast path must not join:\n${df.queryExecution}")
+    assert(nodes.exists(_.toString.contains("graft_bc_sorted_contains")),
+      "the off-row broadcast probe is not in the plan")
     val exchanges = nodes.collect {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e }
-    // The ALGORITHM's exchanges are hot-span count agg + single-row
-    // collect_set + final ORDER BY — none carrying text. Layout.widen's
-    // guarded scan repair (which FIRES here: the fixture is a
-    // single-row-group file) is the only exchange allowed to carry the
-    // chunk arrays, and must be a row-preserving REPARTITION_BY_NUM.
+    // Layout.widen's guarded scan repair (FIRES here: one-file fixture) +
+    // the final ORDER BY — the count pass runs in the eager hot-set
+    // stage, outside this plan
     val (widen, algo) = exchanges.partition {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
         e.shuffleOrigin == org.apache.spark.sql.execution.exchange.REPARTITION_BY_NUM
       case _ => false
     }
     assert(widen.nonEmpty, "the widen guard must fire on the one-file fixture")
-    assert(algo.size == 3, s"extra algorithm shuffle:\n${df.queryExecution}")
-    // the algorithm's exchanges move span HASHES and finished result rows,
-    // never the chunk arrays
-    assert(algo.forall(!_.child.output.exists(
-        _.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])),
-      s"a chunk array crossed an algorithm shuffle:\n${df.queryExecution}")
-    assert(nodes.exists(
-      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]),
-      "hot set must reach the corpus as a broadcast, not a join shuffle")
+    assert(algo.size == 1, s"extra algorithm shuffle:\n${df.queryExecution}")
+  }
+
+  test("d16 beyond-broadcast path: positions anti-join returns identical rows") {
+    val rowsOf = (df: org.apache.spark.sql.DataFrame) =>
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    val broadcastPath = rowsOf(graft.dedup.DedupQueries.d16LineDedup.fn(s, d))
+    val saved = s.conf.getOption("spark.graft.d16.hotBroadcastMax")
+    s.conf.set("spark.graft.d16.hotBroadcastMax", "0")
+    try {
+      val df = graft.dedup.DedupQueries.d16LineDedup.fn(s, d)
+      assert(rowsOf(df) == broadcastPath,
+        "anti-join path diverged from the broadcast path")
+      val nodes = SparkTestBase.flattenPlan(df.queryExecution.executedPlan)
+      assert(nodes.exists {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec =>
+          j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti
+        case _ => false
+      }, s"expected the hot-table anti join:\n${df.queryExecution}")
+    } finally saved match {
+      case Some(v) => s.conf.set("spark.graft.d16.hotBroadcastMax", v)
+      case None    => s.conf.unset("spark.graft.d16.hotBroadcastMax")
+    }
   }
 
   test("t23 sequence pack: per-shard prefix placement, budget-256 chunks") {
