@@ -842,7 +842,11 @@ object TextQueries {
       |        AND n_tokens > 1 AND rep_pairs / (n_tokens * (n_tokens - 1)) < 0.05
       |       THEN 1 ELSE 0 END AS keep
       |FROM agg ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val tokc = docs(s, d)
+    // Layout.widen: the explode + map-side partial agg is this entry's
+    // whole cost, and it runs at the SCAN's parallelism — 8 file splits
+    // at sf100 left 24 of 32 cores idle (112.8 s; the reduce side after
+    // the shuffle re-widens, but by then the tokenizing is done).
+    val tokc = graft.Layout.widen(s, docs(s, d))
       .select(col("doc_id"), explode(toks).as("tok"))
       .groupBy("doc_id", "tok")
       .agg(count(lit(1)).as("c"))
