@@ -58,7 +58,14 @@ class PlanLintSpec extends AnyFunSuite {
       // p13's running-offset window runs on the 256-row bucket-count
       // relation (m08's distributed-rank machinery) — bounded by the
       // 60-bit key domain's div-2^52 bucketing, never by the corpus.
-      "p13_shard_shuffle")
+      "p13_shard_shuffle",
+      // t24's exclusive-prefix window runs over the per-SCORE bucket
+      // token totals — the score is an integer per-mille, so ≤1001 rows
+      // at any corpus size (its scaladoc documents the bound); the
+      // corpus-sized pass is the map-side-combined bucket agg, and the
+      // within-bucket cumsum windows ARE partitioned (CurationOpsSpec
+      // pins that plan).
+      "t24_token_budget_select")
 
   test("no catalog query plans a single-partition window or a cartesian product") {
     val violations = SparkEntry.catalog.flatMap { q =>
