@@ -138,7 +138,8 @@ object Bench {
       "q66_eager_agg", "q70_pruning_capstone", "q71_eager_decimal",
       "q93_rolling_distinct", "q99_license_capstone",
       "d05_ngram_jaccard", "d07_cc_clusters", "d10_semantic_dedup",
-      "d16_line_dedup", "v07_ann_partition_pruned", "v11_ivf_portable",
+      "d16_line_dedup", "d18_incremental_cc", "d19_containment",
+      "v07_ann_partition_pruned", "v11_ivf_portable",
       "v20_ivf_pq", "v23_filtered_ann_slim", "t14_lm_score",
       "t15_bm25", "t24_token_budget_select",
       "st07_stream_stream_join", "st14_stream_left_outer_join",
