@@ -1088,7 +1088,69 @@ object PipelineQueries {
         .orderBy("shard")
     }
 
+  /** DSIR-style importance-ranked data selection (Xie et al. 2023's
+    * "data selection with importance resampling", re-expressed in the
+    * catalog's exact-arithmetic discipline): pick from the RAW pool the
+    * documents whose hashed-unigram profile best matches a TARGET
+    * domain. Target = the `lang='en'` slice; candidates = everything
+    * else (selecting from the non-target pool is the operator's actual
+    * use — ranking web-crawl documents by target-likeness).
+    *
+    * DSIR proper scores log p_target(f) − log p_raw(f) summed over
+    * hashed features; per-feature ln() differs in the last ulp across
+    * engines (t15's idf note), so the entry scores the RATIO OF
+    * EXPECTED FREQUENCIES instead: Σ_tokens tgt_n(bucket) over
+    * Σ_tokens raw_n(bucket) — two exact BIGINT sums through ONE
+    * correctly-rounded division, bit-identical everywhere and monotone
+    * in the same "looks like the target" direction. Buckets are the
+    * hashing trick over md5 (t22's recipe), 256 of them, so both bucket
+    * count tables are bounded by the FEATURE SPACE, not the corpus.
+    *
+    * Scale shape: one explode → bucket-count agg (partial-agged to
+    * ≤256 rows) → the 256-row table broadcasts back onto the exploded
+    * stream (t14's join-back discipline: a broadcast hash probe, never
+    * element_at over a map column) → per-doc agg on 8-byte keys →
+    * global top-200 via TakeOrdered (AutoLocalTopK's bounded heap —
+    * no global sort). Document text never shuffles; the only wide
+    * exchanges carry (bucket) and (doc_id, two longs). */
+  val p14ImportanceSelect: Q = Q(
+    "p14_importance_select",
+    """WITH f AS (
+      |  SELECT doc_id, lang,
+      |    ('0x' || substr(md5(tok), 1, 4))::BIGINT % 256 AS b
+      |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+      |        FROM documents)),
+      |bc AS (
+      |  SELECT b, COUNT(*) AS raw_n,
+      |    COUNT(*) FILTER (WHERE lang = 'en') AS tgt_n
+      |  FROM f GROUP BY b),
+      |s AS (
+      |  SELECT doc_id, CAST(SUM(tgt_n) AS BIGINT) AS tgt_mass,
+      |         CAST(SUM(raw_n) AS BIGINT) AS raw_mass
+      |  FROM f JOIN bc USING (b) WHERE lang <> 'en' GROUP BY doc_id)
+      |SELECT doc_id, tgt_mass, raw_mass, tgt_mass / raw_mass AS score
+      |FROM s ORDER BY score DESC, doc_id LIMIT 200""".stripMargin) { (s, d) =>
+    def feats = Tables.t(s, d, "documents")
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"), col("lang"),
+        (conv(substring(md5(col("tok")), 1, 4), 16, 10).cast("long") % 256L)
+          .as("b"))
+    val buckets = feats.groupBy("b")
+      .agg(count(lit(1)).as("raw_n"),
+        count(when(col("lang") === "en", 1)).as("tgt_n"))
+    feats.filter(col("lang") =!= "en")
+      .join(broadcast(buckets), "b")
+      .groupBy("doc_id")
+      .agg(sum(col("tgt_n")).cast("long").as("tgt_mass"),
+        sum(col("raw_n")).cast("long").as("raw_mass"))
+      .select(col("doc_id"), col("tgt_mass"), col("raw_mass"),
+        (col("tgt_mass") / col("raw_mass")).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(200)
+  }
+
   val all: Seq[Q] = Seq(p01TrainingPipeline, p02CurationPipeline, p03Pagerank, p04Triangles,
     p05BfsHops, p06BfsRecursiveCte, p07MixAllocation, p08SequencePack, p09HybridRetrieval,
-    p10InbatchNegatives, p11DataCard, p12TemperatureMix, p13ShardShuffle)
+    p10InbatchNegatives, p11DataCard, p12TemperatureMix, p13ShardShuffle, p14ImportanceSelect)
 }

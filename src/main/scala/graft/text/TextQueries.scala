@@ -725,6 +725,11 @@ object TextQueries {
     * ADJACENT SINGLE-CHAR symbols, and replacing consumes the shared
     * delimiter, which is exactly left-to-right non-overlapping
     * application ('aaa' + 'aa' → ['aa','a'], verified both engines).
+    * One caveat the delimiter form carries: in a run of the SAME char
+    * ≥ 4, consuming the shared '|' makes the pass merge alternately
+    * ('aaaa' → [aa,a,a] where a rescanning encoder gives [aa,aa]) —
+    * both engines do the identical thing, so the cross-engine check is
+    * unaffected; t25's doubly-delimited form is the run-exact variant.
     * Word boundaries need no special casing: spaces are symbols and
     * never appear in a within-token merge pair. The corpus pass is a
     * per-row fold of 30 replaces with the merge table broadcast — zero
@@ -1029,6 +1034,91 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** BPE TRAINING, the full iterative loop — t13 is one pair-count pass
+    * and t20 applies a FIXED single-char merge table; this entry LEARNS a
+    * 6-merge table the way Sennrich et al. 2016's trainer does: each
+    * round counts adjacent SYMBOL pairs (symbols, not characters — round
+    * 6 here picks m+er→mer, a second-level merge t13 can never produce),
+    * takes the argmax (ties by pair, deterministic), merges it everywhere,
+    * and repeats on the merged vocabulary.
+    *
+    * Exactness of the merge step: symbols are kept DOUBLY delimited
+    * ('|t||h||e|'), so one non-overlapping left-to-right replace of
+    * '|a||b|' with '|ab|' merges ALL occurrences in the round, including
+    * consecutive ones in a run — '|a||a||a||a|' + (a,a) → '|aa||aa|',
+    * which t20's shared-delimiter form cannot do (its replace consumes
+    * the shared '|', so runs ≥ 4 merge only alternately; exact there
+    * because its single-char merge list makes both engines agree, noted
+    * in its scaladoc). One replace pass per round IS the trainer's batch
+    * semantics (every implementation applies the chosen merge to all
+    * sites before recounting).
+    *
+    * Scale shape — the reason BPE training is feasible at 100 TB: the
+    * CORPUS is touched exactly once (token-frequency agg, the only
+    * corpus-sized shuffle); all 6 iterations run over the VOCABULARY
+    * (millions of rows against billions of corpus rows), weighted by tf.
+    * Per round: pair explode + partial-agged count, a 1-row argmax via
+    * TakeOrdered, and a broadcast of that single row into the rewrite —
+    * no collect, no driver-side state. Round state is pinned with
+    * Stage.materialize (p03's iterative-loop discipline): without it the
+    * v_{r-1} lineage appears in BOTH b_r and v_r, and the corpus agg
+    * re-executes 2^K times. */
+  val t25BpeTrain: Q = Q(
+    "t25_bpe_train", {
+      val rounds = (1 to 6).map { r =>
+        s"""b$r AS (
+           |  SELECT a, b, CAST(SUM(tf) AS BIGINT) AS n FROM (
+           |    SELECT arr[i] AS a, arr[i+1] AS b, tf FROM
+           |      (SELECT string_split(trim(sym, '|'), '||') AS arr, tf FROM v${r - 1}) s,
+           |      unnest(range(1, len(arr))) AS t(i))
+           |  GROUP BY a, b ORDER BY n DESC, a, b LIMIT 1),
+           |v$r AS (
+           |  SELECT replace(sym, '|' || a || '||' || b || '|', '|' || a || b || '|') AS sym, tf
+           |  FROM v${r - 1}, b$r)""".stripMargin
+      }.mkString(",\n")
+      val union = (1 to 6)
+        .map(r => s"SELECT $r AS rank, a, b, a || b AS merged, n FROM b$r")
+        .mkString(" UNION ALL ")
+      s"""WITH tf AS (
+         |  SELECT tok, COUNT(*) AS tf FROM
+         |    (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+         |  GROUP BY tok),
+         |v0 AS (SELECT regexp_replace(tok, '(.)', '|\\1|', 'g') AS sym, tf FROM tf),
+         |$rounds
+         |SELECT * FROM ($union) ORDER BY rank""".stripMargin
+    }) { (s, d) =>
+    val tf0 = docs(s, d)
+      .select(explode(toks).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("tf"))
+      .select(regexp_replace(col("tok"), "(.)", "|$1|").as("sym"), col("tf"))
+    var vocab = graft.Stage.materialize(s, tf0, "t25v0")
+    val bests = Seq.newBuilder[org.apache.spark.sql.DataFrame]
+    for (r <- 1 to 6) {
+      val arr = split(expr("trim(BOTH '|' FROM sym)"), "\\|\\|")
+      val pairs = vocab
+        .select(arr.as("arr"), col("tf"))
+        .filter(size(col("arr")) >= 2)
+        .select(explode(transform(sequence(lit(1), size(col("arr")) - 1),
+          i => struct(element_at(col("arr"), i).as("a"),
+            element_at(col("arr"), i + 1).as("b")))).as("p"), col("tf"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("tf")).cast("long").as("n"))
+      val best = graft.Stage.materialize(s,
+        pairs.orderBy(col("n").desc, col("a"), col("b")).limit(1)
+          .withColumn("rank", lit(r)), s"t25b$r")
+      bests += best
+      if (r < 6) vocab = graft.Stage.materialize(s,
+        vocab.crossJoin(broadcast(best.select("a", "b")))
+          .select(expr(
+            "replace(sym, concat('|',a,'||',b,'|'), concat('|',a,b,'|'))").as("sym"),
+            col("tf")), s"t25v$r")
+    }
+    bests.result().reduce(_ unionByName _)
+      .select(col("rank"), col("a"), col("b"),
+        concat(col("a"), col("b")).as("merged"), col("n"))
+      .orderBy("rank")
+  }
+
   val all: Seq[Q] = Seq(
     t01TermFrequency, t02NgramCounts, t03LangId, t04QualityScore,
     t05LangSourceStats, t06TokenCounting, t07FingerprintBow,
@@ -1036,5 +1126,5 @@ object TextQueries {
     t12Repetition, t13BpePairs, t14LmScore, t15Bm25, t16Diversity,
     t17Collocations, t18Boilerplate, t19ChunkOverlap, t20BpeEncode,
     t21QualityRules, t22HashedClassifier, t23SequencePack,
-    t24TokenBudgetSelect)
+    t24TokenBudgetSelect, t25BpeTrain)
 }
