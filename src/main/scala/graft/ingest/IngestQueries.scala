@@ -871,6 +871,68 @@ object IngestQueries {
     }
   }
 
+  /** SORTED STORAGE-PARTITIONED JOIN — i21's exchange-free join with the
+    * OTHER half of the table-format metadata: the scan also reports its
+    * per-partition SORT ORDER ([[graft.sources.KeyedScan]] under
+    * `ordered=true`, Spark's `SupportsReportOrdering` — what Iceberg's
+    * sort-order spec records about key-sorted data files). A sort-merge
+    * join requires children ordered by the join keys; without the report
+    * EnsureRequirements plants a SortExec per side — at 100 TB that is
+    * two full spill-backed sorts of data that was ALREADY sorted on
+    * disk. With partitioning + ordering both reported, the fact⋈fact
+    * join runs with zero exchange AND zero sort (`SortedScanSpec`
+    * asserts both, and that dropping the report brings the sorts back).
+    *
+    * The writer side holds up the contract: each projection is written
+    * `orderBy(k)` — a range exchange whose output files are ascending
+    * disjoint k-ranges, and the source reads chunk files in name order,
+    * so every partition's residue-filtered stream is k-sorted. */
+  val i26SortedScanJoin: Q = Q(
+    "i26_sorted_scan_join",
+    s"""WITH o AS (SELECT o_custkey AS k, o_totalprice AS num FROM orders),
+       |c AS (SELECT c_custkey AS k, c_acctbal AS num, c_mktsegment AS tag
+       |      FROM customer)
+       |SELECT tag, COUNT(*) AS n, ${Det.sqlSum("o.num")} AS total_price,
+       |  ${Det.sqlSum("c.num")} AS total_bal
+       |FROM o JOIN c USING (k)
+       |GROUP BY tag ORDER BY tag""".stripMargin) { (s, d) =>
+    val dir = graft.TempDirs.newTempDir("graft_sorted_spj_")
+    graft.Tables.t(s, d, "orders")
+      .select(col("o_custkey"), col("o_totalprice"), lit("-"))
+      .orderBy("o_custkey")
+      .write.option("header", "false").csv(s"$dir/orders")
+    graft.Tables.t(s, d, "customer")
+      .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+      .orderBy("c_custkey")
+      .write.option("header", "false").csv(s"$dir/customer")
+    def keyed(sub: String) = s.read
+      .format("graft.sources.KeyedSourceProvider")
+      .option("path", s"$dir/$sub").option("buckets", "8")
+      .option("ordered", "true").load()
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.requireAllClusterKeysForCoPartition" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      // force the sort-merge path: the point is the elided SortExec
+      "spark.sql.join.preferSortMergeJoin" -> "true")
+    val saved = confs.map { case (k, _) => k -> s.conf.get(k) }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      val o = keyed("orders").select(
+        col("k"), col("num").as("o_num"), col("bucket"))
+      val c = keyed("customer").select(
+        col("k"), col("num").as("c_num"), col("tag"), col("bucket"))
+      val df = o.join(c, Seq("bucket", "k"))
+        .groupBy("tag")
+        .agg(count(lit(1)).as("n"),
+          Det.dsum(col("o_num")).as("total_price"),
+          Det.dsum(col("c_num")).as("total_bal"))
+        .orderBy("tag")
+      df.queryExecution.executedPlan // pin the sort- and exchange-free plan
+      df
+    } finally saved.foreach { case (k, v) => s.conf.set(k, v) }
+  }
+
   val all: Seq[Q] = Seq(
     i01PageScan, i02TimestampParse, i03WatermarkFilter, i04RunningMax,
     i05PartitionedSink, i06BackfillCursor, i07DailyCounts,
@@ -878,5 +940,5 @@ object IngestQueries {
     i12SchemaEvolution, i13StreamingSource, i14DynamicOverwrite,
     i15OrcRoundtrip, i16SortedSkipping, i17Compaction, i18V2AtomicSink,
     i19ParquetBloom, i20MergeOnRead, i21SpjJoin, i22SnapshotDiff,
-    i23SnapshotDrift, i24ConstraintAudit, i25AggPushdown)
+    i23SnapshotDrift, i24ConstraintAudit, i25AggPushdown, i26SortedScanJoin)
 }

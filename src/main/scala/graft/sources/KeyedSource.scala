@@ -4,6 +4,7 @@ import java.util
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
@@ -41,7 +42,8 @@ class KeyedSourceProvider extends TableProvider {
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
     new KeyedTable(properties.get("path"),
-      Option(properties.get("buckets")).map(_.toInt).getOrElse(8))
+      Option(properties.get("buckets")).map(_.toInt).getOrElse(8),
+      Option(properties.get("ordered")).exists(_.toBoolean))
 }
 
 object KeyedSource {
@@ -62,17 +64,19 @@ object KeyedSource {
   }
 }
 
-class KeyedTable(path: String, buckets: Int) extends Table with SupportsRead {
+class KeyedTable(path: String, buckets: Int, ordered: Boolean = false)
+    extends Table with SupportsRead {
   override def name(): String = s"keyed($path, $buckets)"
   override def schema(): StructType = KeyedSource.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    () => new KeyedScan(path, buckets)
+    () => new KeyedScan(path, buckets, ordered)
 }
 
-class KeyedScan(path: String, buckets: Int)
-    extends Scan with Batch with SupportsReportPartitioning {
+class KeyedScan(path: String, buckets: Int, ordered: Boolean = false)
+    extends Scan with Batch with SupportsReportPartitioning
+    with SupportsReportOrdering {
   override def readSchema(): StructType = KeyedSource.schema
   override def toBatch: Batch = this
   override def description(): String = s"KeyedScan(buckets=$buckets)"
@@ -80,6 +84,25 @@ class KeyedScan(path: String, buckets: Int)
   // the SPJ handshake: partitioning = identity over the bucket column
   override def outputPartitioning(): Partitioning =
     new KeyGroupedPartitioning(Array(Expressions.identity("bucket")), buckets)
+
+  /** The SORTED-layout handshake ([[SupportsReportOrdering]], the
+    * planning contract a table format exposes when files are written
+    * key-sorted): each partition holds one bucket (constant) and its
+    * reader yields rows in ascending-k order provided the chunk-file
+    * concatenation is globally k-sorted — which `ordered=true` ASSERTS,
+    * exactly as Iceberg's sort-order metadata asserts it about its data
+    * files; the writer, not the scan, is responsible for making it
+    * true. With the ordering reported, EnsureRequirements drops the
+    * SortExec under a sort-merge join of two such tables — combined
+    * with the partitioning report above, a 100 TB fact⋈fact join runs
+    * with ZERO exchange and ZERO sort. */
+  override def outputOrdering(): Array[expressions.SortOrder] =
+    if (ordered) Array(
+      Expressions.sort(Expressions.column("bucket"),
+        expressions.SortDirection.ASCENDING),
+      Expressions.sort(Expressions.column("k"),
+        expressions.SortDirection.ASCENDING))
+    else Array.empty
 
   override def planInputPartitions(): Array[InputPartition] = {
     val files = KeyedSource.csvFiles(path)
