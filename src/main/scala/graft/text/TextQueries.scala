@@ -847,6 +847,12 @@ object TextQueries {
       |        AND n_tokens > 1 AND rep_pairs / (n_tokens * (n_tokens - 1)) < 0.05
       |       THEN 1 ELSE 0 END AS keep
       |FROM agg ORDER BY doc_id""".stripMargin) { (s, d) =>
+    qualitySignals(s, d).orderBy("doc_id")
+  }
+
+  /** t21's per-doc signal table (unordered) — shared with t26, which
+    * uses the `keep` flag as the evaluation gold standard. */
+  private def qualitySignals(s: SparkSession, d: String): DataFrame = {
     // Layout.widen: the explode + map-side partial agg is this entry's
     // whole cost, and it runs at the SCAN's parallelism — 8 file splits
     // at sf100 left 24 of 32 cores idle (112.8 s; the reduce side after
@@ -867,14 +873,13 @@ object TextQueries {
     val maxFrac = col("max_c") / n
     val simpson = when(n > 1, col("rep_pairs") / (n * (n - 1))).otherwise(lit(1.0))
     agg.select(col("doc_id"), n,
-        digitRatio.as("digit_ratio"),
-        alphaRatio.as("alpha_ratio"),
-        maxFrac.as("max_tok_frac"),
-        simpson.as("simpson_repeat"),
-        when(n.between(10, 5000) && digitRatio < 0.3 && alphaRatio > 0.5 &&
-          maxFrac < 0.2 && n > 1 && col("rep_pairs") / (n * (n - 1)) < 0.05, 1)
-          .otherwise(0).as("keep"))
-      .orderBy("doc_id")
+      digitRatio.as("digit_ratio"),
+      alphaRatio.as("alpha_ratio"),
+      maxFrac.as("max_tok_frac"),
+      simpson.as("simpson_repeat"),
+      when(n.between(10, 5000) && digitRatio < 0.3 && alphaRatio > 0.5 &&
+        maxFrac < 0.2 && n > 1 && col("rep_pairs") / (n * (n - 1)) < 0.05, 1)
+        .otherwise(0).as("keep"))
   }
 
   /** HASHED LINEAR CLASSIFIER scoring — the fastText architecture
@@ -912,6 +917,12 @@ object TextQueries {
       |            * 2654435761) % 2048 - 1024) AS BIGINT) > 0
       |       THEN 1 ELSE 0 END AS keep
       |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    classifierScores(s, d).orderBy("doc_id")
+  }
+
+  /** t22's per-doc classifier output (unordered) — shared with t26,
+    * which evaluates the `keep` prediction against t21's rule gate. */
+  private def classifierScores(s: SparkSession, d: String): DataFrame = {
     val toksDf = graft.Stage.materialize(s,
       docs(s, d).select(col("doc_id"), split(col("text"), " ").as("toks")),
       "t22toks")
@@ -929,7 +940,6 @@ object TextQueries {
         size(col("feats")).cast("long").as("n_feats"),
         aggregate(col("feats"), lit(0L), (acc, f) => acc + weight(f)).as("logit"))
       .withColumn("keep", when(col("logit") > 0, 1).otherwise(0))
-      .orderBy("doc_id")
   }
 
   /** GPT-style sequence packing (concat-and-chunk): concatenate documents
@@ -1034,6 +1044,88 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** CLASSIFIER EVALUATION — the step between t22 (score every doc with
+    * a hashed linear classifier) and shipping it as the corpus gate:
+    * score the classifier's keep/drop PREDICTION against t21's
+    * quality-rule gate as the reference label, emitting the confusion
+    * matrix and precision/recall/F1. No production curation pipeline
+    * promotes a filter without this table (d14 is the same discipline
+    * for the dedup index, v17/v18 for the ANN index); the two entries
+    * this one composes are reused via shared helpers, so the evaluated
+    * artifacts are BIT-IDENTICAL to what t21/t22 themselves emit.
+    *
+    * Exactness: the four cells are integer counts; the three rates are
+    * INTEGER BASIS POINTS via `div` (exact integer division, identical
+    * everywhere — not a float ratio whose last ulp could differ). Zero
+    * denominators guard to 0 rather than erroring so the entry is total.
+    *
+    * Scale shape: t21's signal agg (vocabulary-bounded shuffle) and
+    * t22's per-row fold (zero shuffles) each produce (doc_id, flag);
+    * the join and final agg move 8-byte keys + one int per side, then
+    * collapse to ONE row. Evaluating a 100 TB corpus costs the two
+    * scoring passes plus a key-width join — document text never
+    * shuffles. */
+  val t26ClassifierEval: Q = Q(
+    "t26_classifier_eval",
+    """WITH tokc AS (
+      |  SELECT doc_id, tok, COUNT(*) AS c FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      |  GROUP BY doc_id, tok),
+      |agg AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |    CAST(MAX(c) AS BIGINT) AS max_c,
+      |    CAST(SUM(c * (c - 1)) AS BIGINT) AS rep_pairs,
+      |    CAST(SUM(CASE WHEN regexp_full_match(tok, '[0-9]+') THEN c ELSE 0 END) AS BIGINT) AS digit_toks,
+      |    CAST(SUM(CASE WHEN regexp_matches(tok, '[a-zA-Z]') THEN c ELSE 0 END) AS BIGINT) AS alpha_toks
+      |  FROM tokc GROUP BY doc_id),
+      |gold AS (
+      |  SELECT doc_id,
+      |    CASE WHEN n_tokens BETWEEN 10 AND 5000
+      |          AND digit_toks / n_tokens < 0.3
+      |          AND alpha_toks / n_tokens > 0.5
+      |          AND max_c / n_tokens < 0.2
+      |          AND n_tokens > 1 AND rep_pairs / (n_tokens * (n_tokens - 1)) < 0.05
+      |         THEN 1 ELSE 0 END AS g
+      |  FROM agg),
+      |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |f AS (
+      |  SELECT doc_id,
+      |    unnest(toks || [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]) AS feat
+      |  FROM t),
+      |pred AS (
+      |  SELECT doc_id,
+      |    CASE WHEN CAST(SUM(((('0x' || substr(md5(feat), 1, 8))::BIGINT % 1024)
+      |              * 2654435761) % 2048 - 1024) AS BIGINT) > 0
+      |         THEN 1 ELSE 0 END AS p
+      |  FROM f GROUP BY doc_id),
+      |c AS (SELECT
+      |    CAST(SUM(CASE WHEN g = 1 AND p = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+      |    CAST(SUM(CASE WHEN g = 0 AND p = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+      |    CAST(SUM(CASE WHEN g = 1 AND p = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+      |    CAST(SUM(CASE WHEN g = 0 AND p = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+      |  FROM gold JOIN pred USING (doc_id))
+      |SELECT tp, fp, fn, tn,
+      |  CAST(CASE WHEN tp + fp = 0 THEN 0 ELSE (10000 * tp) // (tp + fp) END AS BIGINT) AS precision_bp,
+      |  CAST(CASE WHEN tp + fn = 0 THEN 0 ELSE (10000 * tp) // (tp + fn) END AS BIGINT) AS recall_bp,
+      |  CAST(CASE WHEN 2 * tp + fp + fn = 0 THEN 0 ELSE (20000 * tp) // (2 * tp + fp + fn) END AS BIGINT) AS f1_bp
+      |FROM c""".stripMargin) { (s, d) =>
+    val gold = qualitySignals(s, d).select(col("doc_id"), col("keep").as("g"))
+    val pred = classifierScores(s, d).select(col("doc_id"), col("keep").as("p"))
+    def cell(g: Int, p: Int) =
+      sum(when(col("g") === g && col("p") === p, 1L).otherwise(0L))
+    gold.join(pred, "doc_id")
+      .agg(cell(1, 1).as("tp"), cell(0, 1).as("fp"),
+        cell(1, 0).as("fn"), cell(0, 0).as("tn"))
+      .select(col("tp"), col("fp"), col("fn"), col("tn"),
+        when(col("tp") + col("fp") === 0, 0L)
+          .otherwise(expr("(10000 * tp) div (tp + fp)")).as("precision_bp"),
+        when(col("tp") + col("fn") === 0, 0L)
+          .otherwise(expr("(10000 * tp) div (tp + fn)")).as("recall_bp"),
+        when(lit(2) * col("tp") + col("fp") + col("fn") === 0, 0L)
+          .otherwise(expr("(20000 * tp) div (2 * tp + fp + fn)")).as("f1_bp"))
+  }
+
   /** BPE TRAINING, the full iterative loop — t13 is one pair-count pass
     * and t20 applies a FIXED single-char merge table; this entry LEARNS a
     * 6-merge table the way Sennrich et al. 2016's trainer does: each
@@ -1126,5 +1218,5 @@ object TextQueries {
     t12Repetition, t13BpePairs, t14LmScore, t15Bm25, t16Diversity,
     t17Collocations, t18Boilerplate, t19ChunkOverlap, t20BpeEncode,
     t21QualityRules, t22HashedClassifier, t23SequencePack,
-    t24TokenBudgetSelect, t25BpeTrain)
+    t24TokenBudgetSelect, t25BpeTrain, t26ClassifierEval)
 }

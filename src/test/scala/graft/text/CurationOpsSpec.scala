@@ -134,4 +134,27 @@ class CurationOpsSpec extends AnyFunSuite {
       _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
       "bucket priors must broadcast back to the corpus")
   }
+
+  test("t26 confusion matrix equals the cross-tab of t21's and t22's own outputs") {
+    val gold = TextQueries.t21QualityRules.fn(s, d)
+      .select("doc_id", "keep").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val pred = TextQueries.t22HashedClassifier.fn(s, d)
+      .select("doc_id", "keep").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(gold.keySet == pred.keySet)
+    def cell(g: Int, p: Int): Long =
+      gold.count { case (id, gv) => gv == g && pred(id) == p }.toLong
+    val (tp, fp, fn, tn) = (cell(1, 1), cell(0, 1), cell(1, 0), cell(0, 0))
+    def bp(num: Long, den: Long): Long = if (den == 0) 0L else num / den
+    val expected = (tp, fp, fn, tn,
+      bp(10000 * tp, tp + fp), bp(10000 * tp, tp + fn),
+      bp(20000 * tp, 2 * tp + fp + fn))
+    val r = TextQueries.t26ClassifierEval.fn(s, d).collect()
+    assert(r.length == 1)
+    val got = (r(0).getLong(0), r(0).getLong(1), r(0).getLong(2), r(0).getLong(3),
+      r(0).getLong(4), r(0).getLong(5), r(0).getLong(6))
+    assert(got == expected)
+    assert(tp + fp + fn + tn == gold.size.toLong)
+  }
 }
