@@ -141,7 +141,8 @@ object Bench {
       "d16_line_dedup", "d18_incremental_cc", "d19_containment",
       "v07_ann_partition_pruned", "v11_ivf_portable",
       "v20_ivf_pq", "v23_filtered_ann_slim", "t14_lm_score",
-      "t15_bm25", "t24_token_budget_select",
+      "t15_bm25", "t24_token_budget_select", "t25_bpe_train",
+      "t26_classifier_eval",
       "st07_stream_stream_join", "st14_stream_left_outer_join",
       "p03_pagerank", "p04_triangles", "p05_bfs_hops", "p08_sequence_pack")
     val rmap = results.toMap

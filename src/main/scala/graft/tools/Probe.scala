@@ -564,6 +564,52 @@ object Probe {
       time("q94_rule_on")(shape)
       println(s"[probe] q94_rule_on  scans=${scans(shape)}")
     }
+    if (sys.env.contains("PROBE_I26")) {
+      // decompose i26: where do the sf10 seconds go — the bucketed
+      // sorted CSV writes, or the sorted-scan join itself?
+      def timeU(tag: String)(f: => Unit): Unit = {
+        val t0 = System.nanoTime()
+        f
+        println(f"[probe] $tag%-28s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+      }
+      val dir = graft.TempDirs.newTempDir("probe_i26_")
+      val orders = graft.Tables.t(spark, d, "orders")
+        .select(col("o_custkey").as("k"), col("o_totalprice").as("num"),
+          lit("-").as("tag"))
+      val cust = graft.Tables.t(spark, d, "customer")
+        .select(col("c_custkey").as("k"), col("c_acctbal").as("num"),
+          col("c_mktsegment").as("tag"))
+      timeU("plain_write_orders")(
+        orders.write.option("header", "false").csv(s"$dir/plain_o"))
+      def bucketed(df: DataFrame, sub: String): Unit =
+        df.withColumn("bucket", pmod(col("k"), lit(8)).cast("int"))
+          .repartitionByRange(spark.sparkContext.defaultParallelism,
+            col("bucket"), col("k"))
+          .sortWithinPartitions("bucket", "k")
+          .write.partitionBy("bucket").option("header", "false")
+          .csv(s"$dir/$sub")
+      timeU("bucketed_write_orders")(bucketed(orders, "orders"))
+      timeU("bucketed_write_customer")(bucketed(cust, "customer"))
+      def keyed(sub: String) = spark.read
+        .format("graft.sources.KeyedSourceProvider")
+        .option("path", s"$dir/$sub").option("buckets", "8")
+        .option("ordered", "true").load()
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      timeU("scan_orders_only")(
+        keyed("orders").write.format("noop").mode("overwrite").save())
+      time("sorted_join_agg")(
+        keyed("orders").select(col("k"), col("num").as("o_num"), col("bucket"))
+          .join(keyed("customer").select(
+            col("k"), col("num").as("c_num"), col("tag"), col("bucket")),
+            Seq("bucket", "k"))
+          .groupBy("tag")
+          .agg(count(lit(1)).as("n"),
+            graft.Det.dsum(col("o_num")).as("total_price"),
+            graft.Det.dsum(col("c_num")).as("total_bal"))
+          .orderBy("tag"))
+    }
     spark.stop()
   }
 }

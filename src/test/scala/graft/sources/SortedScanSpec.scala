@@ -83,4 +83,42 @@ class SortedScanSpec extends AnyFunSuite {
       assert(a.nonEmpty)
     } finally saved.foreach { case (k, v) => s.conf.set(k, v) }
   }
+
+  test("bucket-placed layout reads only its own directory and matches the residue layout") {
+    val flat = writeSortedInputs()
+    val dir = graft.TempDirs.newTempDir("graft_bucketed_spec_")
+    def writeBucketed(df: org.apache.spark.sql.DataFrame, sub: String): Unit =
+      df.withColumn("bucket", pmod(col("k"), lit(8)).cast("int"))
+        .repartition(col("bucket"))
+        .sortWithinPartitions("bucket", "k")
+        .write.partitionBy("bucket").option("header", "false")
+        .csv(s"$dir/$sub")
+    writeBucketed(graft.Tables.t(s, d, "orders")
+      .select(col("o_custkey").as("k"), col("o_totalprice").as("num"),
+        lit("-").as("tag")), "orders")
+    writeBucketed(graft.Tables.t(s, d, "customer")
+      .select(col("c_custkey").as("k"), col("c_acctbal").as("num"),
+        col("c_mktsegment").as("tag")), "customer")
+    // the layout is detected: every partition carries only its own files
+    val dirs = KeyedSource.bucketDirs(s"$dir/orders")
+    assert(dirs.isDefined && dirs.get.nonEmpty)
+
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.requireAllClusterKeysForCoPartition" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.join.preferSortMergeJoin" -> "true")
+    val saved = confs.map { case (k, _) => k -> s.conf.get(k) }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      val bucketed = joined(dir, ordered = true)
+      val (ex, sort, smj) = planCounts(bucketed)
+      assert(smj == 1 && ex == 0 && sort == 0)
+      val a = bucketed.collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+      val b = joined(flat, ordered = false).collect().map(_.toSeq)
+        .groupBy(identity).view.mapValues(_.length).toMap
+      assert(a == b)
+      assert(a.nonEmpty)
+    } finally saved.foreach { case (k, v) => s.conf.set(k, v) }
+  }
 }
