@@ -887,10 +887,13 @@ object IngestQueries {
     * (`partitionBy("bucket")` + `sortWithinPartitions(bucket, k)`): one
     * k-sorted file per bucket directory, and each scan partition reads
     * ONLY its directory — 1× read amplification, where the unbucketed
-    * residue-filter layout parses the whole corpus per bucket (buckets×
-    * the bytes; measured as a 19× sf1→sf10 decade on this entry's first
-    * ladder, 2.4× after the layout fix). This is the write path a real
-    * bucketed-sorted table format runs on ingest. */
+    * residue-filter layout parses the whole corpus per bucket
+    * (PROBE_I26 at sf10: 20.1 s vs 1.1 s for the same orders scan).
+    * This is the write path a real bucketed-sorted table format runs
+    * on ingest. Measurement note: the staging writes make this entry
+    * writeback-sensitive — single w1 passes swing 13–66 s at sf10 as
+    * the kernel flushes prior passes' CSVs; SCALE.md records sync'd
+    * min-of-3. */
   val i26SortedScanJoin: Q = Q(
     "i26_sorted_scan_join",
     s"""WITH o AS (SELECT o_custkey AS k, o_totalprice AS num FROM orders),

@@ -68,8 +68,9 @@ object KeyedSource {
     * partition reads ONLY its own directory — this is the "production
     * connector maps pre-bucketed FILES to partitions" path the scaladoc
     * above promises: read amplification drops from buckets× (every
-    * partition parsing the whole corpus to keep its residue class,
-    * measured 19× per decade on i26's first ladder) to 1×. The layout
+    * partition parsing the whole corpus to keep its residue class —
+    * PROBE_I26 at sf10: 20.1 s vs 1.1 s for the same orders scan) to
+    * 1×. The layout
     * is trusted the way a table format trusts its manifests: a row
     * filed under the wrong bucket directory would surface as a wrong
     * join result, exactly like a corrupted Iceberg manifest. */
