@@ -1468,20 +1468,56 @@ object DedupQueries {
           transform(col("o"), x => x.getField("shingle")).as("ord"))
         .withColumn("sz", size(col("ord"))),
       "d19ranked")
-    val probe = ranked.select(col("doc_id"), col("sz"), col("ord"),
-      explode(slice(col("ord"), lit(1),
-        (col("sz") - ceil(col("sz") * theta) + 1).cast("int"))).as("ptok"))
-    val index = ranked.select(col("doc_id").as("j"), col("sz").as("jsz"),
-      col("ord").as("jord"), explode(col("ord")).as("tok"))
+    // VERIFICATION STRATEGY is corpus-size-adaptive (d05's cost-based
+    // call, with a FAR lower crossover because d19's index side is
+    // fatter: d05 explodes prefix rows only, while the container
+    // postings here explode EVERY shingle — carrying the full jord
+    // array on each posting row plans Σ|doc|² shuffle bytes, and the
+    // session-9 sf100 run measured it exhausting the box's shuffle disk
+    // at 5M docs (SPILL_OUT_OF_MEMORY: No space left on device; entry
+    // DEAD, not slow). The scale path ships bare (8 B id, size) posting
+    // rows, dedups candidate pairs while they are still ids, and
+    // fetches each distinct pair's two arrays ONCE via join-backs.
+    // Crossover measured per decade: inline wins 12.2 vs 15.2 s at 5k
+    // docs (shuffle count dominates), join-back wins 17.0 vs 19.0 s at
+    // 50k, 100 vs 141 s at 500k, and is the only LIVE plan at 5M
+    // (1256.8 s, 8.9x/decade). The switch sits at 20k docs.
+    val nDocs = Tables.t(s, d, "documents").count()
     val containment = size(array_intersect(col("ord"), col("jord")))
       .cast("double") / col("sz").cast("double")
-    probe.join(index,
-        col("ptok") === col("tok") && col("doc_id") =!= col("j") &&
-          col("jsz") >= ceil(col("sz") * theta))
-      .select(col("doc_id").as("i"), col("j"), containment.as("containment"))
-      .filter(col("containment") >= theta)
-      .dropDuplicates("i", "j")
-      .orderBy("i", "j")
+    val pairs = if (nDocs <= 20000L && !sys.props.contains("graft.d19.forceJoinBack")) {
+      val probe = ranked.select(col("doc_id"), col("sz"), col("ord"),
+        explode(slice(col("ord"), lit(1),
+          (col("sz") - ceil(col("sz") * theta) + 1).cast("int"))).as("ptok"))
+      val index = ranked.select(col("doc_id").as("j"), col("sz").as("jsz"),
+        col("ord").as("jord"), explode(col("ord")).as("tok"))
+      probe.join(index,
+          col("ptok") === col("tok") && col("doc_id") =!= col("j") &&
+            col("jsz") >= ceil(col("sz") * theta))
+        .select(col("doc_id").as("i"), col("j"), containment.as("containment"))
+        .filter(col("containment") >= theta)
+        .dropDuplicates("i", "j")
+    } else {
+      val probeLite = ranked.select(col("doc_id"), col("sz"),
+        explode(slice(col("ord"), lit(1),
+          (col("sz") - ceil(col("sz") * theta) + 1).cast("int"))).as("ptok"))
+      val indexLite = ranked.select(col("doc_id").as("j"), col("sz").as("jsz"),
+        explode(col("ord")).as("tok"))
+      val cand = probeLite.join(indexLite,
+          col("ptok") === col("tok") && col("doc_id") =!= col("j") &&
+            col("jsz") >= ceil(col("sz") * theta))
+        .select(col("doc_id").as("i"), col("j"))
+        .dropDuplicates("i", "j")
+      val docsSide = ranked.select(col("doc_id"), col("ord"), col("sz"))
+      cand
+        .join(docsSide.select(col("doc_id").as("i"),
+          col("ord").as("ord"), col("sz").as("sz")), "i")
+        .join(docsSide.select(col("doc_id").as("j"),
+          col("ord").as("jord")), "j")
+        .select(col("i"), col("j"), containment.as("containment"))
+        .filter(col("containment") >= theta)
+    }
+    pairs.orderBy("i", "j")
   }
 
   val all: Seq[Q] = Seq(d01ExactDedup, d02HashDedup, d03MinHashLsh, d04SimHash,

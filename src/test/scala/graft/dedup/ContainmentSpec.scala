@@ -36,4 +36,16 @@ class ContainmentSpec extends AnyFunSuite {
     assert(brute.exists { case (i, j, _) => !brute.exists(p => p._1 == j && p._2 == i) },
       "every pair is symmetric — fixture never exercises containment asymmetry")
   }
+
+  test("d19's scale path (bare-id candidates + array join-back) equals the inline path") {
+    val inline = DedupQueries.d19Containment.fn(s, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    sys.props.put("graft.d19.forceJoinBack", "1")
+    try {
+      val joinBack = DedupQueries.d19Containment.fn(s, d)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(joinBack == inline)
+      assert(inline.nonEmpty)
+    } finally sys.props.remove("graft.d19.forceJoinBack")
+  }
 }
