@@ -521,10 +521,18 @@ object PipelineQueries {
     * of hops), and each level's DISTINCT is a full shuffle of a
     * V-sized set; p05's left-anti against visited shrinks each level
     * to the NEW vertices only and keeps one pinned hash layout across
-    * rounds. Native recursion buys generality (arbitrary SQL, no
-    * driver loop) at the cost of delta evaluation — exactly why the
-    * hand-rolled form remains the 100 TB shape (measured: p06 11.2 s
-    * vs p05 5.1 s at sf0.1/local[32] — 2.2x). */
+    * rounds. One artifact is kept OUT of the comparison: Spark inlines
+    * CTEs into the recursive term, so an edge relation written inside
+    * the recursion re-derives the lineitem⋈orders DISTINCT on EVERY
+    * level (8× the build cost — measured 11.2 s total at sf0.1), while
+    * DuckDB evaluates its non-recursive CTE once; the edge table is
+    * therefore pinned outside the loop (Stage.materialize + temp view,
+    * the exact footing the oracle has), leaving the recursion itself
+    * as the measured difference (p06 ~6.5 s vs p05 ~5.1 s at
+    * sf0.1/local[32] — the residual is the parity echo's re-expanded
+    * frontiers). Native recursion buys generality (arbitrary SQL, no
+    * driver loop) at the cost of delta evaluation — why the
+    * hand-rolled form remains the 100 TB shape. */
   val p06BfsRecursiveCte: Q = Q(
     "p06_bfs_recursive_cte",
     """WITH RECURSIVE raw AS (
@@ -540,20 +548,24 @@ object PipelineQueries {
       |d AS (SELECT v, MIN(dist) AS dist FROM reach GROUP BY v)
       |SELECT dist, COUNT(*) AS n_vertices FROM d
       |GROUP BY dist ORDER BY dist""".stripMargin) { (s, d) =>
-    Tables.t(s, d, "lineitem").createOrReplaceTempView("lineitem")
     Tables.t(s, d, "orders").createOrReplaceTempView("orders")
+    val raw = Tables.t(s, d, "lineitem")
+      .join(Tables.t(s, d, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("c"),
+        (col("l_suppkey") * 2 + 1).as("s"))
+      .distinct()
+    graft.Stage.materialize(s,
+      raw.select(col("c").as("src"), col("s").as("dst"))
+        .union(raw.select(col("s").as("src"), col("c").as("dst"))),
+      "p06edges")
+      .createOrReplaceTempView("p06_edges")
     s.sql(
       """WITH RECURSIVE reach(v, dist) AS (
         |  SELECT 2 * (SELECT MIN(o_custkey) FROM orders) AS v, 0 AS dist
         |  UNION ALL
         |  SELECT DISTINCT e.dst AS v, r.dist + 1 AS dist
-        |  FROM (
-        |    WITH raw AS (
-        |      SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
-        |      FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
-        |    SELECT c AS src, s AS dst FROM raw
-        |    UNION ALL SELECT s AS src, c AS dst FROM raw
-        |  ) e JOIN reach r ON e.src = r.v
+        |  FROM p06_edges e JOIN reach r ON e.src = r.v
         |  WHERE r.dist < 8)
         |SELECT dist, COUNT(*) AS n_vertices
         |FROM (SELECT v, MIN(dist) AS dist FROM reach GROUP BY v)
