@@ -359,7 +359,7 @@ object DedupQueries {
       // VERIFICATION STRATEGY is corpus-size-adaptive — the same
       // cost-based call a planner makes, decided from the row count
       // already fetched for the width:
-      //  - small corpora (<= ~sf10, 500k docs): the df-ordered full id
+      //  - small corpora (<= ~sf10): the df-ordered full id
       //    array rides with each prefix row and verification happens
       //    INLINE in the candidate join's projection. Fewer shuffles
       //    wins when bytes are cheap (measured 4.1 -> 2.3 s at sf0.1 vs
@@ -378,14 +378,18 @@ object DedupQueries {
       // actually execute at the capped width (the entry's DataFrame is
       // lazy; without this pin they would plan at the restored session
       // width after fn returns).
-      // Crossover measured, not guessed: at 5M docs (sf10) inline wins
+      // Crossover measured, not guessed: at sf10 (500k docs) inline wins
       // 65.5 s vs the join-back's 115 s (the two extra co-partitioned
       // shuffles cost more than the fatter prefix rows at this size);
-      // at 50M docs (sf100) inline PLANS ~terabytes of prefix-array
+      // at sf100 (5M docs) inline PLANS ~terabytes of prefix-array
       // shuffle (dead on any box tier) while the join-back's
       // O(docs × doclen + candidates) bytes are ~30x leaner. The switch
-      // sits at 20M with margin on the measured-good side.
-      val pairs = if (nDocs <= 20000000L && !sys.props.contains("graft.d05.forceJoinBack")) {
+      // sits at 2M between the measured sizes. (Session 9 correction:
+      // the first version of this note labeled the SFs with 10x-inflated
+      // doc counts — 5M/50M — and set the switch at 20M, which at sf100's
+      // ACTUAL 5M docs would have picked the dead inline path on any
+      // cluster sized like this box-per-node.)
+      val pairs = if (nDocs <= 2000000L && !sys.props.contains("graft.d05.forceJoinBack")) {
         Stage.materialize(s,
           prefix.as("a")
             .join(prefix.as("b"), bucketCond)
