@@ -597,8 +597,14 @@ object Probe {
       spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
       spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      timeU("scan_orders_only")(
+      timeU("scan_orders_bucketed")(
         keyed("orders").write.format("noop").mode("overwrite").save())
+      // same rows through the unbucketed residue layout: every partition
+      // parses the full corpus and keeps its eighth
+      timeU("scan_orders_residue")(
+        spark.read.format("graft.sources.KeyedSourceProvider")
+          .option("path", s"$dir/plain_o").option("buckets", "8").load()
+          .write.format("noop").mode("overwrite").save())
       time("sorted_join_agg")(
         keyed("orders").select(col("k"), col("num").as("o_num"), col("bucket"))
           .join(keyed("customer").select(
