@@ -3381,6 +3381,77 @@ object RelationalQueries {
       .orderBy("event_type")
   }
 
+  /** DISTRIBUTED LARGE-N TOP-K — exact ORDER BY … LIMIT 5000, selected
+    * and aggregated WITHOUT a global sort and WITHOUT materializing the
+    * N rows anywhere. The catalog's other top-k forms all funnel the
+    * winners to one place: q19/q46/q48's TakeOrdered/LocalTopK heaps
+    * are per-partition-then-DRIVER (right for k=25, a driver OOM for
+    * the "top 10M documents by quality score" selection a curation run
+    * actually needs), and q20's window rank shuffles whole groups. This
+    * entry is the scale path: the selected set stays distributed and
+    * only its per-flag AGGREGATE leaves.
+    *
+    * Mechanics (q85's value-domain bucket walk, aimed at selection):
+    * rows bucket by round(price·100) div 65536 — a monotone map, so any
+    * row in a higher bucket globally precedes any row in a lower one —
+    * and the ≤ ~200-row bucket-count table (bounded by the PRICE DOMAIN,
+    * never the corpus; PlanLint's q85 exemption argument) is walked
+    * with one descending cumulative sum to find the boundary bucket T
+    * and how many rows to take from it. Buckets above T are selected
+    * wholesale with NO ordering work at all; only bucket T — ~corpus/
+    * #buckets rows, tunable via granularity — pays a rank, partitioned
+    * on the bucket and ordered by the full tie-break key, so the
+    * selected multiset is EXACTLY the global top-N (within-bucket rank
+    * = global rank − rows above T). The oracle computes the same thing
+    * the naive way: one global row_number over everything.
+    *
+    * At 100 TB: two map-side-combined passes over the fact + a
+    * broadcast of one (bucket, take) row; nothing resembling N rows
+    * ever converges. A 10M-row N changes nothing but the constant. */
+  val q101DistributedTopn: Q = Q(
+    "q101_distributed_topn",
+    s"""WITH r AS (
+       |  SELECT l_returnflag, l_extendedprice,
+       |    row_number() OVER (ORDER BY l_extendedprice DESC,
+       |                       l_orderkey, l_linenumber) AS rn
+       |  FROM lineitem)
+       |SELECT l_returnflag, COUNT(*) AS n,
+       |  ${Det.sqlSum("l_extendedprice")} AS total,
+       |  MIN(l_extendedprice) AS min_price,
+       |  MAX(l_extendedprice) AS max_price
+       |FROM r WHERE rn <= 5000
+       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val n = 5000L
+    val li = Tables.t(s, d, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice"),
+        col("l_orderkey"), col("l_linenumber"))
+      .withColumn("bkt",
+        expr("cast(round(l_extendedprice * 100) as bigint) div 65536"))
+    // the bounded bucket walk: descending cumulative counts → the one
+    // (boundary bucket, rows-to-take) row, broadcast everywhere
+    val walk = li.groupBy("bkt").agg(count(lit(1)).as("bn"))
+      .withColumn("cum", sum(col("bn")).over(Window.orderBy(col("bkt").desc)))
+      .withColumn("above", col("cum") - col("bn"))
+    val trow = walk.filter(col("cum") >= n && col("above") < n)
+      .select(col("bkt").as("tbkt"), (lit(n) - col("above")).as("take"))
+    val tagged = li.crossJoin(broadcast(trow))
+    val wholesale = tagged.filter(col("bkt") > col("tbkt"))
+    val boundary = tagged.filter(col("bkt") === col("tbkt"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("tbkt").orderBy(col("l_extendedprice").desc,
+          col("l_orderkey"), col("l_linenumber"))))
+      .filter(col("rn") <= col("take"))
+      .drop("rn")
+    wholesale.unionByName(boundary)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        Det.dsum(col("l_extendedprice")).as("total"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"))
+      .orderBy("l_returnflag")
+  }
+
   val all: Seq[Q] = Seq(
     q01ScanProject, q02Predicates, q03AggBasic, q04AggDistinct, q05Rollup,
     q06Cube, q07JoinBroadcast, q08JoinMultiway, q09JoinOuter, q10JoinFull,
@@ -3404,5 +3475,6 @@ object RelationalQueries {
     q86SelfJoinWindowAuto, q87GroupQuota, q88OrJoinAuto, q89PercentileCont,
     q90Kanon, q91GroupedPercentiles, q92AsofTolerance, q93RollingDistinct,
     q94JoinElimAuto, q95TopkJoinAuto, q96DistinctElimAuto, q97SemiElimAuto,
-    q98GroupbyKeyElim, q99LicenseCapstone, q100NotinAntiAuto)
+    q98GroupbyKeyElim, q99LicenseCapstone, q100NotinAntiAuto,
+    q101DistributedTopn)
 }

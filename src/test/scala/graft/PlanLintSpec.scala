@@ -65,7 +65,13 @@ class PlanLintSpec extends AnyFunSuite {
       // corpus-sized pass is the map-side-combined bucket agg, and the
       // within-bucket cumsum windows ARE partitioned (CurationOpsSpec
       // pins that plan).
-      "t24_token_budget_select")
+      "t24_token_budget_select",
+      // q101's descending cumulative walk runs over the per-price-band
+      // bucket COUNTS — q85's value-domain bound verbatim (price cents
+      // div 65536 → ~200 rows at any corpus size); the boundary-bucket
+      // rank window IS partitioned, and the wholesale-selected buckets
+      // never see ordering work at all.
+      "q101_distributed_topn")
 
   test("no catalog query plans a single-partition window or a cartesian product") {
     val violations = SparkEntry.catalog.flatMap { q =>

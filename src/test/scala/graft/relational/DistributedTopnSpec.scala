@@ -1,0 +1,59 @@
+package graft.relational
+
+import graft.{SparkTestBase, Tables}
+import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
+import org.apache.spark.sql.execution.window.WindowExec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q101: the bucket-walk top-N must equal the naive global-window
+  * selection exactly (same rows, same aggregates), while the plan never
+  * funnels the corpus — no TakeOrderedAndProject (that is the
+  * driver-bounded k=25 shape q19/q46 own) and the only unpartitioned
+  * window runs over the bounded bucket-count table. */
+class DistributedTopnSpec extends AnyFunSuite {
+  private lazy val s = SparkTestBase.spark
+  private val d = SparkTestBase.sfDir
+
+  test("bucket-walk selection equals the global-window top-N, bit for bit") {
+    val naive = Tables.t(s, d, "lineitem")
+      .withColumn("rn", row_number().over(Window.orderBy(
+        col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))))
+      .filter(col("rn") <= 5000)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        graft.Det.dsum(col("l_extendedprice")).as("total"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"))
+      .orderBy("l_returnflag")
+      .collect().map(_.toSeq).toSeq
+    val got = RelationalQueries.q101DistributedTopn.fn(s, d)
+      .collect().map(_.toSeq).toSeq
+    assert(got == naive)
+    assert(got.nonEmpty)
+  }
+
+  test("plan: no TakeOrdered funnel; the only global window is the bucket walk") {
+    val df = RelationalQueries.q101DistributedTopn.fn(s, d)
+    df.collect()
+    val nodes = SparkTestBase.flattenPlan(df.queryExecution.executedPlan)
+    assert(!nodes.exists(_.isInstanceOf[TakeOrderedAndProjectExec]),
+      "the selected set must stay distributed — no driver-bounded heap")
+    val windows = nodes.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty)
+    // unpartitioned windows: only the cumulative walk over bucket COUNTS
+    // (its child aggregates to the bounded bucket table); the
+    // boundary-bucket rank is partitioned
+    windows.filter(_.partitionSpec.isEmpty).foreach { w =>
+      // the walk's input is the (bkt, bn) bucket-count relation — under
+      // AQE its aggregate hides behind a ReusedExchange leaf, so assert
+      // on the window's input SCHEMA: two bucket columns, no fact column
+      val names = w.child.output.map(_.name).toSet
+      assert(names == Set("bkt", "bn"),
+        s"global window must sit on the bucket-count relation, saw $names")
+    }
+    assert(windows.exists(_.partitionSpec.nonEmpty),
+      "the boundary-bucket rank must be partitioned")
+  }
+}
