@@ -3433,8 +3433,15 @@ object RelationalQueries {
     val walk = li.groupBy("bkt").agg(count(lit(1)).as("bn"))
       .withColumn("cum", sum(col("bn")).over(Window.orderBy(col("bkt").desc)))
       .withColumn("above", col("cum") - col("bn"))
-    val trow = walk.filter(col("cum") >= n && col("above") < n)
-      .select(col("bkt").as("tbkt"), (lit(n) - col("above")).as("take"))
+    // Total boundary selection: among buckets with above < n, the
+    // MINIMUM bkt is the boundary (the bucket where the cumulative walk
+    // crosses n — or, when the whole corpus is smaller than n, the very
+    // last bucket, whose take then clamps to its own count so an
+    // undersized corpus selects everything, matching the SQL).
+    val trow = walk.filter(col("above") < n)
+      .agg(min_by(struct(col("bkt"), col("above"), col("bn")), col("bkt")).as("m"))
+      .select(col("m.bkt").as("tbkt"),
+        least(lit(n) - col("m.above"), col("m.bn")).as("take"))
     val tagged = li.crossJoin(broadcast(trow))
     val wholesale = tagged.filter(col("bkt") > col("tbkt"))
     val boundary = tagged.filter(col("bkt") === col("tbkt"))

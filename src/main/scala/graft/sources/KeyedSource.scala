@@ -128,6 +128,15 @@ class KeyedScan(path: String, buckets: Int, ordered: Boolean = false)
   override def planInputPartitions(): Array[InputPartition] = {
     KeyedSource.bucketDirs(path) match {
       case Some(dirs) =>
+        // A writer bucketed WIDER than this reader's `buckets` option
+        // would leave bucket=N dirs (N >= buckets) silently unread —
+        // and prefiltered=true skips the residue check that would have
+        // caught the misfiling downstream. Fail loudly instead.
+        val stray = dirs.keySet.filterNot(b => b >= 0 && b < buckets)
+        require(stray.isEmpty,
+          s"keyed layout at $path has bucket dirs ${stray.toSeq.sorted.mkString(",")} " +
+            s"outside [0, $buckets); reader option buckets=$buckets does not " +
+            "match the writer's bucketing — rows would be silently dropped")
         (0 until buckets).map(b => KeyedPartition(b, buckets,
           dirs.getOrElse(b, Nil), prefiltered = true): InputPartition).toArray
       case None =>

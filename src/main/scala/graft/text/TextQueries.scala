@@ -1174,13 +1174,19 @@ object TextQueries {
       s"""WITH tf AS (
          |  SELECT tok, COUNT(*) AS tf FROM
          |    (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+         |  WHERE tok NOT LIKE '%|%'
          |  GROUP BY tok),
          |v0 AS (SELECT regexp_replace(tok, '(.)', '|\\1|', 'g') AS sym, tf FROM tf),
          |$rounds
          |SELECT * FROM ($union) ORDER BY rank""".stripMargin
     }) { (s, d) =>
+    // '|' is the symbol delimiter: a token CONTAINING '|' would
+    // symbolize to '|||' and corrupt the pair decode (identically in
+    // the SQL dual, so the oracle can't catch it) — drop such tokens
+    // up front on BOTH sides instead of relying on a no-pipe corpus.
     val tf0 = docs(s, d)
       .select(explode(toks).as("tok"))
+      .filter(!col("tok").contains("|"))
       .groupBy("tok").agg(count(lit(1)).as("tf"))
       .select(regexp_replace(col("tok"), "(.)", "|$1|").as("sym"), col("tf"))
     var vocab = graft.Stage.materialize(s, tf0, "t25v0")

@@ -34,6 +34,27 @@ class DistributedTopnSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("an undersized corpus (rows < N) selects everything, matching the SQL") {
+    // With fewer rows than N the walk never reaches cum >= N; boundary
+    // selection must still be total (min-bkt with take clamped to its
+    // count) so the result equals a plain full-corpus aggregate.
+    val dir = graft.TempDirs.newTempDir("q101_small")
+    val li = Tables.t(s, d, "lineitem").limit(100).cache()
+    li.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val expected = s.read.parquet(s"$dir/lineitem.parquet")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        graft.Det.dsum(col("l_extendedprice")).as("total"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"))
+      .orderBy("l_returnflag").collect().map(_.toSeq).toSeq
+    val got = RelationalQueries.q101DistributedTopn.fn(s, dir)
+      .collect().map(_.toSeq).toSeq
+    li.unpersist()
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
   test("plan: no TakeOrdered funnel; the only global window is the bucket walk") {
     val df = RelationalQueries.q101DistributedTopn.fn(s, d)
     df.collect()

@@ -73,4 +73,25 @@ class SpjSpec extends AnyFunSuite {
     assert(spjRows == offRows, "SPJ changed the join result")
     assert(spjRows.nonEmpty, "empty join — assertions vacuous")
   }
+
+  test("bucket-placed dirs outside the reader's bucket range fail loudly") {
+    // A writer bucketed wider (bucket=8 exists) than the reader's
+    // buckets=8 option: silent row loss before; now a planning error.
+    val dir = graft.TempDirs.newTempDir("graft_spj_stray_")
+    def put(sub: String, line: String): Unit = {
+      val p = java.nio.file.Paths.get(dir, sub)
+      java.nio.file.Files.createDirectories(p)
+      java.nio.file.Files.write(p.resolve("part0.csv"),
+        java.util.Arrays.asList(line))
+    }
+    put("t/bucket=0", "1,10.0,-")
+    put("t/bucket=8", "9,90.0,-")
+    val ex = intercept[Exception] {
+      s.read.format("graft.sources.KeyedSourceProvider")
+        .option("path", s"$dir/t").option("buckets", "8").load().collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("outside [0, 8)")), s"got: $ex")
+  }
 }

@@ -43,6 +43,7 @@ class BpeTrainSpec extends AnyFunSuite {
     val tf = graft.Tables.t(s, d, "documents")
       .select(explode(split(col("text"), " ")).as("tok"))
       .collect().map(_.getString(0))
+      .filterNot(_.contains("|")) // t25 drops delimiter-bearing tokens
       .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
     val expected = refTrain(tf, 6)
     val got = graft.text.TextQueries.t25BpeTrain.fn(s, d).collect()
@@ -71,6 +72,25 @@ class BpeTrainSpec extends AnyFunSuite {
     // and the trainer agrees with the reference on this corpus end to end
     val tf = Map("aaaa" -> 3L, "ab" -> 1L)
     assert(got == refTrain(tf, 6).map(x => (x._1, x._2, x._3, x._5)))
+  }
+
+  test("t25 drops tokens containing the '|' delimiter instead of corrupting") {
+    // 'a|b' would symbolize to '|a|||||b|' and decode into empty-string
+    // symbols; t25 filters such tokens on both engine and oracle sides,
+    // so the trained merges are exactly those of the pipe-free corpus.
+    val dir = graft.TempDirs.newTempDir("bpe_pipe")
+    s.createDataFrame(Seq(
+      (1L, "a|b a|b a|b cd cd", "en", "src0", 17L),
+      (2L, "cd ce", "en", "src0", 5L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.text.TextQueries.t25BpeTrain.fn(s, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(4)))
+      .toSeq
+    // (c,d) tf=3 wins round 1; the 3 'a|b' tokens contribute nothing
+    assert(got.head == ((1, "c", "d", 3L)))
+    assert(got == refTrain(Map("cd" -> 3L, "ce" -> 1L), 6)
+      .map(x => (x._1, x._2, x._3, x._5)))
   }
 
   test("p14 equals the driver-side importance ranking, bit for bit") {
