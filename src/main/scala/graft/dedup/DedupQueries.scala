@@ -708,25 +708,49 @@ object DedupQueries {
     * original fixed k=8 turning this entry quadratic (92× wall on
     * 10× data at the 100× step), the exact failure mode SemDeDup's
     * own k ∝ N prescription exists to prevent. With k ∝ N a FLAT
-    * assignment scan is itself O(N·k) = O(N²/256) — measured as the
-    * next bend (125 of 132 s at sf10) — so assignment descends a
-    * THREE-LEVEL quantizer tree, the v07 partition-pruning discipline
-    * applied recursively: k fine centroids bucket under m = t² mid
-    * centroids, mids under t = ⌊∛k⌋ tops (t found by integer search —
-    * no cross-engine pow(x,1/3) last-ulp hazard), and each vector pays
-    * t + m/t + k/m ≈ 3∛k distances instead of the two-level 2√k —
-    * exponent 1.5 → 4/3 on the assignment term, the bend the 1000×
-    * campaign measured (22.4× per decade at sf100, model-predicted).
-    * The remaining 4/3 is the fixed depth: the fixed-text oracle can't
-    * express a data-dependent level count, so the full log-depth tree
-    * (N·b·log_b k, per-decade-linear) stays the documented production
-    * step beyond this demonstrated rung. Every argmin is the native
-    * [[graft.functions.ArgMinLong]] hash aggregate on the exploded
-    * stream — flat codegen'd buffer, map-side partial aggregation, so
-    * no expansion ever crosses the wire — ranking by the reduced key
-    * |c|²-2v·c (|v|² is constant per group; both engines rank by the
-    * same reduced expression, so fp ties agree), lexicographic
-    * (dist, cell) tie-break.
+    * assignment scan is itself O(N·k) = O(N²/256), and ANY fixed-depth
+    * quantizer tree keeps a polynomial residue (depth D costs
+    * N·D·k^(1/D): the round-10 three-level rung measured 11.2× per
+    * decade at sf100 from its k^(1/3) term). Assignment now descends a
+    * LOG-DEPTH stride tree with branching factor b=8: live fine cells
+    * are ranked (row_number by cell id, a k-row window) and level j
+    * keeps the cells whose rank is divisible by 8^j — so the level
+    * sets are NESTED (⌈k/8^j⌉ members each) up to the first level with
+    * ≤8 members, depth L = ⌈log₈k⌉−1. Each level-j cell takes one
+    * parent edge: the argmin level-(j+1) member by the reduced key
+    * |p|²−2c·p (a member of both levels is always its own parent —
+    * |p−c|²>0 for p≠c — so descent paths are consistent). A vector
+    * probes the ≤8 top cells, then at each level only its parent's
+    * children: b·(L+1) ≈ 8·log₈k distances instead of 3∛k — the
+    * assignment term drops from Θ(N^{4/3}) to Θ(N·log N), +8 dots per
+    * decade instead of ×2.15, which puts the whole entry back on the
+    * linear tier's ladder (the Σ|cell|² pair stage, ~128 dots/vector,
+    * now dominates at every scale). The level count is data-dependent,
+    * so the oracle's fixed text expresses the descent as a RECURSIVE
+    * CTE (the d07/p06 discipline) — one UNION ALL step per level,
+    * terminating at j=0 — while the engine runs a driver loop with one
+    * [[graft.Stage.materialize]] pin per level (the p05 iterative
+    * discipline: state is (vec_id, cell) longs, the vector table is
+    * re-joined co-partitioned on vec_id each step, never carried
+    * through the pin). Parent edges are flat argmins over the next
+    * level (Σ_j ⌈k/8^j⌉·⌈k/8^{j+1}⌉ ≈ k²/7.9 centroid-pair dots —
+    * subdominant to the N·256 pair stage until k ≈ N/256 crosses
+    * ~10^5, i.e. corpus ≈ 10 TB; past that the edge step itself
+    * descends the already-built upper tree, the documented refinement).
+    * Every argmin is the native [[graft.functions.ArgMinLong]] hash
+    * aggregate on the exploded stream — flat codegen'd buffer,
+    * map-side partial aggregation, so no expansion ever crosses the
+    * wire — ranking by the reduced key |c|²-2v·c (|v|² is constant per
+    * group; both engines rank by the same reduced expression, so fp
+    * ties agree), lexicographic (dist, cell) tie-break.
+    * CENTROID SELECTION must be a hash-uniform sample, not an id
+    * prefix or stride: ids are replica-sparse, so a prefix lands
+    * entirely in replica 0 and every other replica funnels into a
+    * handful of cells (measured at sf100 before the fix: 2,000 live
+    * cells, max 34,073, Σ|cell|² = 15.2 B). bucket = md5₃₂(id) % k,
+    * centroid = the bucket's (h, id)-min member — one
+    * map-side-combining min per bucket, the d06/d11 portable-hash
+    * discipline, so DuckDB picks the identical set.
     * At extreme scale the broadcast centroid set itself outgrows the
     * driver — that regime shards the centroid table and the coarse
     * probe becomes v07's partition-pruned join. Keep-lowest-id is the
@@ -737,12 +761,11 @@ object DedupQueries {
     * all-pairs-within-cell oracle. */
   val d10SemanticDedup: Q = Q(
     "d10_semantic_dedup",
-    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    """WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       |nn AS (SELECT COUNT(*) AS n FROM e),
       |kk AS (SELECT GREATEST(8, n // 256) AS k FROM nn),
-      |tt AS (SELECT GREATEST(2, (SELECT MAX(i) FROM range(1, 4097) r(i), kk
-      |                           WHERE i * i * i <= kk.k)) AS t),
-      |mm AS (SELECT t * t AS m FROM tt),
+      |ll AS (SELECT MIN(j) AS lmax FROM range(0, 13) r(j), kk
+      |       WHERE kk.k <= CAST(power(8, j + 1) AS BIGINT)),
       |bb AS (SELECT vec_id,
       |         ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT AS h
       |       FROM e),
@@ -752,37 +775,30 @@ object DedupQueries {
       |        JOIN mh ON bc.cell = mh.cell AND bc.h = mh.mh GROUP BY bc.cell),
       |c0 AS (SELECT win.cell, e.v AS c, list_dot_product(e.v, e.v) AS cn
       |       FROM win JOIN e ON e.vec_id = win.cvid),
-      |cm AS (SELECT cell AS mcell, c AS mc, cn AS mcn
-      |       FROM c0, kk, mm WHERE cell % (kk.k // mm.m) = 0),
-      |ct AS (SELECT cell AS tcell, c AS tc, cn AS tcn
-      |       FROM c0, kk, tt WHERE cell % (kk.k // tt.t) = 0),
-      |m2t AS (SELECT mcell, tcell FROM (
-      |   SELECT cm.mcell, ct.tcell,
-      |     row_number() OVER (PARTITION BY cm.mcell ORDER BY
-      |       (ct.tcn - 2 * list_dot_product(cm.mc, ct.tc)), ct.tcell) AS rn
-      |   FROM cm, ct) WHERE rn = 1),
-      |f2m AS (SELECT cell, mcell FROM (
-      |   SELECT c0.cell, cm.mcell,
-      |     row_number() OVER (PARTITION BY c0.cell ORDER BY
-      |       (cm.mcn - 2 * list_dot_product(c0.c, cm.mc)), cm.mcell) AS rn
-      |   FROM c0, cm) WHERE rn = 1),
-      |vt AS (SELECT vec_id, v, tcell FROM (
-      |   SELECT e.vec_id, e.v, ct.tcell,
-      |     row_number() OVER (PARTITION BY e.vec_id ORDER BY
-      |       (ct.tcn - 2 * list_dot_product(e.v, ct.tc)), ct.tcell) AS rn
-      |   FROM e, ct) WHERE rn = 1),
-      |vm AS (SELECT vec_id, v, mcell FROM (
-      |   SELECT vt.vec_id, vt.v, cm.mcell,
-      |     row_number() OVER (PARTITION BY vt.vec_id ORDER BY
-      |       (cm.mcn - 2 * list_dot_product(vt.v, cm.mc)), cm.mcell) AS rn
-      |   FROM vt JOIN m2t ON m2t.tcell = vt.tcell
-      |           JOIN cm ON cm.mcell = m2t.mcell) WHERE rn = 1),
-      |a1 AS (SELECT vec_id, v, cell FROM (
-      |   SELECT vm.vec_id, vm.v, c0.cell,
-      |     row_number() OVER (PARTITION BY vm.vec_id ORDER BY
-      |       (c0.cn - 2 * list_dot_product(vm.v, c0.c)), c0.cell) AS rn
-      |   FROM vm JOIN f2m ON f2m.mcell = vm.mcell
-      |           JOIN c0 ON c0.cell = f2m.cell) WHERE rn = 1),
+      |rk AS (SELECT cell, c, cn, row_number() OVER (ORDER BY cell) - 1 AS r FROM c0),
+      |lv AS (SELECT j, cell, c, cn FROM rk, ll, range(0, 13) q(j)
+      |       WHERE j <= ll.lmax AND r % CAST(power(8, j) AS BIGINT) = 0),
+      |ed AS (SELECT j, cell, parent FROM (
+      |   SELECT ch.j, ch.cell, pa.cell AS parent,
+      |     row_number() OVER (PARTITION BY ch.j, ch.cell ORDER BY
+      |       (pa.cn - 2 * list_dot_product(ch.c, pa.c)), pa.cell) AS rn
+      |   FROM lv ch JOIN lv pa ON pa.j = ch.j + 1) WHERE rn = 1),
+      |dsc AS (
+      |  SELECT vec_id, v, j, cell FROM (
+      |    SELECT e.vec_id, e.v, lv.j, lv.cell,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        (lv.cn - 2 * list_dot_product(e.v, lv.c)), lv.cell) AS rn
+      |    FROM e, lv, ll WHERE lv.j = ll.lmax) WHERE rn = 1
+      |  UNION ALL
+      |  SELECT vec_id, v, j, cell FROM (
+      |    SELECT d.vec_id, d.v, ch.j, ch.cell,
+      |      row_number() OVER (PARTITION BY d.vec_id ORDER BY
+      |        (ch.cn - 2 * list_dot_product(d.v, ch.c)), ch.cell) AS rn
+      |    FROM dsc d
+      |    JOIN ed ON ed.j = d.j - 1 AND ed.parent = d.cell
+      |    JOIN lv ch ON ch.j = ed.j AND ch.cell = ed.cell
+      |    WHERE d.j > 0) WHERE rn = 1),
+      |a1 AS (SELECT vec_id, v, cell FROM dsc WHERE j = 0),
       |dups AS (SELECT DISTINCT a.vec_id AS i FROM a1 a JOIN a1 b
       |   ON a.cell = b.cell AND b.vec_id < a.vec_id
       |   WHERE list_cosine_similarity(a.v, b.v) > 0.35)
@@ -790,103 +806,85 @@ object DedupQueries {
       |  COUNT(*) FILTER (WHERE vec_id NOT IN (SELECT i FROM dups)) AS n_kept
       |FROM a1 GROUP BY cell ORDER BY cell""".stripMargin) { (s, d) =>
     import graft.functions.ArgMinLong.argmin
+    import org.apache.spark.sql.expressions.Window
     def dot(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
     graft.plans.RewriteHofDotProduct.register(s)
     val e = Tables.t(s, d, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     // dimension scalars, all integer-derived so both engines branch
-    // identically: k fine cells; t = ⌊∛k⌋ by integer search (no
-    // cross-engine pow(x,1/3) last-ulp hazard, covers k to 2^36);
-    // m = t² mids; ms/ts the level strides.
-    val dims = e.agg(count(lit(1)).as("n"))
-      .select(greatest(lit(8L), expr("n div 256")).as("k"))
-      .select(col("k"), explode(sequence(lit(1L), lit(4096L))).as("i"))
-      .filter(col("i") * col("i") * col("i") <= col("k"))
-      .groupBy("k").agg(max(col("i")).as("t0"))
-      .select(col("k"), greatest(lit(2L), col("t0")).as("t"))
-      .select(col("k"), col("t"), (col("t") * col("t")).as("m"))
-      .select(col("k"), col("t"), col("m"),
-        expr("k div m").as("ms"), expr("k div t").as("ts"))
-    // CENTROID SELECTION must be a hash-uniform sample, not an id
-    // prefix or stride: ids are replica-sparse (rep·10M + orig), so a
-    // prefix lands entirely in replica 0 — and under ScaleUp's
-    // decorrelation every other replica's vectors see only
-    // background-cosine centroids and funnel into a handful of cells
-    // (measured at sf100: 2,000 live cells, max cell 34,073,
-    // Σ|cell|² = 15.2 B — and the pair stage IS that sum). Hash
-    // bucketing gives every replica ~k/R centroids in expectation, so
-    // within-replica geometry (which rotation preserves) drives every
-    // assignment: bucket = md5₃₂(id) % k, centroid = the bucket's
-    // (h, id)-min member — one map-side-combining min per bucket, the
-    // portable-hash discipline of d06/d11.
+    // identically: k fine cells, depth lmax = smallest j with
+    // k ≤ 8^(j+1) (8^j = 2^(3j) is EXACT in a double, so the
+    // power-cast carries no cross-engine ulp hazard). One count job;
+    // the scalars drive the level loop below.
+    val n = e.count()
+    val k = math.max(8L, n / 256)
+    def pow8(j: Int): Long = 1L << (3 * j)
+    val lmax = (0 to 12).find(j => k <= pow8(j + 1)).get
     val hb = e.select(col("vec_id"),
         conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10)
           .cast("long").as("h"))
-      .crossJoin(broadcast(dims))
-      .select(col("vec_id"), col("h"), (col("h") % col("k")).as("cell"))
+      .select(col("vec_id"), col("h"), (col("h") % k).as("cell"))
     val win = hb.groupBy("cell")
       .agg(min(struct(col("h"), col("vec_id"))).as("w"))
       .select(col("cell"), col("w").getField("vec_id").as("cvid"))
-    // fine centroid table, with |c|^2 precomputed once: the per-pair
-    // ranking key is |c|^2 - 2 v.c — |v|^2 is constant within each
-    // argmin group, so it is dropped from the ORDER entirely (both
-    // engines rank by the same reduced expression, so fp ties agree)
-    val c0 = e.join(broadcast(win), col("vec_id") === col("cvid"))
-      .crossJoin(broadcast(dims))
-      .select(col("cell"), col("v").as("c"), dot(col("v"), col("v")).as("cn"),
-        col("ms"), col("ts"))
-    val cm = c0.filter(col("cell") % col("ms") === 0)
-      .select(col("cell").as("mcell"), col("c").as("mc"), col("cn").as("mcn"))
-    val ct = c0.filter(col("cell") % col("ts") === 0)
-      .select(col("cell").as("tcell"), col("c").as("tc"), col("cn").as("tcn"))
-    // centroid-side tree edges (k·m + m·t dots — centroid-sized, tiny
-    // next to any N-scaled stage, so both are exhaustive argmins)
-    val m2t = cm.crossJoin(broadcast(ct))
-      .groupBy("mcell")
-      .agg(argmin(col("tcn") - lit(2) * dot(col("mc"), col("tc")),
-        col("tcell")).as("tcell"))
-    val f2m = c0.crossJoin(broadcast(cm))
+    // fine centroid table, with |c|^2 precomputed once and the level
+    // rank r: a k-row single-partition window — centroid-sized, never
+    // N-scaled. Pinned: every level filter and edge build below reads
+    // it, and without the pin each reader re-runs the corpus scan +
+    // hash-min (the d09 lesson).
+    val c0 = Stage.materialize(s,
+      e.join(broadcast(win), col("vec_id") === col("cvid"))
+        .select(col("cell"), col("v").as("c"), dot(col("v"), col("v")).as("cn"))
+        .withColumn("r", row_number().over(Window.orderBy("cell")).cast("long") - 1),
+      "d10c0")
+    def level(j: Int) = c0.filter(col("r") % pow8(j) === 0)
+    // parent edges, level j -> j+1: flat argmin over the next level's
+    // centroids (both sides centroid-sized; see scaladoc for the k²/b
+    // accounting). A cell present at both levels self-parents, so the
+    // per-vector descent path is consistent.
+    def edges(j: Int) = level(j)
+      .crossJoin(broadcast(level(j + 1)
+        .select(col("cell").as("pcell"), col("c").as("pc"), col("cn").as("pcn"))))
       .groupBy("cell")
-      .agg(argmin(col("mcn") - lit(2) * dot(col("c"), col("mc")),
-        col("mcell")).as("mcell"))
-    // descent, three broadcast-probe stages: top (N·t dots), mid within
-    // the top bucket (N·m/t = N·t expected), fine within the mid bucket
-    // (N·k/m ≈ N·t expected) — 3N·∛k total vs the two-level 2N·√k.
-    // Each argmin is partial-agged map-side; the vector table shuffles
-    // once onto vec_id and every later join-back is co-partitioned.
-    val vtop = e.crossJoin(broadcast(ct))
-      .groupBy("vec_id")
-      .agg(argmin(col("tcn") - lit(2) * dot(col("v"), col("tc")),
-        col("tcell")).as("tcell"))
-    val mcand = m2t.join(cm, "mcell")
-      .select(col("tcell"), col("mcell"), col("mc"), col("mcn"))
-    val et = e.join(vtop, "vec_id")
-    val vm = et.join(broadcast(mcand), "tcell")
-      .groupBy("vec_id")
-      .agg(argmin(col("mcn") - lit(2) * dot(col("v"), col("mc")),
-        col("mcell")).as("mcell"))
-    val bcand = f2m.join(c0, "cell")
-      .select(col("mcell"), col("cell"), col("c"), col("cn"))
-    val em = et.select(col("vec_id"), col("v")).join(vm, "vec_id")
-    val fine = em.join(broadcast(bcand), "mcell")
-      .groupBy("vec_id")
-      .agg(argmin(col("cn") - lit(2) * dot(col("v"), col("c")),
-        col("cell")).as("cell"))
+      .agg(argmin(col("pcn") - lit(2) * dot(col("c"), col("pc")),
+        col("pcell")).as("parent"))
+    // descent: the ≤8 top cells exhaustively, then each level only the
+    // current parent's children — b·(L+1) dots per vector. State is
+    // (vec_id, cell) longs, pinned per level; the vector table is
+    // re-joined co-partitioned on vec_id each step.
+    val top = level(lmax)
+    var a = Stage.materialize(s,
+      e.crossJoin(broadcast(top))
+        .groupBy("vec_id")
+        .agg(argmin(col("cn") - lit(2) * dot(col("v"), col("c")),
+          col("cell")).as("cell")),
+      s"d10a$lmax")
+    for (j <- lmax - 1 to 0 by -1) {
+      val cand = edges(j).join(level(j), "cell")
+        .select(col("parent"), col("cell"), col("c"), col("cn"))
+      a = Stage.materialize(s,
+        e.join(a.select(col("vec_id"), col("cell").as("pcell")), "vec_id")
+          .join(broadcast(cand), col("pcell") === col("parent"))
+          .groupBy("vec_id")
+          .agg(argmin(col("cn") - lit(2) * dot(col("v"), col("c")),
+            col("cell")).as("cell")),
+        s"d10a$j")
+    }
     val cells = Stage.materialize(s,
-      em.select(col("vec_id"), col("v")).join(fine, "vec_id")
+      e.join(a, "vec_id")
         .select(col("vec_id"), col("v"), col("cell"),
           sqrt(dot(col("v"), col("v"))).as("nrm")),
       "d10cells")
     // pair stage: norms precomputed per vector above; dot/(ni*nj) is
     // bit-identical to the sqrt(dot)*sqrt(dot) denominator it replaces
-    val a = cells.select(col("cell"), col("vec_id").as("i"),
+    val a2 = cells.select(col("cell"), col("vec_id").as("i"),
       col("v").as("vi"), col("nrm").as("ni"))
-    val b = cells.select(col("cell"), col("vec_id").as("j"),
+    val b2 = cells.select(col("cell"), col("vec_id").as("j"),
       col("v").as("vj"), col("nrm").as("nj"))
     val cos = least(greatest(
       dot(col("vi"), col("vj")) / (col("ni") * col("nj")), lit(-1.0)), lit(1.0))
-    val dups = a.join(b, Seq("cell"))
+    val dups = a2.join(b2, Seq("cell"))
       .filter(col("j") < col("i") && cos > 0.35)
       .select(col("i").as("vec_id")).distinct()
     val kept = cells.join(dups, Seq("vec_id"), "left_anti")
