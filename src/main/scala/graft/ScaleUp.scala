@@ -46,10 +46,21 @@ import org.apache.spark.sql.functions._
   *    window means 10× traffic density, which is the scale story the
   *    windowed/streaming entries need to survive.
   *
-  * Usage: graft.ScaleUp <srcDir> <destDir> [factor=10] [globalTokens=0]
+  * Usage: graft.ScaleUp <srcDir> <destDir> [factor=10] [globalTokens=0] [mode]
   * Writes Spark-style `<table>.parquet/` directories (Tables.t reads
   * either layout; tools/check.py globs both).
-  */
+  *
+  * `mode=cipherdocs` writes ONLY the documents table, decorrelated
+  * LENGTH-STATIONARILY: instead of suffixing tokens with a replica tag
+  * (which inflates per-token chars ~1.3× per decade, so text-tier
+  * ladders partly measure the fixture — SCALE.md r10 flagged t14/t25/
+  * t26 for exactly this), every non-global token is REPLACED by the
+  * same-length prefix of md5(token ⊕ rep): per-doc token counts AND
+  * char lengths are bit-stationary across replicas, within-replica
+  * token-equality structure is preserved exactly (distinct tokens
+  * collide with ~16^-len probability — d02's accepted hash-key
+  * regime), and cross-replica token sets are disjoint whp. rep = 0
+  * still copies through bit-identical. */
 object ScaleUp {
   private val Stride = 10000000L
 
@@ -58,6 +69,7 @@ object ScaleUp {
     val (src, dst) = (args(0), args(1))
     val factor = if (args.length > 2) args(2).toInt else 10
     val globalTokens = if (args.length > 3) args(3).toInt else 0
+    val mode = if (args.length > 4) args(4) else "tag"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -116,6 +128,37 @@ object ScaleUp {
         .repartition(nFiles, col(keyCols.head)), t)
     }
 
+    def documentGlobals(): Seq[String] =
+      if (globalTokens <= 0) Nil
+      else read("documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy("w").count()
+        .orderBy(desc("count"), col("w"))
+        .limit(globalTokens)
+        .collect().map(_.getString(0)).toSeq
+
+    if (mode == "cipherdocs") {
+      // Length-stationary documents-only blowup (see object scaladoc):
+      // token -> same-length prefix of md5(token + 0x01 + rep); repeated
+      // so tokens longer than one digest (32 hex chars) stay covered.
+      val globals = documentGlobals()
+      scaled("documents", Seq("doc_id")) { df =>
+        val cipher = (w: org.apache.spark.sql.Column) => {
+          val m = md5(concat(w, lit("\u0001"), col("rep").cast("string")))
+          substring(concat(m, m), lit(1), length(w))
+        }
+        val ciphered = array_join(
+          transform(split(col("text"), " "),
+            w => if (globals.isEmpty) cipher(w)
+              else when(w.isin(globals: _*), w).otherwise(cipher(w))), " ")
+        df.withColumn("text",
+            when(col("rep") === 0, col("text")).otherwise(ciphered))
+          .withColumn("n_chars", length(col("text")).cast("long"))
+      }
+      spark.stop()
+      return
+    }
+
     Seq("region", "nation").foreach(t => write(read(t), t))
     scaled("customer", Seq("c_custkey"))(identity)
     scaled("supplier", Seq("s_suppkey"))(identity)
@@ -135,14 +178,7 @@ object ScaleUp {
     scaled("documents", Seq("doc_id")) { df =>
       // bounded driver list (N stopword-like tokens), deterministic
       // tie-break so repeated generations are identical
-      val globals: Seq[String] =
-        if (globalTokens <= 0) Nil
-        else read("documents")
-          .select(explode(split(col("text"), " ")).as("w"))
-          .groupBy("w").count()
-          .orderBy(desc("count"), col("w"))
-          .limit(globalTokens)
-          .collect().map(_.getString(0)).toSeq
+      val globals: Seq[String] = documentGlobals()
       val tag = (w: org.apache.spark.sql.Column) =>
         concat(w, lit("x"), col("rep").cast("string"))
       val tagged =
