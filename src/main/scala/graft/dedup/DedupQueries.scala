@@ -712,20 +712,37 @@ object DedupQueries {
     * quantizer tree keeps a polynomial residue (depth D costs
     * N·D·k^(1/D): the round-10 three-level rung measured 11.2× per
     * decade at sf100 from its k^(1/3) term). Assignment now descends a
-    * LOG-DEPTH stride tree with branching factor b=8: live fine cells
-    * are ranked (row_number by cell id, a k-row window) and level j
-    * keeps the cells whose rank is divisible by 8^j — so the level
-    * sets are NESTED (⌈k/8^j⌉ members each) up to the first level with
-    * ≤8 members, depth L = ⌈log₈k⌉−1. Each level-j cell takes one
-    * parent edge: the argmin level-(j+1) member by the reduced key
-    * |p|²−2c·p (a member of both levels is always its own parent —
-    * |p−c|²>0 for p≠c — so descent paths are consistent). A vector
-    * probes the ≤8 top cells, then at each level only its parent's
-    * children: b·(L+1) ≈ 8·log₈k distances instead of 3∛k — the
-    * assignment term drops from Θ(N^{4/3}) to Θ(N·log N), +8 dots per
-    * decade instead of ×2.15, which puts the whole entry back on the
+    * LOG-DEPTH stride tree with branching factor b=32: live fine
+    * cells are ranked (row_number by cell id, a k-row window) and
+    * level j keeps the cells whose rank is divisible by 32^j — NESTED
+    * level sets (⌈k/32^j⌉ members each) up to the first level with
+    * ≤32 members, depth L = ⌈log₃₂k⌉−1 (3 levels at sf100, 4 at
+    * sf1000; 32^j = 2^{5j} is exact in a double, so the oracle's
+    * power-cast carries no cross-engine ulp hazard). Each level-j cell
+    * takes one parent edge: the argmin level-(j+1) member by negative
+    * cosine −c·p/|p| (a member of both levels is always its own
+    * parent — cos>1 is impossible — so descent paths are consistent).
+    * A vector probes the ≤32 top cells, then at each level only its
+    * parent's children: b·(L+1) ≈ 32·log₃₂k distances instead of
+    * 3∛k — the assignment term drops from Θ(N^{4/3}) to Θ(N·log N),
+    * +32 dots per decade instead of ×2.15, putting the entry on the
     * linear tier's ladder (the Σ|cell|² pair stage, ~128 dots/vector,
-    * now dominates at every scale). The level count is data-dependent,
+    * dominates at every scale). b = 32 is a MEASURED choice, not a
+    * free parameter: per-level fanout is what discriminates CORRELATED
+    * mass (ScaleUp replicas share geometry, so same-replica vectors
+    * make the same choice wherever their own centroids are absent —
+    * and upper levels hold fewer centroids than the corpus holds
+    * replicas). At sf100, b=8 funneled whole replicas down shared
+    * paths (max cell 33,381, Σ|cell|² = 7.6 B — 3.8× the three-level's
+    * 2.0 B; identical under squared-distance and cosine keys, so the
+    * tree SHAPE, not the metric, was the bend), and replacing argmin
+    * edges with structurally-balanced rank blocks made it WORSE
+    * (29.5 B): blocks pin every fanout at exactly b but destroy
+    * parent-child geometric coherence, and a leaf's mass is set by
+    * where correlated groups split, not by fanout arithmetic. b=32
+    * restores the ~20-way-per-level discrimination the three-level
+    * tree measured 2.0 B with, while keeping the depth logarithmic.
+    * The level count is data-dependent,
     * so the oracle's fixed text expresses the descent as a RECURSIVE
     * CTE (the d07/p06 discipline) — one UNION ALL step per level,
     * terminating at j=0 — while the engine runs a driver loop with one
@@ -733,16 +750,17 @@ object DedupQueries {
     * discipline: state is (vec_id, cell) longs, the vector table is
     * re-joined co-partitioned on vec_id each step, never carried
     * through the pin). Parent edges are flat argmins over the next
-    * level (Σ_j ⌈k/8^j⌉·⌈k/8^{j+1}⌉ ≈ k²/7.9 centroid-pair dots —
+    * level (Σ_j ⌈k/32^j⌉·⌈k/32^{j+1}⌉ ≈ k²/32 centroid-pair dots —
     * subdominant to the N·256 pair stage until k ≈ N/256 crosses
     * ~10^5, i.e. corpus ≈ 10 TB; past that the edge step itself
     * descends the already-built upper tree, the documented refinement).
     * Every argmin is the native [[graft.functions.ArgMinLong]] hash
     * aggregate on the exploded stream — flat codegen'd buffer,
     * map-side partial aggregation, so no expansion ever crosses the
-    * wire — ranking by the reduced key |c|²-2v·c (|v|² is constant per
-    * group; both engines rank by the same reduced expression, so fp
-    * ties agree), lexicographic (dist, cell) tie-break.
+    * wire — ranking by negative cosine −v·c/|c| (|v| is constant per
+    * group so it divides out; both engines rank by the same reduced
+    * expression, so fp ties agree), lexicographic (key, cell)
+    * tie-break.
     * CENTROID SELECTION must be a hash-uniform sample, not an id
     * prefix or stride: ids are replica-sparse, so a prefix lands
     * entirely in replica 0 and every other replica funnels into a
@@ -764,8 +782,8 @@ object DedupQueries {
     """WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       |nn AS (SELECT COUNT(*) AS n FROM e),
       |kk AS (SELECT GREATEST(8, n // 256) AS k FROM nn),
-      |ll AS (SELECT MIN(j) AS lmax FROM range(0, 13) r(j), kk
-      |       WHERE kk.k <= CAST(power(8, j + 1) AS BIGINT)),
+      |ll AS (SELECT MIN(j) AS lmax FROM range(0, 12) r(j), kk
+      |       WHERE kk.k <= CAST(power(32, j + 1) AS BIGINT)),
       |bb AS (SELECT vec_id,
       |         ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT AS h
       |       FROM e),
@@ -776,24 +794,24 @@ object DedupQueries {
       |c0 AS (SELECT win.cell, e.v AS c, list_dot_product(e.v, e.v) AS cn
       |       FROM win JOIN e ON e.vec_id = win.cvid),
       |rk AS (SELECT cell, c, cn, row_number() OVER (ORDER BY cell) - 1 AS r FROM c0),
-      |lv AS (SELECT j, cell, c, cn FROM rk, ll, range(0, 13) q(j)
-      |       WHERE j <= ll.lmax AND r % CAST(power(8, j) AS BIGINT) = 0),
+      |lv AS (SELECT j, cell, c, cn FROM rk, ll, range(0, 12) q(j)
+      |       WHERE j <= ll.lmax AND r % CAST(power(32, j) AS BIGINT) = 0),
       |ed AS (SELECT j, cell, parent FROM (
       |   SELECT ch.j, ch.cell, pa.cell AS parent,
       |     row_number() OVER (PARTITION BY ch.j, ch.cell ORDER BY
-      |       (pa.cn - 2 * list_dot_product(ch.c, pa.c)), pa.cell) AS rn
+      |       (-list_dot_product(ch.c, pa.c) / sqrt(pa.cn)), pa.cell) AS rn
       |   FROM lv ch JOIN lv pa ON pa.j = ch.j + 1) WHERE rn = 1),
       |dsc AS (
       |  SELECT vec_id, v, j, cell FROM (
       |    SELECT e.vec_id, e.v, lv.j, lv.cell,
       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-      |        (lv.cn - 2 * list_dot_product(e.v, lv.c)), lv.cell) AS rn
+      |        (-list_dot_product(e.v, lv.c) / sqrt(lv.cn)), lv.cell) AS rn
       |    FROM e, lv, ll WHERE lv.j = ll.lmax) WHERE rn = 1
       |  UNION ALL
       |  SELECT vec_id, v, j, cell FROM (
       |    SELECT d.vec_id, d.v, ch.j, ch.cell,
       |      row_number() OVER (PARTITION BY d.vec_id ORDER BY
-      |        (ch.cn - 2 * list_dot_product(d.v, ch.c)), ch.cell) AS rn
+      |        (-list_dot_product(d.v, ch.c) / sqrt(ch.cn)), ch.cell) AS rn
       |    FROM dsc d
       |    JOIN ed ON ed.j = d.j - 1 AND ed.parent = d.cell
       |    JOIN lv ch ON ch.j = ed.j AND ch.cell = ed.cell
@@ -814,13 +832,13 @@ object DedupQueries {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     // dimension scalars, all integer-derived so both engines branch
     // identically: k fine cells, depth lmax = smallest j with
-    // k ≤ 8^(j+1) (8^j = 2^(3j) is EXACT in a double, so the
+    // k ≤ 32^(j+1) (32^j = 2^(5j) is EXACT in a double, so the
     // power-cast carries no cross-engine ulp hazard). One count job;
     // the scalars drive the level loop below.
     val n = e.count()
     val k = math.max(8L, n / 256)
-    def pow8(j: Int): Long = 1L << (3 * j)
-    val lmax = (0 to 12).find(j => k <= pow8(j + 1)).get
+    def pow32(j: Int): Long = 1L << (5 * j)
+    val lmax = (0 to 12).find(j => k <= pow32(j + 1)).get
     val hb = e.select(col("vec_id"),
         conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10)
           .cast("long").as("h"))
@@ -838,7 +856,7 @@ object DedupQueries {
         .select(col("cell"), col("v").as("c"), dot(col("v"), col("v")).as("cn"))
         .withColumn("r", row_number().over(Window.orderBy("cell")).cast("long") - 1),
       "d10c0")
-    def level(j: Int) = c0.filter(col("r") % pow8(j) === 0)
+    def level(j: Int) = c0.filter(col("r") % pow32(j) === 0)
     // parent edges, level j -> j+1: flat argmin over the next level's
     // centroids (both sides centroid-sized; see scaladoc for the k²/b
     // accounting). A cell present at both levels self-parents, so the
@@ -847,9 +865,9 @@ object DedupQueries {
       .crossJoin(broadcast(level(j + 1)
         .select(col("cell").as("pcell"), col("c").as("pc"), col("cn").as("pcn"))))
       .groupBy("cell")
-      .agg(argmin(col("pcn") - lit(2) * dot(col("c"), col("pc")),
+      .agg(argmin(-dot(col("c"), col("pc")) / sqrt(col("pcn")),
         col("pcell")).as("parent"))
-    // descent: the ≤8 top cells exhaustively, then each level only the
+    // descent: the ≤32 top cells exhaustively, then each level only the
     // current parent's children — b·(L+1) dots per vector. State is
     // (vec_id, cell) longs, pinned per level; the vector table is
     // re-joined co-partitioned on vec_id each step.
@@ -857,7 +875,7 @@ object DedupQueries {
     var a = Stage.materialize(s,
       e.crossJoin(broadcast(top))
         .groupBy("vec_id")
-        .agg(argmin(col("cn") - lit(2) * dot(col("v"), col("c")),
+        .agg(argmin(-dot(col("v"), col("c")) / sqrt(col("cn")),
           col("cell")).as("cell")),
       s"d10a$lmax")
     for (j <- lmax - 1 to 0 by -1) {
@@ -867,7 +885,7 @@ object DedupQueries {
         e.join(a.select(col("vec_id"), col("cell").as("pcell")), "vec_id")
           .join(broadcast(cand), col("pcell") === col("parent"))
           .groupBy("vec_id")
-          .agg(argmin(col("cn") - lit(2) * dot(col("v"), col("c")),
+          .agg(argmin(-dot(col("v"), col("c")) / sqrt(col("cn")),
             col("cell")).as("cell")),
         s"d10a$j")
     }

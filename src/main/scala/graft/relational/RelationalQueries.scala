@@ -3459,6 +3459,100 @@ object RelationalQueries {
       .orderBy("l_returnflag")
   }
 
+  /** q101 with the one assumption removed: SAMPLED boundaries instead
+    * of value-domain bucketing. q101's `price*100 div 65536` buckets
+    * assume a roughly-uniform, known-range order column; on a skewed or
+    * unknown domain most of the corpus lands in one bucket and the
+    * boundary rank degenerates toward the global sort it exists to
+    * avoid. Here the buckets come from the DATA: a size-bounded hash
+    * sample (rate n div 4096, so the sample is ~4-8k rows at ANY corpus
+    * size — the d14 fixed-probe discipline), ranked by the full
+    * tie-break key (a ≤8k-row single-partition window, bounded like
+    * d10's centroid rank), every ⌈ns/64⌉-th sample value kept as a
+    * boundary, and each corpus row assigned
+    * bkt = |{boundaries ≤ value}| via one broadcast array + a
+    * size(filter(...)) scan — map-side only, no per-row shuffle. The
+    * boundaries only steer WORK PLACEMENT, never the answer: bkt is
+    * monotone in the order column, so the q101 walk (wholesale buckets
+    * above the crossing + an exact rank inside the one boundary
+    * bucket) returns EXACTLY the global top-N for any boundary set —
+    * the oracle is the naive global window, with no mirror of the
+    * bucket machinery at all. Skew moves boundary VALUES closer
+    * together where mass concentrates (equi-depth, not equi-width), so
+    * the boundary bucket stays ~n/64-sized on any distribution —
+    * DistributedTopnSpec proves bit-exactness on a lognormal-skewed
+    * column where q101's equi-width buckets would degenerate.
+    * At 100 TB: two map-side passes + one bounded sample window + a
+    * 64-value broadcast; nothing corpus-sized converges anywhere. */
+  val q102SampledTopn: Q = Q(
+    "q102_sampled_topn",
+    s"""WITH r AS (
+       |  SELECT l_returnflag, l_extendedprice,
+       |    row_number() OVER (ORDER BY l_extendedprice DESC,
+       |                       l_orderkey, l_linenumber) AS rn
+       |  FROM lineitem)
+       |SELECT l_returnflag, COUNT(*) AS n,
+       |  ${Det.sqlSum("l_extendedprice")} AS total,
+       |  MIN(l_extendedprice) AS min_price,
+       |  MAX(l_extendedprice) AS max_price
+       |FROM r WHERE rn <= 20000
+       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    sampledTopn(s, d, 20000L)
+  }
+
+  /** The q102 algorithm with the target N as a parameter (the spec
+    * reuses it against a skewed column). */
+  private[relational] def sampledTopn(s: SparkSession, d: String, n: Long,
+      table: String = "lineitem", valCol: String = "l_extendedprice")
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.t(s, d, table)
+      .select(col("l_returnflag"), col(valCol).as("v"),
+        col("l_orderkey"), col("l_linenumber"))
+    val h = conv(substring(md5(concat_ws("-",
+      col("l_orderkey").cast("string"), col("l_linenumber").cast("string"))),
+      1, 8), 16, 10).cast("long")
+    val total = li.count()
+    val m = math.max(1L, total / 4096)
+    // boundary values from the hash sample: rank the ~4-8k sampled rows
+    // by the full tie-break key, keep every ceil(ns/64)-th value
+    val samp = li.filter(h % m === 0)
+      .withColumn("rn", row_number().over(Window.orderBy(
+        col("v").desc, col("l_orderkey"), col("l_linenumber"))).cast("long"))
+      .withColumn("ns", count(lit(1)).over(
+        Window.partitionBy()))
+    val bnd = samp
+      .filter((col("rn") - 1) % greatest(lit(1L), expr("ns div 64")) === 0)
+      .agg(array_sort(collect_list(col("v"))).as("arr"))
+    val bucketed = li.crossJoin(broadcast(bnd))
+      .withColumn("bkt",
+        size(filter(col("arr"), b => col("v") >= b)).cast("long"))
+      .drop("arr")
+    // from here, q101's exact walk verbatim
+    val walk = bucketed.groupBy("bkt").agg(count(lit(1)).as("bn"))
+      .withColumn("cum", sum(col("bn")).over(Window.orderBy(col("bkt").desc)))
+      .withColumn("above", col("cum") - col("bn"))
+    val trow = walk.filter(col("above") < n)
+      .agg(min_by(struct(col("bkt"), col("above"), col("bn")), col("bkt")).as("m"))
+      .select(col("m.bkt").as("tbkt"),
+        least(lit(n) - col("m.above"), col("m.bn")).as("take"))
+    val tagged = bucketed.crossJoin(broadcast(trow))
+    val wholesale = tagged.filter(col("bkt") > col("tbkt"))
+    val boundary = tagged.filter(col("bkt") === col("tbkt"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("tbkt").orderBy(col("v").desc,
+          col("l_orderkey"), col("l_linenumber"))))
+      .filter(col("rn") <= col("take"))
+      .drop("rn")
+    wholesale.unionByName(boundary)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        Det.dsum(col("v")).as("total"),
+        min(col("v")).as("min_price"),
+        max(col("v")).as("max_price"))
+      .orderBy("l_returnflag")
+  }
+
   val all: Seq[Q] = Seq(
     q01ScanProject, q02Predicates, q03AggBasic, q04AggDistinct, q05Rollup,
     q06Cube, q07JoinBroadcast, q08JoinMultiway, q09JoinOuter, q10JoinFull,
@@ -3483,5 +3577,5 @@ object RelationalQueries {
     q90Kanon, q91GroupedPercentiles, q92AsofTolerance, q93RollingDistinct,
     q94JoinElimAuto, q95TopkJoinAuto, q96DistinctElimAuto, q97SemiElimAuto,
     q98GroupbyKeyElim, q99LicenseCapstone, q100NotinAntiAuto,
-    q101DistributedTopn)
+    q101DistributedTopn, q102SampledTopn)
 }

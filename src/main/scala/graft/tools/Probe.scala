@@ -63,6 +63,18 @@ object Probe {
       time("assign2")(assign)
       spark.stop(); sys.exit(0)
     }
+    if (sys.env.contains("PROBE_D10L")) {
+      // Log-tree d10: final cell histogram — Σ|cell|² IS the pair-stage
+      // cost, so this is the one number that decides whether the
+      // descent is funneling (the replica-decorrelation failure mode).
+      val out = graft.dedup.DedupQueries.d10SemanticDedup.fn(spark, d)
+      val r = out.agg(sum(col("n_members")).as("n"),
+        max(col("n_members")).as("mx"), count(lit(1)).as("cells"),
+        sum(col("n_members") * col("n_members")).as("sumsq")).collect()(0)
+      println(s"[probe] d10 members=${r.get(0)} max=${r.get(1)} " +
+        s"cells=${r.get(2)} sumsq=${r.get(3)}")
+      spark.stop(); sys.exit(0)
+    }
     if (sys.env.contains("PROBE_D10S")) {
       // d10 stage split: coarse assignment (N·g dots), fine assignment
       // (N·k/g dots), within-cell pair stage (Σ|cell|² dots) — the
