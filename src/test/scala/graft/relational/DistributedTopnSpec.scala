@@ -55,6 +55,72 @@ class DistributedTopnSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("q102: sampled boundaries equal the global-window top-N, bit for bit") {
+    val naive = Tables.t(s, d, "lineitem")
+      .withColumn("rn", row_number().over(Window.orderBy(
+        col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))))
+      .filter(col("rn") <= 20000)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        graft.Det.dsum(col("l_extendedprice")).as("total"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"))
+      .orderBy("l_returnflag")
+      .collect().map(_.toSeq).toSeq
+    val got = RelationalQueries.q102SampledTopn.fn(s, d)
+      .collect().map(_.toSeq).toSeq
+    assert(got == naive)
+    assert(got.nonEmpty)
+  }
+
+  test("q102 stays exact on a lognormal-skewed column where equi-width degenerates") {
+    // exp(price/3000) concentrates ~all mass in the lowest equi-width
+    // buckets (q101's scheme would rank nearly the whole corpus in one
+    // boundary bucket); sampled equi-depth boundaries keep the walk
+    // exact AND balanced.
+    val dir = graft.TempDirs.newTempDir("q102_skew")
+    Tables.t(s, d, "lineitem")
+      .withColumn("l_extendedprice", exp(col("l_extendedprice") / lit(3000.0)))
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val skewed = s.read.parquet(s"$dir/lineitem.parquet")
+    val naive = skewed
+      .withColumn("rn", row_number().over(Window.orderBy(
+        col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))))
+      .filter(col("rn") <= 7000)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        graft.Det.dsum(col("l_extendedprice")).as("total"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"))
+      .orderBy("l_returnflag")
+      .collect().map(_.toSeq).toSeq
+    val got = RelationalQueries.sampledTopn(s, dir, 7000L)
+      .collect().map(_.toSeq).toSeq
+    assert(got == naive)
+    assert(got.nonEmpty)
+  }
+
+  test("q102 plan: no TakeOrdered funnel; unpartitioned windows only on bounded inputs") {
+    val df = RelationalQueries.q102SampledTopn.fn(s, d)
+    df.collect()
+    val nodes = SparkTestBase.flattenPlan(df.queryExecution.executedPlan)
+    assert(!nodes.exists(_.isInstanceOf[TakeOrderedAndProjectExec]),
+      "the selected set must stay distributed — no driver-bounded heap")
+    val windows = nodes.collect { case w: WindowExec => w }
+    assert(windows.exists(_.partitionSpec.nonEmpty),
+      "the boundary-bucket rank must be partitioned")
+    // the unpartitioned windows are the sample rank/count and the
+    // 64-bucket walk; prove the sample side is actually SIZE-BOUNDED by
+    // re-deriving it (rate n div 4096 -> at most ~2*4096 rows whp)
+    val li = Tables.t(s, d, "lineitem")
+    val h = conv(substring(md5(concat_ws("-",
+      col("l_orderkey").cast("string"), col("l_linenumber").cast("string"))),
+      1, 8), 16, 10).cast("long")
+    val m = math.max(1L, li.count() / 4096)
+    val ns = li.filter(h % m === 0).count()
+    assert(ns > 0 && ns <= 16384, s"sample not size-bounded: $ns rows")
+  }
+
   test("plan: no TakeOrdered funnel; the only global window is the bucket walk") {
     val df = RelationalQueries.q101DistributedTopn.fn(s, d)
     df.collect()
