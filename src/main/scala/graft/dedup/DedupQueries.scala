@@ -1518,13 +1518,40 @@ object DedupQueries {
         .filter(col("containment") >= theta)
         .dropDuplicates("i", "j")
     } else {
-      val probeLite = ranked.select(col("doc_id"), col("sz"),
+      // SIZE-BINNED container prefix (the r10 plan-audit's "second
+      // df-rarest prefix level on the container side", realized): the
+      // container previously indexed its WHOLE shingle set — Σ|doc|
+      // posting rows through the bucket shuffle, the dominant term of
+      // the 1256.8 s sf100 wall. Binning probes by g = ⌊log₂|A|⌋ gives
+      // the container a usable overlap floor per class,
+      // o_g = ⌈θ·2^g⌉ ≤ ⌈θ|A|⌉, so in the class-g index B contributes
+      // only its df-rarest |B| − o_g + 1 tokens. Lossless by the PPJoin
+      // witness argument applied per class: let w be the df-smallest
+      // common token of a qualifying pair; if w were outside A's prefix
+      // the overlap would be < ⌈θ|A|⌉, and if outside B's class-g
+      // prefix it would be ≤ o_g − 1 < ⌈θ|A|⌉ — both contradictions,
+      // so the (g, token) bucket join sees every true pair. Classes are
+      // DATA-DRIVEN (distinct probe classes, a broadcast handful): on
+      // this corpus's near-uniform lengths 1-2 classes exist and the
+      // class-g prefix is ~0.1·|B|, a ~10× postings cut with matching
+      // candidate shrinkage; a heavy-tailed corpus pays ~(#classes)×
+      // replication on the index in exchange for the same per-class
+      // trim — the classic index-size/candidate-volume trade, here
+      // decided by the data.
+      val gCls = floor(log2(col("sz"))).cast("long")
+      val probeLite = ranked.select(col("doc_id"), col("sz"), gCls.as("g"),
         explode(slice(col("ord"), lit(1),
           (col("sz") - ceil(col("sz") * theta) + 1).cast("int"))).as("ptok"))
-      val indexLite = ranked.select(col("doc_id").as("j"), col("sz").as("jsz"),
-        explode(col("ord")).as("tok"))
+      val classes = ranked.select(gCls.as("jg")).distinct()
+      val indexLite = ranked.crossJoin(broadcast(classes))
+        .withColumn("og", ceil(lit(theta) * pow(lit(2.0), col("jg"))).cast("long"))
+        .filter(col("sz") >= col("og"))
+        .select(col("doc_id").as("j"), col("sz").as("jsz"), col("jg"),
+          explode(slice(col("ord"), lit(1),
+            (col("sz") - col("og") + 1).cast("int"))).as("tok"))
       val cand = probeLite.join(indexLite,
-          col("ptok") === col("tok") && col("doc_id") =!= col("j") &&
+          col("g") === col("jg") && col("ptok") === col("tok") &&
+            col("doc_id") =!= col("j") &&
             col("jsz") >= ceil(col("sz") * theta))
         .select(col("doc_id").as("i"), col("j"))
         .dropDuplicates("i", "j")

@@ -63,6 +63,48 @@ object Probe {
       time("assign2")(assign)
       spark.stop(); sys.exit(0)
     }
+    if (sys.env.contains("PROBE_STREAMSTATE")) {
+      // Stateful-tier state-store ladder: replay the sf dir's events
+      // through the stateful entries and record per-batch state rows
+      // from StreamingQueryProgress — the number that must stay bounded
+      // by DESIGN (O(distinct bands), O(keys-in-window)) while input
+      // scales 100x. numRowsTotal comes from the state operators
+      // themselves (RocksDB/HDFS provider metrics, the ones
+      // RocksdbStateSpec asserts exist).
+      val rec = new scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+      val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+        import org.apache.spark.sql.streaming.StreamingQueryListener._
+        override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+        override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+        override def onQueryProgress(e: QueryProgressEvent): Unit = {
+          val p = e.progress
+          rec.synchronized {
+            rec += ((p.batchId, p.numInputRows,
+              p.stateOperators.map(_.numRowsTotal).sum))
+          }
+        }
+      }
+      spark.streams.addListener(listener)
+      val names = Seq("st21_stream_neardup", "st16_timer_session_expiry",
+        "st17_chained_windows", "st18_state_reader")
+      for (name <- names) {
+        rec.synchronized(rec.clear())
+        val q = graft.SparkEntry.catalog.find(_.name == name).get
+        val t0 = System.nanoTime()
+        q.fn(spark, d).write.format("noop").mode("overwrite").save()
+        graft.Stage.release()
+        val wall = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(2000) // listener bus is async; let it drain
+        val (batches, input, maxState) = rec.synchronized {
+          (rec.size, rec.map(_._2).sum,
+            if (rec.isEmpty) 0L else rec.map(_._3).max)
+        }
+        println(f"[probe] $name%-28s batches=$batches%-4d input=$input%-10d " +
+          f"maxStateRows=$maxState%-9d wall=$wall%8.3f s")
+      }
+      spark.streams.removeListener(listener)
+      spark.stop(); sys.exit(0)
+    }
     if (sys.env.contains("PROBE_D10L")) {
       // Log-tree d10: final cell histogram — Σ|cell|² IS the pair-stage
       // cost, so this is the one number that decides whether the
