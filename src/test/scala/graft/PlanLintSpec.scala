@@ -71,7 +71,13 @@ class PlanLintSpec extends AnyFunSuite {
       // div 65536 → ~200 rows at any corpus size); the boundary-bucket
       // rank window IS partitioned, and the wholesale-selected buckets
       // never see ordering work at all.
-      "q101_distributed_topn")
+      "q101_distributed_topn",
+      // q102's unpartitioned windows run over (a) the hash SAMPLE,
+      // SIZE-BOUNDED by its rate n div 4096 to ~4-8k rows at any corpus
+      // size (DistributedTopnSpec re-derives and asserts the bound),
+      // and (b) the ≤65-row boundary-bucket walk; the corpus-wide rank
+      // window IS partitioned on the boundary bucket.
+      "q102_sampled_topn")
 
   test("no catalog query plans a single-partition window or a cartesian product") {
     val violations = SparkEntry.catalog.flatMap { q =>
