@@ -816,11 +816,20 @@ object TextQueries {
     *  - `keep`: all thresholds compare exact-int-derived doubles, so
     *    the flag is deterministic on both engines.
     *
-    * Shape at scale: one explode → (doc, tok) hash-agg (map-side
-    * combined; the shuffle carries per-doc DISTINCT tokens, not token
-    * occurrences) → per-doc agg on the 8-byte doc key. No joins, no
-    * windows; both shuffle keys are bounded by vocabulary, not corpus
-    * volume. */
+    * Shape at scale: corpus-size-ADAPTIVE (the d05/d19 cost-based
+    * call — see qualitySignals for both plans and the measured
+    * crossover). Up to ~2M docs: explode → (doc, tok) hash-agg →
+    * per-doc agg, the measured-fastest shape at bench SFs. Above:
+    * every signal is a function of ONE document, so the scale path
+    * computes them SCAN-LOCALLY with zero shuffle — run lengths over
+    * each doc's sorted token hashes for the histogram stats,
+    * translate()-deletion classifiers for digit/alpha. The round-11
+    * length-stationary ladder is what exposed the small-shape's bend:
+    * (doc_id, tok) keys are doc-local, so map-side combining only
+    * merges within-doc repeats and the string-keyed partial-agg hash
+    * maps blow past task memory into sort-based fallback (20.4×/decade
+    * into sfc100) — a spill the plan cannot avoid because its key
+    * cardinality IS the corpus token volume. */
   val t21QualityRules: Q = Q(
     "t21_quality_rules",
     """WITH tokc AS (
@@ -853,20 +862,71 @@ object TextQueries {
   /** t21's per-doc signal table (unordered) — shared with t26, which
     * uses the `keep` flag as the evaluation gold standard. */
   private def qualitySignals(s: SparkSession, d: String): DataFrame = {
-    // Layout.widen: the explode + map-side partial agg is this entry's
-    // whole cost, and it runs at the SCAN's parallelism — 8 file splits
-    // at sf100 left 24 of 32 cores idle (112.8 s; the reduce side after
-    // the shuffle re-widens, but by then the tokenizing is done).
-    val tokc = graft.Layout.widen(s, docs(s, d))
-      .select(col("doc_id"), explode(toks).as("tok"))
-      .groupBy("doc_id", "tok")
-      .agg(count(lit(1)).as("c"))
-    val agg = tokc.groupBy("doc_id").agg(
-      sum(col("c")).as("n_tokens"),
-      max(col("c")).as("max_c"),
-      sum(col("c") * (col("c") - 1)).as("rep_pairs"),
-      sum(when(col("tok").rlike("^[0-9]+$"), col("c")).otherwise(0L)).as("digit_toks"),
-      sum(when(col("tok").rlike("[a-zA-Z]"), col("c")).otherwise(0L)).as("alpha_toks"))
+    // STRATEGY is corpus-size-adaptive (the d05/d19 cost-based call):
+    //  - up to ~2M docs, explode -> groupBy(doc_id, tok) wins on this
+    //    box (6.1 s at sfc10 vs the fold shape's 16.0) — the partial
+    //    agg's doc-local keys fit task memory and the string shuffle is
+    //    cheap at this volume;
+    //  - above it, the same plan's partial-agg hash maps blow past task
+    //    memory into sort-based fallback — the round-11 length-
+    //    stationary ladder measured 20.4x/decade into sfc100 (125.2 s)
+    //    because the key cardinality IS the corpus token volume — so
+    //    the scale path computes every signal SCAN-LOCALLY (zero
+    //    shuffle): run lengths over each doc's sorted token hashes for
+    //    max_c / sum c(c-1), translate()-deletion classifiers for
+    //    digit/alpha (exactly the regex predicates, minus the regex
+    //    engine). Equal at sfc100 today (123.8 s) and flat-exponent
+    //    beyond it, where the groupBy spill only deepens; at 100 TB it
+    //    is a pure map pass vs shuffling the tokenized corpus.
+    // Both paths are exact (within-doc 64-bit hash collisions sit in
+    // d02's accepted regime); CurationOpsSpec pins them row-identical.
+    val nDocs = Tables.t(s, d, "documents").count()
+    val agg = if (nDocs <= 2000000L && !sys.props.contains("graft.t21.forceFold")) {
+      // Layout.widen: the explode + map-side partial agg is this
+      // entry's whole cost, and it runs at the SCAN's parallelism — 8
+      // file splits at sf100 left 24 of 32 cores idle.
+      val tokc = graft.Layout.widen(s, docs(s, d))
+        .select(col("doc_id"), explode(toks).as("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(count(lit(1)).as("c"))
+      tokc.groupBy("doc_id").agg(
+        sum(col("c")).as("n_tokens"),
+        max(col("c")).as("max_c"),
+        sum(col("c") * (col("c") - 1)).as("rep_pairs"),
+        sum(when(col("tok").rlike("^[0-9]+$"), col("c")).otherwise(0L)).as("digit_toks"),
+        sum(when(col("tok").rlike("[a-zA-Z]"), col("c")).otherwise(0L)).as("alpha_toks"))
+    } else {
+      // Every HOF output is staged behind its own projection boundary
+      // before being referenced twice (t02's lesson: HOFs don't CSE).
+      val letters = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+      graft.Layout.widen(s, docs(s, d))
+        .select(col("doc_id"), toks.as("toks"))
+        .select(col("doc_id"), col("toks"),
+          sort_array(transform(col("toks"), t => xxhash64(t))).as("sorted"))
+        .select(col("doc_id"), col("toks"),
+          filter(sequence(lit(1), size(col("sorted"))), i =>
+            i === 1 ||
+              element_at(col("sorted"), i) =!= element_at(col("sorted"), i - 1))
+            .as("starts"),
+          (size(col("sorted")) + 1).as("lp1"))
+        .select(col("doc_id"), col("toks"),
+          zip_with(
+            concat(slice(col("starts"), lit(2),
+              greatest(size(col("starts")) - 1, lit(0))), array(col("lp1"))),
+            col("starts"), (e, b) => (e - b).cast("long")).as("runs"))
+        .select(
+          col("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          coalesce(array_max(col("runs")), lit(0L)).as("max_c"),
+          aggregate(col("runs"), lit(0L), (a, r) => a + r * (r - 1L))
+            .as("rep_pairs"),
+          size(filter(col("toks"), t =>
+            length(translate(t, "0123456789", "")) === 0 && length(t) > 0))
+            .cast("long").as("digit_toks"),
+          size(filter(col("toks"), t =>
+            length(translate(t, letters, "")) < length(t)))
+            .cast("long").as("alpha_toks"))
+    }
     val n = col("n_tokens")
     val digitRatio = col("digit_toks") / n
     val alphaRatio = col("alpha_toks") / n

@@ -63,6 +63,31 @@ object Probe {
       time("assign2")(assign)
       spark.stop(); sys.exit(0)
     }
+    if (sys.env.contains("PROBE_T21")) {
+      // t21 stage split: where does the sfc100 wall actually sit —
+      // scan+tokenize, the per-token classify, the histogram fold, or
+      // the old explode+groupBy?
+      val toks = split(col("text"), " ")
+      def base = graft.Layout.widen(spark,
+        graft.Tables.t(spark, d, "documents"))
+        .select(col("doc_id"), toks.as("toks"))
+      time("scan+tokenize+size")(base.select(col("doc_id"),
+        size(col("toks")).as("n")))
+      val letters = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+      time("classify-translate")(base.select(col("doc_id"),
+        size(filter(col("toks"), t =>
+          length(translate(t, "0123456789", "")) === 0 && length(t) > 0)).as("d"),
+        size(filter(col("toks"), t =>
+          length(translate(t, letters, "")) < length(t))).as("a")))
+      time("sort-hashes")(base.select(col("doc_id"),
+        size(sort_array(transform(col("toks"), t => xxhash64(t)))).as("n")))
+      time("explode+groupBy")(base
+        .select(col("doc_id"), explode(col("toks")).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(sum(col("c")).as("n"), max(col("c")).as("m")))
+      time("full-t21")(graft.text.TextQueries.t21QualityRules.fn(spark, d))
+      spark.stop(); sys.exit(0)
+    }
     if (sys.env.contains("PROBE_STREAMSTATE")) {
       // Stateful-tier state-store ladder: replay the sf dir's events
       // through the stateful entries and record per-batch state rows

@@ -157,4 +157,18 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got == expected)
     assert(tp + fp + fn + tn == gold.size.toLong)
   }
+
+  test("t21's scan-local fold path equals the groupBy path, row for row") {
+    // the corpus-size-adaptive switch (qualitySignals scaladoc): force
+    // the scale path and compare every signal column bit-for-bit
+    val small = TextQueries.t21QualityRules.fn(s, d)
+      .collect().map(_.toSeq).toSeq
+    sys.props.put("graft.t21.forceFold", "1")
+    try {
+      val fold = TextQueries.t21QualityRules.fn(s, d)
+        .collect().map(_.toSeq).toSeq
+      assert(fold == small)
+      assert(fold.nonEmpty)
+    } finally sys.props.remove("graft.t21.forceFold")
+  }
 }
