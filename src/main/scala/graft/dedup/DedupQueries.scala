@@ -1510,10 +1510,12 @@ object DedupQueries {
         explode(slice(col("ord"), lit(1),
           (col("sz") - ceil(col("sz") * theta) + 1).cast("int"))).as("ptok"))
       val index = ranked.select(col("doc_id").as("j"), col("sz").as("jsz"),
-        col("ord").as("jord"), explode(col("ord")).as("tok"))
+        col("ord").as("jord"), posexplode(col("ord")).as(Seq("jpos", "tok")))
       probe.join(index,
           col("ptok") === col("tok") && col("doc_id") =!= col("j") &&
-            col("jsz") >= ceil(col("sz") * theta))
+            col("jsz") >= ceil(col("sz") * theta) &&
+            // positional bound (lossless; see join-back path)
+            col("jsz") - col("jpos") >= ceil(col("sz") * theta))
         .select(col("doc_id").as("i"), col("j"), containment.as("containment"))
         .filter(col("containment") >= theta)
         .dropDuplicates("i", "j")
@@ -1547,12 +1549,36 @@ object DedupQueries {
         .withColumn("og", ceil(lit(theta) * pow(lit(2.0), col("jg"))).cast("long"))
         .filter(col("sz") >= col("og"))
         .select(col("doc_id").as("j"), col("sz").as("jsz"), col("jg"),
-          explode(slice(col("ord"), lit(1),
-            (col("sz") - col("og") + 1).cast("int"))).as("tok"))
+          posexplode(slice(col("ord"), lit(1),
+            (col("sz") - col("og") + 1).cast("int"))).as(Seq("jpos", "tok")))
+      // POSITIONAL bound, the d05 PPJoin+ filter in containment form:
+      // a qualifying pair's df-SMALLEST common token w sits at container
+      // position p_b with nothing common before it (B's ord is
+      // df-ascending and w is the common minimum in the same total
+      // order), so overlap <= |B| - p_b — prune matches with
+      // |B| - p_b < ceil(t*|A|). A true pair always survives via its
+      // minimum-token match; other matches of the same pair may die,
+      // and the dedup after makes that free. It uses A's EXACT size
+      // where the class trim could only use the class floor
+      // o_g = ceil(t*2^g) — up to ~5x tighter for probes near the top
+      // of their class on a heavy-tailed corpus. On THIS corpus it
+      // measures ~0 (71.3 -> 72.1 s at sf10, noise band): lengths are
+      // near-uniform, so containers sit near their class floor and the
+      // class trim already captures the bound — d05's positional-filter
+      // story repeating one layer up. It stays because it rides the
+      // join condition at zero cost and is the second-biggest pruner on
+      // real size distributions. PROBE_D19S pins where the wall
+      // actually is: candidates+dedup 9.4 s of the 75.6 s sf10 wall —
+      // the rest is the verification join-backs shipping each distinct
+      // candidate pair's two ord arrays; verification volume IS the
+      // candidate count, which this bounded-vocabulary fixture sets
+      // (real corpora prune orders of magnitude harder, the entry's
+      // standing caveat).
       val cand = probeLite.join(indexLite,
           col("g") === col("jg") && col("ptok") === col("tok") &&
             col("doc_id") =!= col("j") &&
-            col("jsz") >= ceil(col("sz") * theta))
+            col("jsz") >= ceil(col("sz") * theta) &&
+            col("jsz") - col("jpos") >= ceil(col("sz") * theta))
         .select(col("doc_id").as("i"), col("j"))
         .dropDuplicates("i", "j")
       val docsSide = ranked.select(col("doc_id"), col("ord"), col("sz"))

@@ -3483,7 +3483,15 @@ object RelationalQueries {
     * DistributedTopnSpec proves bit-exactness on a lognormal-skewed
     * column where q101's equi-width buckets would degenerate.
     * At 100 TB: two map-side passes + one bounded sample window + a
-    * 64-value broadcast; nothing corpus-sized converges anywhere. */
+    * 64-value broadcast; nothing corpus-sized converges anywhere.
+    * Bench-SF cost note: 5.2 s at sf0.1 vs q101's 1.8 — the delta is
+    * the 64-element membership scan paid on each of the three corpus
+    * passes (PROBE_Q102 splits it: bucket+count 2.0 s/pass vs q101's
+    * arithmetic bucket ~0.5). At bench SF that CPU shows; at
+    * production scale the per-row 64-compare vanishes under scan IO,
+    * and the pass count (3) matches q101's. A fixed-depth binary
+    * search over the sorted boundary array would cut the compare count
+    * 9× if a CPU-bound deployment ever needs it. */
   val q102SampledTopn: Q = Q(
     "q102_sampled_topn",
     s"""WITH r AS (
@@ -3521,9 +3529,14 @@ object RelationalQueries {
         col("v").desc, col("l_orderkey"), col("l_linenumber"))).cast("long"))
       .withColumn("ns", count(lit(1)).over(
         Window.partitionBy()))
-    val bnd = samp
+    // Pinned: the ONE-ROW boundary table is referenced by every
+    // downstream reuse of `bucketed` (walk, wholesale, boundary rank);
+    // without the pin each of those re-runs the corpus-wide md5 sample
+    // + rank subtree (measured 6.15 -> ~2 s at sf0.1).
+    val bnd = graft.Stage.materialize(s, samp
       .filter((col("rn") - 1) % greatest(lit(1L), expr("ns div 64")) === 0)
-      .agg(array_sort(collect_list(col("v"))).as("arr"))
+      .agg(array_sort(collect_list(col("v"))).as("arr")),
+      "q102bnd")
     val bucketed = li.crossJoin(broadcast(bnd))
       .withColumn("bkt",
         size(filter(col("arr"), b => col("v") >= b)).cast("long"))

@@ -63,6 +63,91 @@ object Probe {
       time("assign2")(assign)
       spark.stop(); sys.exit(0)
     }
+    if (sys.env.contains("PROBE_Q102")) {
+      // q102 stage split: corpus scan, sample+boundaries, bucket+walk,
+      // full entry — find the 5.2-vs-q101's-1.8 gap.
+      val li = graft.Tables.t(spark, d, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice").as("v"),
+          col("l_orderkey"), col("l_linenumber"))
+      time("scan")(li.groupBy().agg(count(lit(1)).as("n")))
+      val h = conv(substring(md5(concat_ws("-",
+        col("l_orderkey").cast("string"), col("l_linenumber").cast("string"))),
+        1, 8), 16, 10).cast("long")
+      val m = math.max(1L, li.count() / 4096)
+      time("sample-filter")(li.filter(h % m === 0)
+        .groupBy().agg(count(lit(1)).as("n")))
+      val samp = li.filter(h % m === 0)
+        .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(
+            col("v").desc, col("l_orderkey"), col("l_linenumber"))).cast("long"))
+        .withColumn("ns", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy()))
+      val bnd = graft.Stage.materialize(spark, samp
+        .filter((col("rn") - 1) % greatest(lit(1L), expr("ns div 64")) === 0)
+        .agg(array_sort(collect_list(col("v"))).as("arr")), "q102p")
+      time("bnd-build")(bnd)
+      val bucketed = li.crossJoin(broadcast(bnd))
+        .withColumn("bkt",
+          size(filter(col("arr"), b => col("v") >= b)).cast("long"))
+        .drop("arr")
+      time("bucket+count")(bucketed.groupBy("bkt").agg(count(lit(1)).as("bn")))
+      time("full-q102")(graft.relational.RelationalQueries.q102SampledTopn.fn(spark, d))
+      time("full-q101")(graft.relational.RelationalQueries.q101DistributedTopn.fn(spark, d))
+      spark.stop(); sys.exit(0)
+    }
+    if (sys.env.contains("PROBE_D19S")) {
+      // d19 stage split on the join-back path: where does the wall sit —
+      // the ranked build, the candidate bucket join, or the pair
+      // verification join-backs? Mirrors DedupQueries.d19 exactly
+      // (forceJoinBack so the split is the scale path at any SF).
+      sys.props.put("graft.d19.forceJoinBack", "1")
+      val theta = 0.9
+      val tk = col("toks")
+      val shStr = array_distinct(transform(
+        sequence(lit(1), greatest(size(tk) - 2, lit(0))),
+        i => concat_ws(" ", element_at(tk, i), element_at(tk, i + 1),
+          element_at(tk, i + 2))))
+      val sh = graft.Tables.t(spark, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), transform(shStr, x => xxhash64(x)).as("s"))
+        .filter(size(col("s")) > 0)
+      val dfCounts = sh.select(explode(col("s")).as("shingle"))
+        .groupBy("shingle").agg(count(lit(1)).as("df"))
+      val ranked = graft.Stage.materialize(spark,
+        sh.select(col("doc_id"), explode(col("s")).as("shingle"))
+          .join(dfCounts, "shingle")
+          .groupBy("doc_id")
+          .agg(array_sort(collect_list(struct(col("df"), col("shingle")))).as("o"))
+          .select(col("doc_id"),
+            transform(col("o"), x => x.getField("shingle")).as("ord"))
+          .withColumn("sz", size(col("ord"))),
+        "d19probe")
+      time("ranked-build")(ranked.select(sum(col("sz")).as("s")))
+      val gCls = floor(log2(col("sz"))).cast("long")
+      val probeLite = ranked.select(col("doc_id"), col("sz"), gCls.as("g"),
+        explode(slice(col("ord"), lit(1),
+          (col("sz") - ceil(col("sz") * theta) + 1).cast("int"))).as("ptok"))
+      val classes = ranked.select(gCls.as("jg")).distinct()
+      val indexLite = ranked.crossJoin(broadcast(classes))
+        .withColumn("og", ceil(lit(theta) * pow(lit(2.0), col("jg"))).cast("long"))
+        .filter(col("sz") >= col("og"))
+        .select(col("doc_id").as("j"), col("sz").as("jsz"), col("jg"),
+          explode(slice(col("ord"), lit(1),
+            (col("sz") - col("og") + 1).cast("int"))).as("tok"))
+      val cand = probeLite.join(indexLite,
+          col("g") === col("jg") && col("ptok") === col("tok") &&
+            col("doc_id") =!= col("j") &&
+            col("jsz") >= ceil(col("sz") * theta))
+        .select(col("doc_id").as("i"), col("j"))
+      time("postings-count")(indexLite.groupBy("jg").agg(count(lit(1)).as("n")))
+      time("cand-join+dedup") {
+        val c = cand.dropDuplicates("i", "j")
+        c.groupBy().agg(count(lit(1)).as("n"))
+      }
+      time("full-d19")(graft.dedup.DedupQueries.d19Containment.fn(spark, d))
+      sys.props.remove("graft.d19.forceJoinBack")
+      spark.stop(); sys.exit(0)
+    }
     if (sys.env.contains("PROBE_T21")) {
       // t21 stage split: where does the sfc100 wall actually sit —
       // scan+tokenize, the per-token classify, the histogram fold, or
