@@ -799,6 +799,7 @@ object DedupQueries {
       |ed AS (SELECT j, cell, parent FROM (
       |   SELECT ch.j, ch.cell, pa.cell AS parent,
       |     row_number() OVER (PARTITION BY ch.j, ch.cell ORDER BY
+      |       (pa.cell <> ch.cell),
       |       (-list_dot_product(ch.c, pa.c) / sqrt(pa.cn)), pa.cell) AS rn
       |   FROM lv ch JOIN lv pa ON pa.j = ch.j + 1) WHERE rn = 1),
       |dsc AS (
@@ -859,13 +860,23 @@ object DedupQueries {
     def level(j: Int) = c0.filter(col("r") % pow32(j) === 0)
     // parent edges, level j -> j+1: flat argmin over the next level's
     // centroids (both sides centroid-sized; see scaladoc for the k²/b
-    // accounting). A cell present at both levels self-parents, so the
-    // per-vector descent path is consistent.
+    // accounting). A cell present at both levels self-parents — its
+    // self-score -|c| is the strict minimum whenever every other parent
+    // has cos < 1, and for EXACT ties (bit-identical duplicate centroid
+    // vectors, plausible in a dedup fixture) self is preferred
+    // explicitly (-Inf ord; oracle mirrors with a `pa.cell <> ch.cell`
+    // primary rank key). Without that, a tie could parent a cell away
+    // from itself, leaving a parent with zero children and silently
+    // dropping its vectors through the inner-join descent — identically
+    // on both engines, so the oracle alone could not catch it
+    // (QuantizerSpec pins the no-drop invariant on a tie fixture).
     def edges(j: Int) = level(j)
       .crossJoin(broadcast(level(j + 1)
         .select(col("cell").as("pcell"), col("c").as("pc"), col("cn").as("pcn"))))
       .groupBy("cell")
-      .agg(argmin(-dot(col("c"), col("pc")) / sqrt(col("pcn")),
+      .agg(argmin(when(col("pcell") === col("cell"),
+          lit(Double.NegativeInfinity))
+          .otherwise(-dot(col("c"), col("pc")) / sqrt(col("pcn"))),
         col("pcell")).as("parent"))
     // descent: the ≤32 top cells exhaustively, then each level only the
     // current parent's children — b·(L+1) dots per vector. State is

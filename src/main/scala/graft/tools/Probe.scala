@@ -128,22 +128,42 @@ object Probe {
         explode(slice(col("ord"), lit(1),
           (col("sz") - ceil(col("sz") * theta) + 1).cast("int"))).as("ptok"))
       val classes = ranked.select(gCls.as("jg")).distinct()
+      // posexplode + the positional bound, mirroring the SHIPPED plan
+      // (the r11 probe explode()d without it and so overstated the
+      // pipeline's candidate volume).
       val indexLite = ranked.crossJoin(broadcast(classes))
         .withColumn("og", ceil(lit(theta) * pow(lit(2.0), col("jg"))).cast("long"))
         .filter(col("sz") >= col("og"))
         .select(col("doc_id").as("j"), col("sz").as("jsz"), col("jg"),
-          explode(slice(col("ord"), lit(1),
-            (col("sz") - col("og") + 1).cast("int"))).as("tok"))
+          posexplode(slice(col("ord"), lit(1),
+            (col("sz") - col("og") + 1).cast("int"))).as(Seq("jpos", "tok")))
       val cand = probeLite.join(indexLite,
           col("g") === col("jg") && col("ptok") === col("tok") &&
             col("doc_id") =!= col("j") &&
-            col("jsz") >= ceil(col("sz") * theta))
+            col("jsz") >= ceil(col("sz") * theta) &&
+            col("jsz") - col("jpos") >= ceil(col("sz") * theta))
         .select(col("doc_id").as("i"), col("j"))
       time("postings-count")(indexLite.groupBy("jg").agg(count(lit(1)).as("n")))
-      time("cand-join+dedup") {
-        val c = cand.dropDuplicates("i", "j")
-        c.groupBy().agg(count(lit(1)).as("n"))
-      }
+      val candDedup = graft.Stage.materialize(spark,
+        cand.dropDuplicates("i", "j"), "d19probecand")
+      time("cand-join+dedup")(candDedup.groupBy().agg(count(lit(1)).as("n")))
+      println(s"[probe] cand-pairs = ${candDedup.count()}")
+      // verification split: join-back i (ships each pair's ord once),
+      // then join-back j on the fat rows (the suspected wall), then the
+      // per-pair intersect.
+      val docsSide = ranked.select(col("doc_id"), col("ord"), col("sz"))
+      val withI = candDedup
+        .join(docsSide.select(col("doc_id").as("i"),
+          col("ord").as("ord"), col("sz").as("sz")), "i")
+      time("verify-joinback-i")(withI.select(col("i"), col("j"), col("sz")))
+      val withBoth = withI.join(docsSide.select(col("doc_id").as("j"),
+        col("ord").as("jord")), "j")
+      time("verify-joinback-ij")(withBoth.select(col("i"), col("j"), col("sz")))
+      val containment = size(array_intersect(col("ord"), col("jord")))
+        .cast("double") / col("sz").cast("double")
+      time("verify-full")(withBoth
+        .select(col("i"), col("j"), containment.as("containment"))
+        .filter(col("containment") >= theta))
       time("full-d19")(graft.dedup.DedupQueries.d19Containment.fn(spark, d))
       sys.props.remove("graft.d19.forceJoinBack")
       spark.stop(); sys.exit(0)
