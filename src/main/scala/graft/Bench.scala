@@ -153,7 +153,22 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Per-entry measurement protocol, so numbers in this file are
+    // comparable to each other and across rounds (ADVICE r11: the
+    // heavy tier's min-of-3 + pre-timing quiesce was silent): default
+    // protocol + the entries measured differently.
+    val protocolDefault = mode match {
+      case "1" => "cold1"
+      case "w1" => "warm1"
+      case _ => "min2-sync"
+    }
+    val protocolOverrides =
+      if (mode == "1" || mode == "w1") Nil
+      else catalog.map(_.name).filter(heavyTier).map(n => s""""$n":"min3-sync"""")
+    val protocol =
+      s""""protocol_default":"$protocolDefault","protocol_overrides":${
+        protocolOverrides.mkString("{", ",", "}")}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$protocol,"sf":"$sfDir"}"""
     println(line)
     // The driver captures stdout with a bounded tail, and a 170-entry
     // queries map overflows it — two rounds running, BENCH_r*.json lost

@@ -145,7 +145,11 @@ object ScaleUp {
       scaled("documents", Seq("doc_id")) { df =>
         val cipher = (w: org.apache.spark.sql.Column) => {
           val m = md5(concat(w, lit("\u0001"), col("rep").cast("string")))
-          substring(concat(m, m), lit(1), length(w))
+          // repeat the digest ceil(len/32) times: a fixed two-digest
+          // concat truncated >64-char tokens, breaking the bit-stationary
+          // per-doc char-length invariant this mode exists to provide
+          substring(repeat(m, ((length(w) + lit(31)) / lit(32)).cast("int")),
+            lit(1), length(w))
         }
         val ciphered = array_join(
           transform(split(col("text"), " "),

@@ -1461,8 +1461,9 @@ object DedupQueries {
     * which rides in the join). The index side is therefore the corpus
     * postings list — t15 BM25's scale class, 8-byte shingle ids only
     * (d05's hashing argument) — while the probe side explodes just the
-    * df-ascending-rarest prefix, keeping candidate buckets small for
-    * the same reason d05's are. Verification is inline (ord arrays ride
+    * order-smallest prefix (a map-only hash order with a sampled
+    * frequent-head refinement; see the build below), keeping candidate
+    * buckets small for the same reason d05's are. Verification is inline (ord arrays ride
     * the join); survivors dedup at ~dozens of rows. */
   val d19Containment: Q = Q(
     "d19_containment",
@@ -1478,27 +1479,83 @@ object DedupQueries {
       |WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(a.s) >= 0.9
       |ORDER BY i, j""".stripMargin) { (s, d) =>
     val theta = 0.9
-    val sh = {
+    // ORD ORDER IS NOW A MAP-ONLY TOTAL ORDER (the r12 sf100 probe's
+    // finding: the ranked build itself — a Σ|doc|-row explode JOINED
+    // back to per-shingle df counts and re-grouped through collect_list,
+    // i.e. TWO corpus-postings-scale shuffles — was 925 s of the
+    // 1139 s sf100 wall, not the verification the r11 probe had
+    // implicated at sf10). The prefix filter's witness argument
+    // (scaladoc above) needs only SOME consistent global total order on
+    // shingles, not true df order: take w = the ORDER-smallest common
+    // token of a qualifying pair; w outside A's prefix or outside B's
+    // class-g prefix each contradicts the overlap bound regardless of
+    // what the order is. df-ascending is purely a candidate-volume
+    // heuristic — but NOT an optional one (a plain hash order was
+    // measured first: sf10 259 s vs 88, the prefix buckets bloat
+    // without rarity awareness). The replacement rarity signal is the
+    // UNIGRAM-frequency estimate: order key = (c(w1)+c(w2)+c(w3),
+    // shingle hash) where c() are corpus word counts from ONE
+    // partial-agg pass whose output is VOCABULARY-sized, collected
+    // under a self-bounding budget (count >= totalWords/4M caps the
+    // set at 4M entries; everything below the floor looks up as 0 =
+    // maximally rare, which only helps the prefix). The key is a pure
+    // function of the shingle + one broadcast, so the order is
+    // globally consistent (lossless for ANY such order), and the whole
+    // ranked build is a single map-only projection per doc — zero
+    // corpus-scale shuffles. Rare trigrams are made of rare words, so
+    // the estimate tracks true df where it matters.
+    val wc = Stage.materialize(s,
+      docs(s, d).select(explode(toks).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+        .select(xxhash64(col("w")).as("h"), col("c")),
+      "d19wc")
+    val totalWords = wc.agg(sum(col("c"))).collect()(0).getLong(0)
+    val floorT = math.max(2L, totalWords / 4000000L)
+    val freq = wc.filter(col("c") >= floorT)
+      .select("h", "c").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1)
+    val keysBc = s.sparkContext.broadcast(freq.map(_._1))
+    val valsBc = s.sparkContext.broadcast(freq.map(_._2))
+    def wcount(x: Column): Column =
+      org.apache.spark.sql.GraftPlanShim.column(
+        graft.functions.BroadcastSortedLookup(keysBc, valsBc,
+          org.apache.spark.sql.GraftPlanShim.expression(x)))
+    val ranked = {
       val t = col("toks")
-      val shStr = array_distinct(transform(
+      def w(i: Column, off: Int) = element_at(t, i + off)
+      val keyed = array_distinct(transform(
         sequence(lit(1), greatest(size(t) - 2, lit(0))),
-        i => concat_ws(" ", element_at(t, i), element_at(t, i + 1),
-          element_at(t, i + 2))))
-      docs(s, d).select(col("doc_id"), toks.as("toks"))
-        .select(col("doc_id"), transform(shStr, x => xxhash64(x)).as("s"))
-        .filter(size(col("s")) > 0)
+        i => struct(
+          (wcount(xxhash64(w(i, 0))) + wcount(xxhash64(w(i, 1))) +
+            wcount(xxhash64(w(i, 2)))).as("e"),
+          xxhash64(concat_ws(" ", w(i, 0), w(i, 1), w(i, 2))).as("x"))))
+      Stage.materialize(s,
+        docs(s, d).select(col("doc_id"), toks.as("toks"))
+          .select(col("doc_id"),
+            transform(array_sort(keyed), e => e.getField("x")).as("ord"))
+          .filter(size(col("ord")) > 0)
+          .withColumn("sz", size(col("ord"))),
+        "d19ranked")
     }
-    val dfCounts = sh.select(explode(col("s")).as("shingle"))
-      .groupBy("shingle").agg(count(lit(1)).as("df"))
-    val ranked = Stage.materialize(s,
-      sh.select(col("doc_id"), explode(col("s")).as("shingle"))
-        .join(dfCounts, "shingle")
-        .groupBy("doc_id")
-        .agg(array_sort(collect_list(struct(col("df"), col("shingle")))).as("o"))
-        .select(col("doc_id"),
-          transform(col("o"), x => x.getField("shingle")).as("ord"))
-        .withColumn("sz", size(col("ord"))),
-      "d19ranked")
+    // 512-bit one-hash signature per doc (8 longs; bit = shingle mod
+    // 512) for the join-back screen: a posting-level explode of the
+    // PINNED ranked table + groupBy(doc_id) whose bit_or aggregates
+    // partial-combine map-side (explode preserves doc locality, so the
+    // shuffle is one row per doc, never Σ|doc| postings).
+    lazy val sigSide = {
+      val aggs = Seq(count(lit(1)).as("ssz")) ++ (0 until 8).map(k =>
+        coalesce(bit_or(when((col("slot") / 64).cast("int") === k,
+          expr("shiftleft(1L, cast(slot % 64 as int))"))),
+          lit(0L)).as(s"sig$k"))
+      Stage.materialize(s,
+        ranked.select(col("doc_id"), explode(col("ord")).as("shingle"))
+          .withColumn("slot", pmod(col("shingle"), lit(512L)))
+          .groupBy("doc_id")
+          .agg(aggs.head, aggs.tail: _*)
+          .select(col("doc_id"), col("ssz"),
+            array((0 until 8).map(k => col(s"sig$k")): _*).as("sig")),
+        "d19sigs")
+    }
     // VERIFICATION STRATEGY is corpus-size-adaptive (d05's cost-based
     // call, with a FAR lower crossover because d19's index side is
     // fatter: d05 explodes prefix rows only, while the container
@@ -1538,9 +1595,9 @@ object DedupQueries {
       // the 1256.8 s sf100 wall. Binning probes by g = ⌊log₂|A|⌋ gives
       // the container a usable overlap floor per class,
       // o_g = ⌈θ·2^g⌉ ≤ ⌈θ|A|⌉, so in the class-g index B contributes
-      // only its df-rarest |B| − o_g + 1 tokens. Lossless by the PPJoin
-      // witness argument applied per class: let w be the df-smallest
-      // common token of a qualifying pair; if w were outside A's prefix
+      // only its order-smallest |B| − o_g + 1 tokens. Lossless by the
+      // PPJoin witness argument applied per class: let w be the
+      // order-smallest common token of a qualifying pair; if w were outside A's prefix
       // the overlap would be < ⌈θ|A|⌉, and if outside B's class-g
       // prefix it would be ≤ o_g − 1 < ⌈θ|A|⌉ — both contradictions,
       // so the (g, token) bucket join sees every true pair. Classes are
@@ -1563,10 +1620,10 @@ object DedupQueries {
           posexplode(slice(col("ord"), lit(1),
             (col("sz") - col("og") + 1).cast("int"))).as(Seq("jpos", "tok")))
       // POSITIONAL bound, the d05 PPJoin+ filter in containment form:
-      // a qualifying pair's df-SMALLEST common token w sits at container
-      // position p_b with nothing common before it (B's ord is
-      // df-ascending and w is the common minimum in the same total
-      // order), so overlap <= |B| - p_b — prune matches with
+      // a qualifying pair's ORDER-smallest common token w sits at
+      // container position p_b with nothing common before it (B's ord
+      // follows the same global total order and w is the common
+      // minimum), so overlap <= |B| - p_b — prune matches with
       // |B| - p_b < ceil(t*|A|). A true pair always survives via its
       // minimum-token match; other matches of the same pair may die,
       // and the dedup after makes that free. It uses A's EXACT size
@@ -1592,8 +1649,37 @@ object DedupQueries {
             col("jsz") - col("jpos") >= ceil(col("sz") * theta))
         .select(col("doc_id").as("i"), col("j"))
         .dropDuplicates("i", "j")
+      // SIGNATURE SCREEN (the r11 verdict's verification wall, measured
+      // and fixed): the candidate count — 7.3M pairs at sf10 on this
+      // bounded-vocabulary corpus — made the exact verification the
+      // dominant cost: two join-backs shipping each pair's two ~1.6 KB
+      // ord arrays plus a per-pair array_intersect. The screen instead
+      // join-backs the 64-BYTE signatures and prunes on a LOSSLESS
+      // lower bound of |A \ B|: every bit set in sigA but clear in sigB
+      // is >=1 shingle of A absent from B (no B-shingle maps to a clear
+      // bit), and distinct bits witness disjoint shingle groups, so
+      //   |A \ B| >= popcount(sigA & ~sigB)  ==>  pruning pairs with
+      //   sz - popcount < ceil(theta*sz) can never kill a true pair.
+      // PROBE_D19V at sf10: 7.31M -> 50.5k survivors (145x), screen
+      // 2.8 s vs 9.6 s warm / ~60 s cold for full-array verification;
+      // the r11 session's failed prefilter differed exactly here — it
+      // shipped a 512 B ord slice per pair through the screen where
+      // this ships 64 B sigs, and bytes-per-pair is the term that
+      // matters. Survivors then pay the exact array intersect, whose
+      // cost is now survivor-bound, not candidate-bound.
+      val missLB = aggregate(
+        zip_with(col("isig"), col("jsig"),
+          (a, b) => bit_count(a.bitwiseAND(b.bitwiseXOR(lit(-1L))))),
+        lit(0), (acc, x) => acc + x)
+      val screened = if (sys.props.contains("graft.d19.noScreen")) cand
+      else cand
+        .join(sigSide.select(col("doc_id").as("i"), col("sig").as("isig"),
+          col("ssz")), "i")
+        .join(sigSide.select(col("doc_id").as("j"), col("sig").as("jsig")), "j")
+        .filter(col("ssz") - missLB >= ceil(col("ssz") * theta))
+        .select(col("i"), col("j"))
       val docsSide = ranked.select(col("doc_id"), col("ord"), col("sz"))
-      cand
+      screened
         .join(docsSide.select(col("doc_id").as("i"),
           col("ord").as("ord"), col("sz").as("sz")), "i")
         .join(docsSide.select(col("doc_id").as("j"),

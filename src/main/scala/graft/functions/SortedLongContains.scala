@@ -23,6 +23,12 @@ object SortedSearch {
 
   def contains(arr: Array[Long], v: Long): Boolean =
     java.util.Arrays.binarySearch(arr, v) >= 0
+
+  /** Value aligned with the sorted key array, 0 when absent. */
+  def lookup(keys: Array[Long], vals: Array[Long], v: Long): Long = {
+    val i = java.util.Arrays.binarySearch(keys, v)
+    if (i >= 0) vals(i) else 0L
+  }
 }
 
 /** O(log n) membership test against a SORTED long array — the broadcast
@@ -99,5 +105,42 @@ case class BroadcastSortedContains(
   }
 
   override protected def withNewChildInternal(newChild: Expression): BroadcastSortedContains =
+    copy(child = newChild)
+}
+
+/** Off-row broadcast (sorted keys, aligned values) lookup: value at the
+  * probed key, or 0 when absent. The d19 order-key build probes each
+  * token's corpus count from a budget-bounded broadcast (absent = below
+  * the frequency floor = effectively rare = 0, exactly the ordering the
+  * prefix filter wants). Same off-row discipline as
+  * [[BroadcastSortedContains]]: the table never enters the row schema,
+  * so no plan boundary can copy it per row. */
+case class BroadcastSortedLookup(
+    keysBc: org.apache.spark.broadcast.Broadcast[Array[Long]],
+    valsBc: org.apache.spark.broadcast.Broadcast[Array[Long]],
+    child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_bc_sorted_lookup expects bigint, got $t")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_bc_sorted_lookup"
+
+  override def nullSafeEval(v: Any): Any =
+    SortedSearch.lookup(keysBc.value, valsBc.value, v.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kRef = ctx.addReferenceObj("lookupKeysBc", keysBc,
+      "org.apache.spark.broadcast.Broadcast<long[]>")
+    val vRef = ctx.addReferenceObj("lookupValsBc", valsBc,
+      "org.apache.spark.broadcast.Broadcast<long[]>")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"""${ev.value} = graft.functions.SortedSearch.lookup(
+         |  (long[]) $kRef.value(), (long[]) $vRef.value(), $v);""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BroadcastSortedLookup =
     copy(child = newChild)
 }

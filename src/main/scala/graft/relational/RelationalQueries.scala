@@ -3398,16 +3398,20 @@ object RelationalQueries {
     * never the corpus; PlanLint's q85 exemption argument) is walked
     * with one descending cumulative sum to find the boundary bucket T
     * and how many rows to take from it. Buckets above T are selected
-    * wholesale with NO ordering work at all; only bucket T — ~corpus/
-    * #buckets rows, tunable via granularity — pays a rank, partitioned
-    * on the bucket and ordered by the full tie-break key, so the
-    * selected multiset is EXACTLY the global top-N (within-bucket rank
-    * = global rank − rows above T). The oracle computes the same thing
-    * the naive way: one global row_number over everything.
+    * wholesale with NO ordering work at all; only bucket T —
+    * ~corpus/#buckets rows — pays for its top-`take`, through
+    * [[topRowsRecursive]]: a sampled equi-depth walk that recurses on
+    * its own boundary bucket (geometric 64× shrink per round) until the
+    * remainder fits a ≤8192-row rank, so NO single-task sort anywhere
+    * processes more than ~sample-size rows (the r11 audit's margin
+    * item, closed). The selected multiset is EXACTLY the global top-N
+    * (within-bucket rank = global rank − rows above T). The oracle
+    * computes the same thing the naive way: one global row_number.
     *
     * At 100 TB: two map-side-combined passes over the fact + a
-    * broadcast of one (bucket, take) row; nothing resembling N rows
-    * ever converges. A 10M-row N changes nothing but the constant. */
+    * broadcast of one (bucket, take) row + log₆₄ geometric recursion
+    * inside the boundary bucket; nothing resembling N rows ever
+    * converges. A 10M-row N changes nothing but the constant. */
   val q101DistributedTopn: Q = Q(
     "q101_distributed_topn",
     s"""WITH r AS (
@@ -3441,16 +3445,20 @@ object RelationalQueries {
     val trow = walk.filter(col("above") < n)
       .agg(min_by(struct(col("bkt"), col("above"), col("bn")), col("bkt")).as("m"))
       .select(col("m.bkt").as("tbkt"),
-        least(lit(n) - col("m.above"), col("m.bn")).as("take"))
-    val tagged = li.crossJoin(broadcast(trow))
-    val wholesale = tagged.filter(col("bkt") > col("tbkt"))
-    val boundary = tagged.filter(col("bkt") === col("tbkt"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("tbkt").orderBy(col("l_extendedprice").desc,
-          col("l_orderkey"), col("l_linenumber"))))
-      .filter(col("rn") <= col("take"))
-      .drop("rn")
-    wholesale.unionByName(boundary)
+        least(lit(n) - col("m.above"), col("m.bn")).as("take"),
+        col("m.bn").as("bn"))
+    val t = graft.Stage.materialize(s, trow, "q101trow").collect()(0)
+    val (tbkt, take, bn) = (t.getLong(0), t.getLong(1), t.getLong(2))
+    val wholesale = li.filter(col("bkt") > tbkt)
+    // The boundary bucket's top-`take` goes through the RECURSIVE
+    // sampled selector (was: a row_number window partitioned on the
+    // constant tbkt — a single task sorting ~corpus/#buckets rows, the
+    // r11 plan audit's margin item). The recursion bounds every
+    // single-task sort at ~sample size regardless of corpus.
+    val boundary = topRowsRecursive(s,
+      li.filter(col("bkt") === tbkt).drop("bkt"),
+      take, bn, "l_extendedprice", depth = 1)
+    wholesale.drop("bkt").unionByName(boundary)
       .groupBy("l_returnflag")
       .agg(count(lit(1)).as("n"),
         Det.dsum(col("l_extendedprice")).as("total"),
@@ -3479,11 +3487,17 @@ object RelationalQueries {
     * the oracle is the naive global window, with no mirror of the
     * bucket machinery at all. Skew moves boundary VALUES closer
     * together where mass concentrates (equi-depth, not equi-width), so
-    * the boundary bucket stays ~n/64-sized on any distribution —
+    * the boundary bucket stays ~corpus/64-sized on any distribution —
     * DistributedTopnSpec proves bit-exactness on a lognormal-skewed
-    * column where q101's equi-width buckets would degenerate.
+    * column where q101's equi-width buckets would degenerate. The
+    * boundary bucket's own top-`take` then goes through
+    * [[topRowsRecursive]] (geometric 64× shrink per round), so no
+    * single-task sort anywhere processes more than ~8k rows —
+    * DistributedTopnSpec asserts that from the executed plan's window
+    * metrics.
     * At 100 TB: two map-side passes + one bounded sample window + a
-    * 64-value broadcast; nothing corpus-sized converges anywhere.
+    * 64-value broadcast + log₆₄ recursion in the boundary bucket;
+    * nothing corpus-sized converges anywhere.
     * Bench-SF cost note: 5.2 s at sf0.1 vs q101's 1.8 — the delta is
     * the 64-element membership scan paid on each of the three corpus
     * passes (PROBE_Q102 splits it: bucket+count 2.0 s/pass vs q101's
@@ -3548,15 +3562,16 @@ object RelationalQueries {
     val trow = walk.filter(col("above") < n)
       .agg(min_by(struct(col("bkt"), col("above"), col("bn")), col("bkt")).as("m"))
       .select(col("m.bkt").as("tbkt"),
-        least(lit(n) - col("m.above"), col("m.bn")).as("take"))
-    val tagged = bucketed.crossJoin(broadcast(trow))
-    val wholesale = tagged.filter(col("bkt") > col("tbkt"))
-    val boundary = tagged.filter(col("bkt") === col("tbkt"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("tbkt").orderBy(col("v").desc,
-          col("l_orderkey"), col("l_linenumber"))))
-      .filter(col("rn") <= col("take"))
-      .drop("rn")
+        least(lit(n) - col("m.above"), col("m.bn")).as("take"),
+        col("m.bn").as("bn"))
+    val t = graft.Stage.materialize(s, trow, "q102trow").collect()(0)
+    val (tbkt, take, bn) = (t.getLong(0), t.getLong(1), t.getLong(2))
+    val wholesale = bucketed.filter(col("bkt") > tbkt).drop("bkt")
+    // recursive boundary round (see topRowsRecursive): the boundary
+    // bucket's rank no longer funnels ~corpus/64 rows into one task
+    val boundary = topRowsRecursive(s,
+      bucketed.filter(col("bkt") === tbkt).drop("bkt"), take, bn, "v",
+      depth = 1)
     wholesale.unionByName(boundary)
       .groupBy("l_returnflag")
       .agg(count(lit(1)).as("n"),
@@ -3564,6 +3579,64 @@ object RelationalQueries {
         min(col("v")).as("min_price"),
         max(col("v")).as("max_price"))
       .orderBy("l_returnflag")
+  }
+
+  /** Exact top-`n` selection from `rows` by (valCol DESC, l_orderkey,
+    * l_linenumber), returned DISTRIBUTED, with every single-task sort
+    * bounded at ~sample size regardless of corpus — the recursive form
+    * of q101/q102's boundary-bucket step. One round of the sampled
+    * equi-depth walk (64 boundaries from a ≤~8k hash sample) selects
+    * the above-crossing buckets wholesale and recurses into the one
+    * boundary bucket, which is ~|rows|/64 — geometric shrink, so depth
+    * is log₆₄(corpus/8k) (≤5 at 100 TB; the depth-16 cap is an
+    * unreachable safety net, and the threshold rank at the cap's floor
+    * is still exact, just single-task). `cnt` is |rows|, already known
+    * to every caller from its walk's bn — no extra counting pass.
+    * Exactness: boundaries only steer placement (the q102 invariant);
+    * wholesale + recursive-take composes to exactly the global top-n
+    * for ANY boundary set. Rows entering a recursion level are PINNED
+    * (≤|parent|/64 rows) so deeper rounds never re-scan the corpus. */
+  private[relational] def topRowsRecursive(s: SparkSession, rows: DataFrame,
+      n: Long, cnt: Long, valCol: String, depth: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    if (n >= cnt) return rows
+    if (cnt <= 8192 || depth >= 16) {
+      return rows.withColumn("rn", row_number().over(Window.orderBy(
+          col(valCol).desc, col("l_orderkey"), col("l_linenumber"))))
+        .filter(col("rn") <= n).drop("rn")
+    }
+    val pinned = graft.Stage.materialize(s, rows, s"topn$depth")
+    val h = conv(substring(md5(concat_ws("-",
+      col("l_orderkey").cast("string"), col("l_linenumber").cast("string"))),
+      1, 8), 16, 10).cast("long")
+    val m = math.max(1L, cnt / 4096)
+    val samp = pinned.filter(h % m === 0)
+      .withColumn("rn", row_number().over(Window.orderBy(
+        col(valCol).desc, col("l_orderkey"), col("l_linenumber"))).cast("long"))
+      .withColumn("ns", count(lit(1)).over(Window.partitionBy()))
+    val bnd = graft.Stage.materialize(s, samp
+      .filter((col("rn") - 1) % greatest(lit(1L), expr("ns div 64")) === 0)
+      .agg(array_sort(collect_list(col(valCol))).as("arr")),
+      s"topnbnd$depth")
+    val bucketed = pinned.crossJoin(broadcast(bnd))
+      .withColumn("bkt",
+        size(filter(col("arr"), b => col(valCol) >= b)).cast("long"))
+      .drop("arr")
+    val walk = bucketed.groupBy("bkt").agg(count(lit(1)).as("bn"))
+      .withColumn("cum", sum(col("bn")).over(Window.orderBy(col("bkt").desc)))
+      .withColumn("above", col("cum") - col("bn"))
+    val trow = walk.filter(col("above") < n)
+      .agg(min_by(struct(col("bkt"), col("above"), col("bn")), col("bkt")).as("m"))
+      .select(col("m.bkt").as("tbkt"),
+        least(lit(n) - col("m.above"), col("m.bn")).as("take"),
+        col("m.bn").as("bn"))
+    val t = graft.Stage.materialize(s, trow, s"topntrow$depth").collect()(0)
+    val (tbkt, take, bn) = (t.getLong(0), t.getLong(1), t.getLong(2))
+    val wholesale = bucketed.filter(col("bkt") > tbkt).drop("bkt")
+    val inner = topRowsRecursive(s,
+      bucketed.filter(col("bkt") === tbkt).drop("bkt"), take, bn, valCol,
+      depth + 1)
+    wholesale.unionByName(inner)
   }
 
   val all: Seq[Q] = Seq(

@@ -168,6 +168,174 @@ object Probe {
       sys.props.remove("graft.d19.forceJoinBack")
       spark.stop(); sys.exit(0)
     }
+    if (sys.env.contains("PROBE_D19V")) {
+      // d19 VERIFICATION cost decomposition: is the 62 s verify stage
+      // bytes-bound (1.6 KB ord arrays through two exchanges per pair),
+      // row-bound (7.3M join rows regardless of payload), or CPU-bound
+      // (array_intersect's per-pair hash set)? Variants:
+      //   arrays-noCPU  — both join-backs ship the arrays, consume is
+      //                   size() only (no intersect): isolates shipping.
+      //   sig-screen    — join-backs ship 512-bit signatures (64 B)
+      //                   instead of arrays; popcount(sigA & ~sigB) is a
+      //                   LOWER bound on |A \ B| (every A-set bit absent
+      //                   from B's sig is >=1 missing shingle), so
+      //                   pruning sz - missLB < ceil(theta*sz) is
+      //                   lossless. Reports survivor count + time.
+      //   verify-full   — shipped plan's array join-backs + intersect.
+      sys.props.put("graft.d19.forceJoinBack", "1")
+      val theta = 0.9
+      val tk = col("toks")
+      val shStr = array_distinct(transform(
+        sequence(lit(1), greatest(size(tk) - 2, lit(0))),
+        i => concat_ws(" ", element_at(tk, i), element_at(tk, i + 1),
+          element_at(tk, i + 2))))
+      def timed[T](tag: String)(f: => T): T = {
+        val t0 = System.nanoTime()
+        val r = f
+        println(f"[probe] $tag%-28s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+        r
+      }
+      // ranked build mirroring the SHIPPED map-only order-key build
+      // (unigram-estimate order; see DedupQueries.d19). ORDER env picks
+      // the order key for A/B candidate-volume comparisons:
+      //   ORDER=hash     pure shingle-hash order
+      //   ORDER=unigram  c(w1)+c(w2)+c(w3) (shipped r12 default)
+      //   ORDER=bigram   least(c(w1w2), c(w2w3))
+      //   ORDER=df       true df join-back (the retired r11 build)
+      val order = sys.env.getOrElse("ORDER", "unigram")
+      val docsT = graft.Tables.t(spark, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      val t = col("toks")
+      def w(i: org.apache.spark.sql.Column, off: Int) = element_at(t, i + off)
+      def lookupOf(df: org.apache.spark.sql.DataFrame) = {
+        val arr = df.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+        val kBc = spark.sparkContext.broadcast(arr.map(_._1))
+        val vBc = spark.sparkContext.broadcast(arr.map(_._2))
+        (x: org.apache.spark.sql.Column) =>
+          org.apache.spark.sql.GraftPlanShim.column(
+            graft.functions.BroadcastSortedLookup(kBc, vBc,
+              org.apache.spark.sql.GraftPlanShim.expression(x)))
+      }
+      val keyedExpr = order match {
+        case "hash" =>
+          array_distinct(transform(
+            sequence(lit(1), greatest(size(t) - 2, lit(0))),
+            i => struct(lit(0L).as("e"),
+              xxhash64(concat_ws(" ", w(i, 0), w(i, 1), w(i, 2))).as("x"))))
+        case "unigram" =>
+          val wcount = timed("wc-build")(lookupOf(
+            docsT.select(explode(t).as("wd"))
+              .groupBy("wd").agg(count(lit(1)).as("c"))
+              .select(xxhash64(col("wd")).as("h"), col("c"))))
+          array_distinct(transform(
+            sequence(lit(1), greatest(size(t) - 2, lit(0))),
+            i => struct(
+              (wcount(xxhash64(w(i, 0))) + wcount(xxhash64(w(i, 1))) +
+                wcount(xxhash64(w(i, 2)))).as("e"),
+              xxhash64(concat_ws(" ", w(i, 0), w(i, 1), w(i, 2))).as("x"))))
+        case "bigram" =>
+          val bg = timed("bg-build")(lookupOf(
+            docsT.select(explode(transform(
+              sequence(lit(1), greatest(size(t) - 1, lit(0))),
+              i => concat_ws(" ", w(i, 0), w(i, 1)))).as("b"))
+              .groupBy("b").agg(count(lit(1)).as("c"))
+              .select(xxhash64(col("b")).as("h"), col("c"))))
+          array_distinct(transform(
+            sequence(lit(1), greatest(size(t) - 2, lit(0))),
+            i => struct(
+              least(bg(xxhash64(concat_ws(" ", w(i, 0), w(i, 1)))),
+                bg(xxhash64(concat_ws(" ", w(i, 1), w(i, 2))))).as("e"),
+              xxhash64(concat_ws(" ", w(i, 0), w(i, 1), w(i, 2))).as("x"))))
+        case "df" => null
+      }
+      val ranked = timed("ranked-build")(
+        if (order == "df") {
+          val sh = docsT
+            .select(col("doc_id"), transform(shStr, x => xxhash64(x)).as("s"))
+            .filter(size(col("s")) > 0)
+          val dfCounts = sh.select(explode(col("s")).as("shingle"))
+            .groupBy("shingle").agg(count(lit(1)).as("df"))
+          graft.Stage.materialize(spark,
+            sh.select(col("doc_id"), explode(col("s")).as("shingle"))
+              .join(dfCounts, "shingle")
+              .groupBy("doc_id")
+              .agg(array_sort(collect_list(struct(col("df"), col("shingle")))).as("o"))
+              .select(col("doc_id"),
+                transform(col("o"), x => x.getField("shingle")).as("ord"))
+              .withColumn("sz", size(col("ord"))),
+            "d19vranked")
+        } else graft.Stage.materialize(spark,
+          docsT.select(col("doc_id"),
+            transform(array_sort(keyedExpr), e => e.getField("x")).as("ord"))
+            .filter(size(col("ord")) > 0)
+            .withColumn("sz", size(col("ord"))),
+          "d19vranked"))
+      val gCls = floor(log2(col("sz"))).cast("long")
+      val probeLite = ranked.select(col("doc_id"), col("sz"), gCls.as("g"),
+        explode(slice(col("ord"), lit(1),
+          (col("sz") - ceil(col("sz") * theta) + 1).cast("int"))).as("ptok"))
+      val classes = ranked.select(gCls.as("jg")).distinct()
+      val indexLite = ranked.crossJoin(broadcast(classes))
+        .withColumn("og", ceil(lit(theta) * pow(lit(2.0), col("jg"))).cast("long"))
+        .filter(col("sz") >= col("og"))
+        .select(col("doc_id").as("j"), col("sz").as("jsz"), col("jg"),
+          posexplode(slice(col("ord"), lit(1),
+            (col("sz") - col("og") + 1).cast("int"))).as(Seq("jpos", "tok")))
+      val candRaw = probeLite.join(indexLite,
+          col("g") === col("jg") && col("ptok") === col("tok") &&
+            col("doc_id") =!= col("j") &&
+            col("jsz") >= ceil(col("sz") * theta) &&
+            col("jsz") - col("jpos") >= ceil(col("sz") * theta))
+        .select(col("doc_id").as("i"), col("j"))
+      timed("cand-raw-count")(
+        println(s"[probe] cand-raw = " + candRaw.count()))
+      val candDedup = timed("cand-dedup-materialize")(
+        graft.Stage.materialize(spark,
+          candRaw.dropDuplicates("i", "j"), "d19vcand"))
+      println(s"[probe] cand-pairs = ${candDedup.count()}")
+      val docsSide = ranked.select(col("doc_id"), col("ord"), col("sz"))
+      def withBoth = candDedup
+        .join(docsSide.select(col("doc_id").as("i"),
+          col("ord").as("ord"), col("sz").as("sz")), "i")
+        .join(docsSide.select(col("doc_id").as("j"), col("ord").as("jord")), "j")
+      time("arrays-noCPU")(withBoth
+        .select(col("i"), col("j"),
+          (size(col("ord")) + size(col("jord"))).as("w"))
+        .filter(col("w") >= 0))
+      val sigs = {
+        val aggs = Seq(count(lit(1)).as("sz")) ++ (0 until 8).map(k =>
+          coalesce(bit_or(when((col("slot") / 64).cast("int") === k,
+            expr("shiftleft(1L, cast(slot % 64 as int))"))),
+            lit(0L)).as(s"sig$k"))
+        graft.Stage.materialize(spark,
+          ranked.select(col("doc_id"), explode(col("ord")).as("shingle"))
+            .withColumn("slot", pmod(col("shingle"), lit(512L)))
+            .groupBy("doc_id")
+            .agg(aggs.head, aggs.tail: _*)
+            .select(col("doc_id"), col("sz"),
+              array((0 until 8).map(k => col(s"sig$k")): _*).as("sig")),
+          "d19vsigs")
+      }
+      val missLB = aggregate(
+        zip_with(col("isig"), col("jsig"),
+          (a, b) => bit_count(a.bitwiseAND(b.bitwiseXOR(lit(-1L))))),
+        lit(0), (acc, x) => acc + x)
+      val screened = candDedup
+        .join(sigs.select(col("doc_id").as("i"), col("sz"),
+          col("sig").as("isig")), "i")
+        .join(sigs.select(col("doc_id").as("j"), col("sig").as("jsig")), "j")
+        .filter(col("sz") - missLB >= ceil(col("sz") * theta))
+        .select(col("i"), col("j"), col("sz"))
+      time("sig-screen")(screened)
+      println(s"[probe] screen-survivors = ${screened.count()}")
+      val containment = size(array_intersect(col("ord"), col("jord")))
+        .cast("double") / col("sz").cast("double")
+      time("verify-full")(withBoth
+        .select(col("i"), col("j"), containment.as("containment"))
+        .filter(col("containment") >= theta))
+      sys.props.remove("graft.d19.forceJoinBack")
+      spark.stop(); sys.exit(0)
+    }
     if (sys.env.contains("PROBE_T21")) {
       // t21 stage split: where does the sfc100 wall actually sit —
       // scan+tokenize, the per-token classify, the histogram fold, or

@@ -68,15 +68,16 @@ class PlanLintSpec extends AnyFunSuite {
       "t24_token_budget_select",
       // q101's descending cumulative walk runs over the per-price-band
       // bucket COUNTS — q85's value-domain bound verbatim (price cents
-      // div 65536 → ~200 rows at any corpus size); the boundary-bucket
-      // rank window IS partitioned, and the wholesale-selected buckets
-      // never see ordering work at all.
+      // div 65536 → ~200 rows at any corpus size); the boundary
+      // bucket's selection goes through topRowsRecursive, whose
+      // unpartitioned windows are (a) the ≤~8k hash-sample ranks,
+      // (b) the ≤65-row walks, and (c) a threshold rank the DRIVER
+      // gates at ≤8192 rows (DistributedTopnSpec asserts all of them
+      // from runtime window metrics).
       "q101_distributed_topn",
-      // q102's unpartitioned windows run over (a) the hash SAMPLE,
-      // SIZE-BOUNDED by its rate n div 4096 to ~4-8k rows at any corpus
-      // size (DistributedTopnSpec re-derives and asserts the bound),
-      // and (b) the ≤65-row boundary-bucket walk; the corpus-wide rank
-      // window IS partitioned on the boundary bucket.
+      // q102: same topRowsRecursive bound — every unpartitioned window
+      // is sample-bounded (≤~8k) by construction and asserted from the
+      // executed plan's metrics in DistributedTopnSpec.
       "q102_sampled_topn")
 
   test("no catalog query plans a single-partition window or a cartesian product") {
