@@ -273,56 +273,36 @@ object DedupQueries {
     val d05Width = math.min(512L, math.max(8L, nDocs / 6000L)).toInt
     Widths.withWidth(s, d05Width) {
       // Shingles reduce to 64-bit xxhash64 ids at the scan and STRINGS
-      // NEVER TRAVEL: every downstream shuffle (df counts, prefix join)
-      // moves 8-byte longs instead of ~20-byte trigram strings — the only
-      // way to fly at 100 TB. Distinct shingles map to distinct ids with
+      // NEVER TRAVEL: every downstream shuffle moves 8-byte longs
+      // instead of ~20-byte trigram strings — the only way to fly at
+      // 100 TB. Distinct shingles map to distinct ids with
       // p(collision) < 1e-11 at this cardinality (d02's accepted
       // hash-key regime), so set sizes and intersections — and therefore
       // every Jaccard value — are unchanged and still hash-match the
       // all-pairs string oracle.
-      val sh = {
-        val toksDf = Stage.materialize(s,
-          docs(s, d).select(col("doc_id"), toks.as("toks")), "d05toks")
-        val t = col("toks")
-        val shStr = array_distinct(transform(
-          sequence(lit(1), greatest(size(t) - 2, lit(0))),
-          i => concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))
-        Stage.materialize(s,
-          toksDf.select(col("doc_id"), transform(shStr, x => xxhash64(x)).as("s"))
-            .filter(size(col("s")) > 0),
-          "d05sh")
-      }
-      // PPJoin proper: the prefix order must be a corpus-wide total order,
-      // and the right one is ASCENDING DOCUMENT FREQUENCY — prefixes then
-      // hold each doc's rarest shingles, so the candidate join's buckets
-      // stay tiny. (Lexicographic order is equally lossless but pathological
-      // on a shared-vocabulary corpus: every prefix holds the same
-      // alphabetically-small shingles and the join degenerates toward
-      // all-pairs — observed 31 s vs 4 s at sf0.1.) Ties break on the
-      // shingle id, so the order is total and shared by both join sides.
-      // Residual cost note: this corpus draws from ~30 words, so even the
-      // rarest shingles repeat and ~193k of 12.5M possible pairs survive the
-      // prefix+length prune at sf0.1 (65x) — real corpora have heavy-tailed
+      //
+      // PPJoin proper: the prefix order must be a corpus-wide total
+      // order; prefixes should hold each doc's RAREST shingles so the
+      // candidate buckets stay tiny. (Lexicographic order is equally
+      // lossless but pathological on a shared-vocabulary corpus:
+      // every prefix holds the same alphabetically-small shingles and
+      // the join degenerates toward all-pairs — observed 31 s vs 4 s at
+      // sf0.1.) r12 replaced the TRUE-df order with [[unigramRanked]]'s
+      // map-only unigram-estimate order: the df join-back build was two
+      // corpus-postings-scale shuffles (925 s of d19's sf100 wall on
+      // the shared build) for a candidate-volume heuristic the estimate
+      // recovers to within ~2x — absorbed by the signature screen below.
+      // Residual cost note: this corpus draws from ~30 words, so even
+      // the rarest shingles repeat — real corpora have heavy-tailed
       // vocabularies and prune orders of magnitude harder.
-      val dfCounts = sh.select(explode(col("s")).as("shingle"))
-        .groupBy("shingle").agg(count(lit(1)).as("df"))
-      // The df-ordered FULL id array rides along with each prefix row
-      // (~40 longs/doc), so verification happens INLINE in the candidate
-      // join's projection — no arrays-join-back, no 190k-pair
-      // dropDuplicates shuffle. (The previous shape shipped bare id
-      // pairs and joined the arrays back for verify: three more shuffles
-      // of the same 190k rows; measured 4.1 s -> 2.3 s replacing it with
-      // this. The dup-match overcount the old dedup removed is ~1.5% —
-      // cheaper to verify twice than to shuffle once.) Survivors dedup
-      // AFTER the θ filter, when ~hundreds of rows remain.
-      val ranked = Stage.materialize(s,
-        sh.select(col("doc_id"), explode(col("s")).as("shingle"))
-          .join(dfCounts, "shingle")
-          .groupBy("doc_id")
-          .agg(array_sort(collect_list(struct(col("df"), col("shingle")))).as("ordered"))
-          .select(col("doc_id"), transform(col("ordered"), o => o.getField("shingle")).as("ord"))
-          .withColumn("sz", size(col("ord"))),
-        "d05ranked")
+      //
+      // Verification happens INLINE in the candidate join's projection
+      // on small corpora — the ordered FULL id array rides along with
+      // each prefix row (~40 longs/doc); no arrays-join-back, no
+      // 190k-pair dropDuplicates shuffle (measured 4.1 -> 2.3 s at
+      // sf0.1; the dup-match double-verify costs ~1.5%). Survivors
+      // dedup AFTER the θ filter, when ~hundreds of rows remain.
+      val ranked = unigramRanked(s, d, "d05")
       val prefix = ranked.select(col("doc_id"), col("sz"), col("ord"),
         posexplode(slice(col("ord"), lit(1),
           (col("sz") - ceil(col("sz") * theta) + 1).cast("int"))))
@@ -403,9 +383,31 @@ object DedupQueries {
           .join(lite.as("b"), bucketCond)
           .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
           .dropDuplicates("i", "j")
+        // SIGNATURE SCREEN before the array join-backs (d19's r12
+        // machinery, in Jaccard form): jac >= θ needs overlap α =
+        // ceil(θ/(1+θ)·(|a|+|b|)), and popcount(sigX & ~sigY) lower-
+        // bounds |X∖Y|, so overlap <= min(|a| − missA, |b| − missB) —
+        // pruning pairs whose bound is < α is lossless in both
+        // directions at once. Candidates shrink to ~survivors before
+        // any ~1.6 KB ord array ships.
+        val sigSide = shingleSigs(s, ranked, "d05")
+        val missA = aggregate(zip_with(col("asig"), col("bsig"),
+          (x, y) => bit_count(x.bitwiseAND(y.bitwiseXOR(lit(-1L))))),
+          lit(0), (acc, x) => acc + x)
+        val missB = aggregate(zip_with(col("bsig"), col("asig"),
+          (x, y) => bit_count(x.bitwiseAND(y.bitwiseXOR(lit(-1L))))),
+          lit(0), (acc, x) => acc + x)
+        val alphaS = ceil((col("assz") + col("bssz")) * lit(theta / (1 + theta)))
+        val screened = cand
+          .join(sigSide.select(col("doc_id").as("i"), col("sig").as("asig"),
+            col("ssz").as("assz")), "i")
+          .join(sigSide.select(col("doc_id").as("j"), col("sig").as("bsig"),
+            col("ssz").as("bssz")), "j")
+          .filter(least(col("assz") - missA, col("bssz") - missB) >= alphaS)
+          .select(col("i"), col("j"))
         val docsSide = ranked.select(col("doc_id"), col("ord"), col("sz"))
         Stage.materialize(s,
-          cand
+          screened
             .join(docsSide.select(col("doc_id").as("i"),
               col("ord").as("aord"), col("sz").as("asz")), "i")
             .join(docsSide.select(col("doc_id").as("j"),
@@ -1445,6 +1447,99 @@ object DedupQueries {
     (oldLabels, deltaNodes, result)
   }
 
+
+  /** Map-only PPJoin-style build shared by d05/d19: (doc_id, ord, sz)
+    * where ord holds the doc's DISTINCT 3-gram shingle hashes in one
+    * GLOBAL total order — (unigram-frequency estimate, shingle hash).
+    *
+    * Why not true df order (the r11 build): attaching df to every
+    * posting is a Σ|doc|-row explode JOINED back to per-shingle counts
+    * and re-grouped through collect_list — TWO corpus-postings-scale
+    * shuffles, measured by the r12 sf100 probe at 925 s of d19's
+    * 1139 s wall. The prefix filter's witness argument needs only SOME
+    * consistent global total order (take w = the ORDER-smallest common
+    * token of a qualifying pair: w outside either prefix contradicts
+    * the overlap bound regardless of what the order is); df-ascending
+    * is purely a candidate-volume heuristic — but not an optional one
+    * (a plain hash order bloats the prefix buckets: sf10 259 s vs 88
+    * measured). The replacement rarity signal is the UNIGRAM estimate:
+    * order key e = c(w1)+c(w2)+c(w3) from ONE partial-agg pass whose
+    * output is VOCABULARY-sized, collected under a self-bounding budget
+    * (count >= totalWords/4M caps the broadcast at 4M entries; words
+    * below the floor look up as 0 = maximally rare, which only helps
+    * the prefix). The key is a pure function of the shingle + one
+    * broadcast, so the order is globally consistent (lossless for ANY
+    * such order) and the whole build is a single map-only projection —
+    * zero corpus-scale shuffles. Rare trigrams are made of rare words,
+    * so the estimate tracks df where it matters (sf10 candidates 14.2M
+    * vs df-order's 7.3M — the 2x bloat is absorbed by the signature
+    * screen, while the build drops 91 -> ~25 s; a bigram-min estimate
+    * measured 12.9M candidates for an extra corpus pass — not worth
+    * it). Build-evaluation discipline: the word-count array is a
+    * multi-referenced non-cheap alias (CollapseProject keeps it
+    * materialized), the size filter runs on raw toks BEFORE the
+    * projection, and sz derives AFTER the pin — filtering or deriving
+    * on `ord` itself lets CollapseProject + predicate pushdown inline
+    * the HOF subtree into each consumer and evaluate it 2-3x per row
+    * (measured 129 vs ~25 s at sf10). */
+  private[dedup] def unigramRanked(s: SparkSession, d: String,
+      tag: String): DataFrame = {
+    val wc = Stage.materialize(s,
+      docs(s, d).select(explode(toks).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+        .select(xxhash64(col("w")).as("h"), col("c")),
+      s"${tag}wc")
+    val totalWords = wc.agg(sum(col("c"))).collect()(0).getLong(0)
+    val floorT = math.max(2L, totalWords / 4000000L)
+    val freq = wc.filter(col("c") >= floorT)
+      .select("h", "c").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1)
+    val keysBc = s.sparkContext.broadcast(freq.map(_._1))
+    val valsBc = s.sparkContext.broadcast(freq.map(_._2))
+    def wcount(x: Column): Column =
+      org.apache.spark.sql.GraftPlanShim.column(
+        graft.functions.BroadcastSortedLookup(keysBc, valsBc,
+          org.apache.spark.sql.GraftPlanShim.expression(x)))
+    val t = col("toks")
+    def w(i: Column, off: Int) = element_at(t, i + off)
+    val wcArr = transform(t, x => wcount(xxhash64(x)))
+    val keyed = array_distinct(transform(
+      sequence(lit(1), greatest(size(t) - 2, lit(0))),
+      i => struct(
+        (element_at(col("wcArr"), i) + element_at(col("wcArr"), i + 1) +
+          element_at(col("wcArr"), i + 2)).as("e"),
+        xxhash64(concat_ws(" ", w(i, 0), w(i, 1), w(i, 2))).as("x"))))
+    Stage.materialize(s,
+      docs(s, d).select(col("doc_id"), toks.as("toks"))
+        .filter(size(col("toks")) >= 3)
+        .withColumn("wcArr", wcArr)
+        .select(col("doc_id"),
+          transform(array_sort(keyed), e => e.getField("x")).as("ord")),
+      s"${tag}ranked")
+      .withColumn("sz", size(col("ord")))
+  }
+
+  /** 512-bit one-hash signature per doc (8 longs; bit = shingle mod
+    * 512) for the join-back screens: a posting-level explode of the
+    * PINNED ranked table + groupBy(doc_id) whose bit_or aggregates
+    * partial-combine map-side (explode preserves doc locality, so the
+    * shuffle is one row per doc, never Σ|doc| postings). */
+  private[dedup] def shingleSigs(s: SparkSession, ranked: DataFrame,
+      tag: String): DataFrame = {
+    val aggs = Seq(count(lit(1)).as("ssz")) ++ (0 until 8).map(k =>
+      coalesce(bit_or(when((col("slot") / 64).cast("int") === k,
+        expr("shiftleft(1L, cast(slot % 64 as int))"))),
+        lit(0L)).as(s"sig$k"))
+    Stage.materialize(s,
+      ranked.select(col("doc_id"), explode(col("ord")).as("shingle"))
+        .withColumn("slot", pmod(col("shingle"), lit(512L)))
+        .groupBy("doc_id")
+        .agg(aggs.head, aggs.tail: _*)
+        .select(col("doc_id"), col("ssz"),
+          array((0 until 8).map(k => col(s"sig$k")): _*).as("sig")),
+      s"${tag}sigs")
+  }
+
   /** Asymmetric CONTAINMENT dedup — the doc-inside-doc case Jaccard
     * structurally misses: a short document quoted whole inside a long
     * one has |A∩B|/|A∪B| ≈ |A|/|B| (tiny) but |A∩B|/|A| ≈ 1. Web
@@ -1479,83 +1574,8 @@ object DedupQueries {
       |WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(a.s) >= 0.9
       |ORDER BY i, j""".stripMargin) { (s, d) =>
     val theta = 0.9
-    // ORD ORDER IS NOW A MAP-ONLY TOTAL ORDER (the r12 sf100 probe's
-    // finding: the ranked build itself — a Σ|doc|-row explode JOINED
-    // back to per-shingle df counts and re-grouped through collect_list,
-    // i.e. TWO corpus-postings-scale shuffles — was 925 s of the
-    // 1139 s sf100 wall, not the verification the r11 probe had
-    // implicated at sf10). The prefix filter's witness argument
-    // (scaladoc above) needs only SOME consistent global total order on
-    // shingles, not true df order: take w = the ORDER-smallest common
-    // token of a qualifying pair; w outside A's prefix or outside B's
-    // class-g prefix each contradicts the overlap bound regardless of
-    // what the order is. df-ascending is purely a candidate-volume
-    // heuristic — but NOT an optional one (a plain hash order was
-    // measured first: sf10 259 s vs 88, the prefix buckets bloat
-    // without rarity awareness). The replacement rarity signal is the
-    // UNIGRAM-frequency estimate: order key = (c(w1)+c(w2)+c(w3),
-    // shingle hash) where c() are corpus word counts from ONE
-    // partial-agg pass whose output is VOCABULARY-sized, collected
-    // under a self-bounding budget (count >= totalWords/4M caps the
-    // set at 4M entries; everything below the floor looks up as 0 =
-    // maximally rare, which only helps the prefix). The key is a pure
-    // function of the shingle + one broadcast, so the order is
-    // globally consistent (lossless for ANY such order), and the whole
-    // ranked build is a single map-only projection per doc — zero
-    // corpus-scale shuffles. Rare trigrams are made of rare words, so
-    // the estimate tracks true df where it matters.
-    val wc = Stage.materialize(s,
-      docs(s, d).select(explode(toks).as("w"))
-        .groupBy("w").agg(count(lit(1)).as("c"))
-        .select(xxhash64(col("w")).as("h"), col("c")),
-      "d19wc")
-    val totalWords = wc.agg(sum(col("c"))).collect()(0).getLong(0)
-    val floorT = math.max(2L, totalWords / 4000000L)
-    val freq = wc.filter(col("c") >= floorT)
-      .select("h", "c").collect().map(r => (r.getLong(0), r.getLong(1)))
-      .sortBy(_._1)
-    val keysBc = s.sparkContext.broadcast(freq.map(_._1))
-    val valsBc = s.sparkContext.broadcast(freq.map(_._2))
-    def wcount(x: Column): Column =
-      org.apache.spark.sql.GraftPlanShim.column(
-        graft.functions.BroadcastSortedLookup(keysBc, valsBc,
-          org.apache.spark.sql.GraftPlanShim.expression(x)))
-    val ranked = {
-      val t = col("toks")
-      def w(i: Column, off: Int) = element_at(t, i + off)
-      val keyed = array_distinct(transform(
-        sequence(lit(1), greatest(size(t) - 2, lit(0))),
-        i => struct(
-          (wcount(xxhash64(w(i, 0))) + wcount(xxhash64(w(i, 1))) +
-            wcount(xxhash64(w(i, 2)))).as("e"),
-          xxhash64(concat_ws(" ", w(i, 0), w(i, 1), w(i, 2))).as("x"))))
-      Stage.materialize(s,
-        docs(s, d).select(col("doc_id"), toks.as("toks"))
-          .select(col("doc_id"),
-            transform(array_sort(keyed), e => e.getField("x")).as("ord"))
-          .filter(size(col("ord")) > 0)
-          .withColumn("sz", size(col("ord"))),
-        "d19ranked")
-    }
-    // 512-bit one-hash signature per doc (8 longs; bit = shingle mod
-    // 512) for the join-back screen: a posting-level explode of the
-    // PINNED ranked table + groupBy(doc_id) whose bit_or aggregates
-    // partial-combine map-side (explode preserves doc locality, so the
-    // shuffle is one row per doc, never Σ|doc| postings).
-    lazy val sigSide = {
-      val aggs = Seq(count(lit(1)).as("ssz")) ++ (0 until 8).map(k =>
-        coalesce(bit_or(when((col("slot") / 64).cast("int") === k,
-          expr("shiftleft(1L, cast(slot % 64 as int))"))),
-          lit(0L)).as(s"sig$k"))
-      Stage.materialize(s,
-        ranked.select(col("doc_id"), explode(col("ord")).as("shingle"))
-          .withColumn("slot", pmod(col("shingle"), lit(512L)))
-          .groupBy("doc_id")
-          .agg(aggs.head, aggs.tail: _*)
-          .select(col("doc_id"), col("ssz"),
-            array((0 until 8).map(k => col(s"sig$k")): _*).as("sig")),
-        "d19sigs")
-    }
+    val ranked = unigramRanked(s, d, "d19")
+    lazy val sigSide = shingleSigs(s, ranked, "d19")
     // VERIFICATION STRATEGY is corpus-size-adaptive (d05's cost-based
     // call, with a FAR lower crossover because d19's index side is
     // fatter: d05 explodes prefix rows only, while the container
@@ -1635,13 +1655,11 @@ object DedupQueries {
       // class trim already captures the bound — d05's positional-filter
       // story repeating one layer up. It stays because it rides the
       // join condition at zero cost and is the second-biggest pruner on
-      // real size distributions. PROBE_D19S pins where the wall
-      // actually is: candidates+dedup 9.4 s of the 75.6 s sf10 wall —
-      // the rest is the verification join-backs shipping each distinct
-      // candidate pair's two ord arrays; verification volume IS the
-      // candidate count, which this bounded-vocabulary fixture sets
-      // (real corpora prune orders of magnitude harder, the entry's
-      // standing caveat).
+      // real size distributions. (The r11 PROBE_D19S claim that
+      // verification dominated sf10 was a cold-page artifact — the r12
+      // PROBE_D19V split re-measured the stages warm and found the
+      // RANKED BUILD dominating at sf100 instead; see SCALE.md round 12
+      // and unigramRanked's scaladoc.)
       val cand = probeLite.join(indexLite,
           col("g") === col("jg") && col("ptok") === col("tok") &&
             col("doc_id") =!= col("j") &&

@@ -95,79 +95,6 @@ object Probe {
       time("full-q101")(graft.relational.RelationalQueries.q101DistributedTopn.fn(spark, d))
       spark.stop(); sys.exit(0)
     }
-    if (sys.env.contains("PROBE_D19S")) {
-      // d19 stage split on the join-back path: where does the wall sit —
-      // the ranked build, the candidate bucket join, or the pair
-      // verification join-backs? Mirrors DedupQueries.d19 exactly
-      // (forceJoinBack so the split is the scale path at any SF).
-      sys.props.put("graft.d19.forceJoinBack", "1")
-      val theta = 0.9
-      val tk = col("toks")
-      val shStr = array_distinct(transform(
-        sequence(lit(1), greatest(size(tk) - 2, lit(0))),
-        i => concat_ws(" ", element_at(tk, i), element_at(tk, i + 1),
-          element_at(tk, i + 2))))
-      val sh = graft.Tables.t(spark, d, "documents")
-        .select(col("doc_id"), split(col("text"), " ").as("toks"))
-        .select(col("doc_id"), transform(shStr, x => xxhash64(x)).as("s"))
-        .filter(size(col("s")) > 0)
-      val dfCounts = sh.select(explode(col("s")).as("shingle"))
-        .groupBy("shingle").agg(count(lit(1)).as("df"))
-      val ranked = graft.Stage.materialize(spark,
-        sh.select(col("doc_id"), explode(col("s")).as("shingle"))
-          .join(dfCounts, "shingle")
-          .groupBy("doc_id")
-          .agg(array_sort(collect_list(struct(col("df"), col("shingle")))).as("o"))
-          .select(col("doc_id"),
-            transform(col("o"), x => x.getField("shingle")).as("ord"))
-          .withColumn("sz", size(col("ord"))),
-        "d19probe")
-      time("ranked-build")(ranked.select(sum(col("sz")).as("s")))
-      val gCls = floor(log2(col("sz"))).cast("long")
-      val probeLite = ranked.select(col("doc_id"), col("sz"), gCls.as("g"),
-        explode(slice(col("ord"), lit(1),
-          (col("sz") - ceil(col("sz") * theta) + 1).cast("int"))).as("ptok"))
-      val classes = ranked.select(gCls.as("jg")).distinct()
-      // posexplode + the positional bound, mirroring the SHIPPED plan
-      // (the r11 probe explode()d without it and so overstated the
-      // pipeline's candidate volume).
-      val indexLite = ranked.crossJoin(broadcast(classes))
-        .withColumn("og", ceil(lit(theta) * pow(lit(2.0), col("jg"))).cast("long"))
-        .filter(col("sz") >= col("og"))
-        .select(col("doc_id").as("j"), col("sz").as("jsz"), col("jg"),
-          posexplode(slice(col("ord"), lit(1),
-            (col("sz") - col("og") + 1).cast("int"))).as(Seq("jpos", "tok")))
-      val cand = probeLite.join(indexLite,
-          col("g") === col("jg") && col("ptok") === col("tok") &&
-            col("doc_id") =!= col("j") &&
-            col("jsz") >= ceil(col("sz") * theta) &&
-            col("jsz") - col("jpos") >= ceil(col("sz") * theta))
-        .select(col("doc_id").as("i"), col("j"))
-      time("postings-count")(indexLite.groupBy("jg").agg(count(lit(1)).as("n")))
-      val candDedup = graft.Stage.materialize(spark,
-        cand.dropDuplicates("i", "j"), "d19probecand")
-      time("cand-join+dedup")(candDedup.groupBy().agg(count(lit(1)).as("n")))
-      println(s"[probe] cand-pairs = ${candDedup.count()}")
-      // verification split: join-back i (ships each pair's ord once),
-      // then join-back j on the fat rows (the suspected wall), then the
-      // per-pair intersect.
-      val docsSide = ranked.select(col("doc_id"), col("ord"), col("sz"))
-      val withI = candDedup
-        .join(docsSide.select(col("doc_id").as("i"),
-          col("ord").as("ord"), col("sz").as("sz")), "i")
-      time("verify-joinback-i")(withI.select(col("i"), col("j"), col("sz")))
-      val withBoth = withI.join(docsSide.select(col("doc_id").as("j"),
-        col("ord").as("jord")), "j")
-      time("verify-joinback-ij")(withBoth.select(col("i"), col("j"), col("sz")))
-      val containment = size(array_intersect(col("ord"), col("jord")))
-        .cast("double") / col("sz").cast("double")
-      time("verify-full")(withBoth
-        .select(col("i"), col("j"), containment.as("containment"))
-        .filter(col("containment") >= theta))
-      time("full-d19")(graft.dedup.DedupQueries.d19Containment.fn(spark, d))
-      sys.props.remove("graft.d19.forceJoinBack")
-      spark.stop(); sys.exit(0)
-    }
     if (sys.env.contains("PROBE_D19V")) {
       // d19 VERIFICATION cost decomposition: is the 62 s verify stage
       // bytes-bound (1.6 KB ord arrays through two exchanges per pair),
