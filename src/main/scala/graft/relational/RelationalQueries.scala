@@ -3402,7 +3402,7 @@ object RelationalQueries {
     * ~corpus/#buckets rows — pays for its top-`take`, through
     * [[topRowsRecursive]]: a sampled equi-depth walk that recurses on
     * its own boundary bucket (geometric 64× shrink per round) until the
-    * remainder fits a ≤8192-row rank, so NO single-task sort anywhere
+    * remainder fits a ≤16384-row rank, so NO single-task sort anywhere
     * processes more than ~sample-size rows (the r11 audit's margin
     * item, closed). The selected multiset is EXACTLY the global top-N
     * (within-bucket rank = global rank − rows above T). The oracle
@@ -3600,7 +3600,13 @@ object RelationalQueries {
       n: Long, cnt: Long, valCol: String, depth: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     if (n >= cnt) return rows
-    if (cnt <= 8192 || depth >= 16) {
+    // Threshold 16384 = 2x the sample-size cap: a recursion round costs
+    // a pin + three bucket-sized jobs, which only pays once the rank it
+    // replaces is meaningfully bigger than the sample windows the plan
+    // already runs (at sf0.1 the 9.4k boundary bucket recursing cost
+    // q102 +2.4 s for no scale benefit; DistributedTopnSpec's runtime
+    // assertion bounds every global window at this same 16384).
+    if (cnt <= 16384 || depth >= 16) {
       return rows.withColumn("rn", row_number().over(Window.orderBy(
           col(valCol).desc, col("l_orderkey"), col("l_linenumber"))))
         .filter(col("rn") <= n).drop("rn")

@@ -104,7 +104,7 @@ class DistributedTopnSpec extends AnyFunSuite {
     * anywhere in the plan ever processes more than ~sample-size rows —
     * asserted from the executed plan's own runtime metrics, not a
     * schema heuristic. Covers the sample ranks, the 64-bucket walks,
-    * and the recursion's threshold rank (driver-gated at <= 8192). */
+    * and the recursion's threshold rank (driver-gated at <= 16384). */
   private def assertBoundedGlobalWindows(
       df: org.apache.spark.sql.DataFrame): Unit = {
     df.collect()
@@ -142,7 +142,7 @@ class DistributedTopnSpec extends AnyFunSuite {
   }
 
   test("boundary recursion triggers above the rank threshold and stays exact") {
-    // 40k rows with cnt > 8192 forces at least one recursive round
+    // 40k rows with cnt > 16384 forces at least one recursive round
     // (boundary bucket ~cnt/64 ~ 625, then a direct bounded rank); the
     // selected multiset must equal the naive global-window top-n.
     import s.implicits._
