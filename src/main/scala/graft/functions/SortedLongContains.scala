@@ -29,6 +29,18 @@ object SortedSearch {
     val i = java.util.Arrays.binarySearch(keys, v)
     if (i >= 0) vals(i) else 0L
   }
+
+  /** Number of elements <= v in an ascending-sorted double array
+    * (upper-bound binary search; ties count every equal element). */
+  def rankLe(arr: Array[Double], v: Double): Long = {
+    var lo = 0
+    var hi = arr.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (arr(mid) <= v) lo = mid + 1 else hi = mid
+    }
+    lo.toLong
+  }
 }
 
 /** O(log n) membership test against a SORTED long array — the broadcast
@@ -142,5 +154,39 @@ case class BroadcastSortedLookup(
   }
 
   override protected def withNewChildInternal(newChild: Expression): BroadcastSortedLookup =
+    copy(child = newChild)
+}
+
+/** Off-row broadcast equi-depth bucketing: rank of `child` in an
+  * ascending-sorted broadcast double array (count of boundaries <= v,
+  * O(log n) binary search). Replaces q101/q102's
+  * `size(filter(boundaries, b => v >= b))` — a per-row O(|boundaries|)
+  * interpreted HOF over a crossJoin-broadcast array column — with a
+  * codegen'd expression whose array never enters the row schema. The
+  * bucket id only steers work placement (the q102 invariant), never
+  * the answer. */
+case class BroadcastSortedRank(
+    bc: org.apache.spark.broadcast.Broadcast[Array[Double]],
+    child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.DoubleType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_bc_sorted_rank expects double, got $t")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_bc_sorted_rank"
+
+  override def nullSafeEval(v: Any): Any =
+    SortedSearch.rankLe(bc.value, v.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("rankBc", bc,
+      "org.apache.spark.broadcast.Broadcast<double[]>")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.SortedSearch.rankLe((double[]) $bcRef.value(), $v);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BroadcastSortedRank =
     copy(child = newChild)
 }

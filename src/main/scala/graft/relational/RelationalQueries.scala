@@ -3499,13 +3499,13 @@ object RelationalQueries {
     * 64-value broadcast + log₆₄ recursion in the boundary bucket;
     * nothing corpus-sized converges anywhere.
     * Bench-SF cost note: 5.2 s at sf0.1 vs q101's 1.8 — the delta is
-    * the 64-element membership scan paid on each of the three corpus
+    * — before r12 — the 64-element membership scan paid on each of the three corpus
     * passes (PROBE_Q102 splits it: bucket+count 2.0 s/pass vs q101's
     * arithmetic bucket ~0.5). At bench SF that CPU shows; at
     * production scale the per-row 64-compare vanishes under scan IO,
-    * and the pass count (3) matches q101's. A fixed-depth binary
-    * search over the sorted boundary array would cut the compare count
-    * 9× if a CPU-bound deployment ever needs it. */
+    * and the pass count (3) matches q101's. r12 landed the documented
+    * binary-search fix as [[graft.functions.BroadcastSortedRank]]
+    * (codegen'd, off-row broadcast): 5.7 → 1.93 s at sf0.1. */
   val q102SampledTopn: Q = Q(
     "q102_sampled_topn",
     s"""WITH r AS (
@@ -3551,10 +3551,17 @@ object RelationalQueries {
       .filter((col("rn") - 1) % greatest(lit(1L), expr("ns div 64")) === 0)
       .agg(array_sort(collect_list(col("v"))).as("arr")),
       "q102bnd")
-    val bucketed = li.crossJoin(broadcast(bnd))
-      .withColumn("bkt",
-        size(filter(col("arr"), b => col("v") >= b)).cast("long"))
-      .drop("arr")
+    // bucket id via codegen'd binary search over the OFF-ROW broadcast
+    // boundary array (was: crossJoin(broadcast) + a per-row O(64)
+    // interpreted HOF scan — the scaladoc's documented fix, landed:
+    // 6.4 -> 1.93 s at sf0.1: the scan repeated on all three passes)
+    val bndBc = s.sparkContext.broadcast(
+      bnd.collect()(0).getSeq[Double](0).toArray)
+    def bktOf(v: Column): Column =
+      org.apache.spark.sql.GraftPlanShim.column(
+        graft.functions.BroadcastSortedRank(bndBc,
+          org.apache.spark.sql.GraftPlanShim.expression(v)))
+    val bucketed = li.withColumn("bkt", bktOf(col("v")))
     // from here, q101's exact walk verbatim
     val walk = bucketed.groupBy("bkt").agg(count(lit(1)).as("bn"))
       .withColumn("cum", sum(col("bn")).over(Window.orderBy(col("bkt").desc)))
@@ -3624,10 +3631,13 @@ object RelationalQueries {
       .filter((col("rn") - 1) % greatest(lit(1L), expr("ns div 64")) === 0)
       .agg(array_sort(collect_list(col(valCol))).as("arr")),
       s"topnbnd$depth")
-    val bucketed = pinned.crossJoin(broadcast(bnd))
-      .withColumn("bkt",
-        size(filter(col("arr"), b => col(valCol) >= b)).cast("long"))
-      .drop("arr")
+    val bndBc = s.sparkContext.broadcast(
+      bnd.collect()(0).getSeq[Double](0).toArray)
+    def bktOf(v: Column): Column =
+      org.apache.spark.sql.GraftPlanShim.column(
+        graft.functions.BroadcastSortedRank(bndBc,
+          org.apache.spark.sql.GraftPlanShim.expression(v)))
+    val bucketed = pinned.withColumn("bkt", bktOf(col(valCol)))
     val walk = bucketed.groupBy("bkt").agg(count(lit(1)).as("bn"))
       .withColumn("cum", sum(col("bn")).over(Window.orderBy(col("bkt").desc)))
       .withColumn("above", col("cum") - col("bn"))
