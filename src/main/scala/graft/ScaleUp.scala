@@ -118,6 +118,19 @@ object ScaleUp {
     // round-robin) placement keeps regeneration deterministic.
     def scaled(t: String, keyCols: Seq[String])(extra: DataFrame => DataFrame): Unit = {
       val base = read(t)
+      // Collision guard: remap adds rep*Stride per key, so replica key
+      // ranges are disjoint ONLY if every source key < Stride. Chaining
+      // ScaleUp outputs (sf1 -> sf10) violates this silently — sf1 keys
+      // reach 90M > 10M, and the chained sf10 assigns the same doc_id to
+      // up to 10 different documents (measured: a d19 probe on a chained
+      // sf100 reported 56x candidate duplication where the prefix bound
+      // caps it at ~11). Always scale single-hop from a base fixture.
+      keyCols.foreach { k =>
+        val mx = base.agg(max(col(k))).collect()(0).getAs[Number](0).longValue()
+        require(mx < Stride,
+          s"$t.$k max=$mx >= stride=$Stride: source was already scaled; " +
+            s"re-run single-hop from the base fixture with a larger factor")
+      }
       val reps = base.withColumn("rep", explode(sequence(lit(0L), lit(factor - 1L))))
       val remapped = keyCols.foldLeft(reps) { (df, k) =>
         df.withColumn(k, col(k) + col("rep") * Stride)

@@ -1482,7 +1482,7 @@ object DedupQueries {
     * on `ord` itself lets CollapseProject + predicate pushdown inline
     * the HOF subtree into each consumer and evaluate it 2-3x per row
     * (measured 129 vs ~25 s at sf10). */
-  private[dedup] def unigramRanked(s: SparkSession, d: String,
+  private[graft] def unigramRanked(s: SparkSession, d: String,
       tag: String): DataFrame = {
     val wc = Stage.materialize(s,
       docs(s, d).select(explode(toks).as("w"))

@@ -149,17 +149,14 @@ object Probe {
             sequence(lit(1), greatest(size(t) - 2, lit(0))),
             i => struct(lit(0L).as("e"),
               xxhash64(concat_ws(" ", w(i, 0), w(i, 1), w(i, 2))).as("x"))))
-        case "unigram" =>
-          val wcount = timed("wc-build")(lookupOf(
-            docsT.select(explode(t).as("wd"))
-              .groupBy("wd").agg(count(lit(1)).as("c"))
-              .select(xxhash64(col("wd")).as("h"), col("c"))))
-          array_distinct(transform(
-            sequence(lit(1), greatest(size(t) - 2, lit(0))),
-            i => struct(
-              (wcount(xxhash64(w(i, 0))) + wcount(xxhash64(w(i, 1))) +
-                wcount(xxhash64(w(i, 2)))).as("e"),
-              xxhash64(concat_ws(" ", w(i, 0), w(i, 1), w(i, 2))).as("x"))))
+        // order=unigram calls the SHIPPED graft.dedup.DedupQueries
+        // .unigramRanked directly (see `ranked` below) so the probe's
+        // build stage is the production plan by construction — an
+        // earlier probe build recomputed the word-count lookup 3x per
+        // shingle (no wcArr alias) and measured 100.9 s at sf10 where
+        // the shipped form is ~25 s, billing the discipline bug to the
+        // build stage it claimed to mirror.
+        case "unigram" => null
         case "bigram" =>
           val bg = timed("bg-build")(lookupOf(
             docsT.select(explode(transform(
@@ -176,7 +173,11 @@ object Probe {
         case "df" => null
       }
       val ranked = timed("ranked-build")(
-        if (order == "df") {
+        if (order == "unigram") {
+          // Stage.materialize inside is an eager localCheckpoint, so
+          // the build executes fully within this timed scope.
+          graft.dedup.DedupQueries.unigramRanked(spark, d, "d19v")
+        } else if (order == "df") {
           val sh = docsT
             .select(col("doc_id"), transform(shStr, x => xxhash64(x)).as("s"))
             .filter(size(col("s")) > 0)
