@@ -379,10 +379,15 @@ object DedupQueries {
           "d05pairs").dropDuplicates("i", "j")
       } else {
         val lite = prefix.select(col("doc_id"), col("sz"), col("pos"), col("ptok"))
-        val cand = lite.as("a")
+        // d19's r12b join discipline, in self-join form: shuffled HASH
+        // join (skips sorting both exploded prefix streams — the sort
+        // was measured as d19's sf100 wall, 434 vs 94 s) and candidate
+        // dedup AFTER the signature screen (duplication measures 1.03x,
+        // so the pre-screen dropDuplicates was a full-stream shuffle to
+        // remove 3%; post-screen it dedups ~survivor volume).
+        val cand = lite.hint("shuffle_hash").as("a")
           .join(lite.as("b"), bucketCond)
           .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
-          .dropDuplicates("i", "j")
         // SIGNATURE SCREEN before the array join-backs (d19's r12
         // machinery, in Jaccard form): jac >= θ needs overlap α =
         // ceil(θ/(1+θ)·(|a|+|b|)), and popcount(sigX & ~sigY) lower-
@@ -405,6 +410,7 @@ object DedupQueries {
             col("ssz").as("bssz")), "j")
           .filter(least(col("assz") - missA, col("bssz") - missB) >= alphaS)
           .select(col("i"), col("j"))
+          .dropDuplicates("i", "j")
         val docsSide = ranked.select(col("doc_id"), col("ord"), col("sz"))
         Stage.materialize(s,
           screened
@@ -1660,13 +1666,27 @@ object DedupQueries {
       // PROBE_D19V split re-measured the stages warm and found the
       // RANKED BUILD dominating at sf100 instead; see SCALE.md round 12
       // and unigramRanked's scaladoc.)
-      val cand = probeLite.join(indexLite,
+      // SHUFFLE-HASH, build side = the probe prefix (~6 tokens/doc vs
+      // the container index's ~100 posting rows/doc): the default
+      // sort-merge join SORTS the ~500M-row index side, and the r12b
+      // clean-fixture probe measured that sort as the entry's actual
+      // sf100 wall — 434 s SMJ vs 94 s SHJ for the identical 146.3M-row
+      // candidate output. Safe at any scale: the build map is
+      // per-partition (AQE sizes partitions to ~64 MB), so the probe
+      // side never has to fit in one executor whole.
+      //
+      // Candidate pairs DEDUP AFTER THE SCREEN, not before: duplication
+      // is bounded by the probe prefix length and measures 1.03x at
+      // sf10 AND sf100, so a pre-screen dropDuplicates shuffles the
+      // full 146M-row pair stream to remove 3% of it; post-screen it
+      // deduplicates ~survivor volume (~520k rows) for free. (The probe
+      // keeps a pre-screen dedup variant for counting distinct pairs.)
+      val cand = probeLite.hint("shuffle_hash").join(indexLite,
           col("g") === col("jg") && col("ptok") === col("tok") &&
             col("doc_id") =!= col("j") &&
             col("jsz") >= ceil(col("sz") * theta) &&
             col("jsz") - col("jpos") >= ceil(col("sz") * theta))
         .select(col("doc_id").as("i"), col("j"))
-        .dropDuplicates("i", "j")
       // SIGNATURE SCREEN (the r11 verdict's verification wall, measured
       // and fixed): the candidate count — 7.3M pairs at sf10 on this
       // bounded-vocabulary corpus — made the exact verification the
@@ -1689,13 +1709,13 @@ object DedupQueries {
         zip_with(col("isig"), col("jsig"),
           (a, b) => bit_count(a.bitwiseAND(b.bitwiseXOR(lit(-1L))))),
         lit(0), (acc, x) => acc + x)
-      val screened = if (sys.props.contains("graft.d19.noScreen")) cand
+      val screened = (if (sys.props.contains("graft.d19.noScreen")) cand
       else cand
         .join(sigSide.select(col("doc_id").as("i"), col("sig").as("isig"),
           col("ssz")), "i")
         .join(sigSide.select(col("doc_id").as("j"), col("sig").as("jsig")), "j")
         .filter(col("ssz") - missLB >= ceil(col("ssz") * theta))
-        .select(col("i"), col("j"))
+        .select(col("i"), col("j"))).dropDuplicates("i", "j")
       val docsSide = ranked.select(col("doc_id"), col("ord"), col("sz"))
       screened
         .join(docsSide.select(col("doc_id").as("i"),

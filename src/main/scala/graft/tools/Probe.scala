@@ -209,7 +209,16 @@ object Probe {
         .select(col("doc_id").as("j"), col("sz").as("jsz"), col("jg"),
           posexplode(slice(col("ord"), lit(1),
             (col("sz") - col("og") + 1).cast("int"))).as(Seq("jpos", "tok")))
-      val candRaw = probeLite.join(indexLite,
+      // D19_SHJ=1 hints the candidate join to a shuffled HASH join with
+      // the build map on the (30x smaller) probe-prefix side: the clean
+      // sf100 split measured the default sort-merge join at 434 s for a
+      // LINEARLY-growing 146M-row candidate output — the super-linear
+      // term is sorting the ~500M-row container-posting side, not the
+      // match volume.
+      val probeSide =
+        if (sys.env.contains("D19_SHJ")) probeLite.hint("shuffle_hash")
+        else probeLite
+      val candRaw = probeSide.join(indexLite,
           col("g") === col("jg") && col("ptok") === col("tok") &&
             col("doc_id") =!= col("j") &&
             col("jsz") >= ceil(col("sz") * theta) &&
@@ -221,15 +230,26 @@ object Probe {
         graft.Stage.materialize(spark,
           candRaw.dropDuplicates("i", "j"), "d19vcand"))
       println(s"[probe] cand-pairs = ${candDedup.count()}")
+      // D19_STOP=cand ends the probe here — the tail stages measure
+      // verification counterfactuals and double the sf100 wall.
+      if (sys.env.get("D19_STOP").contains("cand")) {
+        sys.props.remove("graft.d19.forceJoinBack")
+        spark.stop(); sys.exit(0)
+      }
       val docsSide = ranked.select(col("doc_id"), col("ord"), col("sz"))
       def withBoth = candDedup
         .join(docsSide.select(col("doc_id").as("i"),
           col("ord").as("ord"), col("sz").as("sz")), "i")
         .join(docsSide.select(col("doc_id").as("j"), col("ord").as("jord")), "j")
-      time("arrays-noCPU")(withBoth
-        .select(col("i"), col("j"),
-          (size(col("ord")) + size(col("jord"))).as("w"))
-        .filter(col("w") >= 0))
+      // The unscreened array join-back is measured DEAD at sf100 (it
+      // exhausted the box's disk mid-shuffle on 141.7M pairs x ~3.2 KB
+      // of ord arrays), so it only runs under D19_FAT=1 and after the
+      // screen stages below have already reported.
+      if (sys.env.contains("D19_FAT"))
+        time("arrays-noCPU")(withBoth
+          .select(col("i"), col("j"),
+            (size(col("ord")) + size(col("jord"))).as("w"))
+          .filter(col("w") >= 0))
       val sigs = {
         val aggs = Seq(count(lit(1)).as("sz")) ++ (0 until 8).map(k =>
           coalesce(bit_or(when((col("slot") / 64).cast("int") === k,
@@ -258,9 +278,10 @@ object Probe {
       println(s"[probe] screen-survivors = ${screened.count()}")
       val containment = size(array_intersect(col("ord"), col("jord")))
         .cast("double") / col("sz").cast("double")
-      time("verify-full")(withBoth
-        .select(col("i"), col("j"), containment.as("containment"))
-        .filter(col("containment") >= theta))
+      if (sys.env.contains("D19_FAT"))
+        time("verify-full")(withBoth
+          .select(col("i"), col("j"), containment.as("containment"))
+          .filter(col("containment") >= theta))
       sys.props.remove("graft.d19.forceJoinBack")
       spark.stop(); sys.exit(0)
     }
