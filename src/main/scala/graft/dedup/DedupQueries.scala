@@ -403,11 +403,17 @@ object DedupQueries {
           (x, y) => bit_count(x.bitwiseAND(y.bitwiseXOR(lit(-1L))))),
           lit(0), (acc, x) => acc + x)
         val alphaS = ceil((col("assz") + col("bssz")) * lit(theta / (1 + theta)))
+        // Broadcast-gated sig lookups, d19's screen discipline (see its
+        // scaladoc: two shuffle-join lookups reship the pair stream
+        // with sig payloads; map-side lookups keep it exchange-free
+        // until the post-screen dedup).
+        def sigLookup(df: DataFrame): DataFrame =
+          if (nDocs <= 8000000L) broadcast(df) else df.hint("shuffle_hash")
         val screened = cand
-          .join(sigSide.select(col("doc_id").as("i"), col("sig").as("asig"),
-            col("ssz").as("assz")), "i")
-          .join(sigSide.select(col("doc_id").as("j"), col("sig").as("bsig"),
-            col("ssz").as("bssz")), "j")
+          .join(sigLookup(sigSide.select(col("doc_id").as("i"),
+            col("sig").as("asig"), col("ssz").as("assz"))), "i")
+          .join(sigLookup(sigSide.select(col("doc_id").as("j"),
+            col("sig").as("bsig"), col("ssz").as("bssz"))), "j")
           .filter(least(col("assz") - missA, col("bssz") - missB) >= alphaS)
           .select(col("i"), col("j"))
           .dropDuplicates("i", "j")
@@ -1709,11 +1715,24 @@ object DedupQueries {
         zip_with(col("isig"), col("jsig"),
           (a, b) => bit_count(a.bitwiseAND(b.bitwiseXOR(lit(-1L))))),
         lit(0), (acc, x) => acc + x)
+      // The screen's sig lookups BROADCAST under a budget (d16's
+      // gate-with-fallback pattern): the r12b sf100 probe measured the
+      // two shuffle-join lookups at 159.7 s — the biggest stage once
+      // the candidate join went hash — because the second join reships
+      // the 146M-row pair stream carrying the first join's 88 B sig
+      // payload (~13 GB). Map-side lookups keep the pair stream inside
+      // the candidate join's stage with NO exchange until the tiny
+      // post-screen dedup. Budget: 8M docs x ~88 B/row ~ 700 MB per
+      // executor — routine for a cluster-sized executor; above it, a
+      // shuffled-hash hint keeps the lookups sort-free at any scale.
+      def sigLookup(df: DataFrame): DataFrame =
+        if (nDocs <= 8000000L) broadcast(df) else df.hint("shuffle_hash")
       val screened = (if (sys.props.contains("graft.d19.noScreen")) cand
       else cand
-        .join(sigSide.select(col("doc_id").as("i"), col("sig").as("isig"),
-          col("ssz")), "i")
-        .join(sigSide.select(col("doc_id").as("j"), col("sig").as("jsig")), "j")
+        .join(sigLookup(sigSide.select(col("doc_id").as("i"),
+          col("sig").as("isig"), col("ssz"))), "i")
+        .join(sigLookup(sigSide.select(col("doc_id").as("j"),
+          col("sig").as("jsig"))), "j")
         .filter(col("ssz") - missLB >= ceil(col("ssz") * theta))
         .select(col("i"), col("j"))).dropDuplicates("i", "j")
       val docsSide = ranked.select(col("doc_id"), col("ord"), col("sz"))
