@@ -268,6 +268,10 @@ object Probe {
         zip_with(col("isig"), col("jsig"),
           (a, b) => bit_count(a.bitwiseAND(b.bitwiseXOR(lit(-1L))))),
         lit(0), (acc, x) => acc + x)
+      // NOTE: this is the SHUFFLE-JOIN screen shape, kept as the
+      // counterfactual — it measured 159.7 s at sf100 (the pair stream
+      // reships with sig payloads), which is why the SHIPPED entries
+      // now broadcast the sig lookups under an 8M-doc budget.
       val screened = candDedup
         .join(sigs.select(col("doc_id").as("i"), col("sz"),
           col("sig").as("isig")), "i")
