@@ -48,4 +48,29 @@ class ContainmentSpec extends AnyFunSuite {
       assert(inline.nonEmpty)
     } finally sys.props.remove("graft.d19.forceJoinBack")
   }
+
+  test("d19's scale path plans no sort-merge join; sig-screen lookups broadcast") {
+    // Pins the r12b join discipline: the sf100 wall was sort-merge
+    // sorting the ~500M-row container-posting side (434 vs 94 s hashed)
+    // and the screen's shuffle-join lookups reshipping the pair stream
+    // (159.7 s). A Spark upgrade or config drift that silently reverts
+    // either choice fails here, not in a scale campaign.
+    sys.props.put("graft.d19.forceJoinBack", "1")
+    try {
+      val df = DedupQueries.d19Containment.fn(s, d)
+      df.collect() // execute so AQE finalizes every stage's plan
+      val nodes = flatten(df.queryExecution.executedPlan)
+      val smj = nodes.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j }
+      assert(smj.isEmpty,
+        s"sort-merge join leaked into the scale path: ${smj.map(_.verboseString(1))}")
+      val bhj = nodes.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j }
+      assert(bhj.size >= 2,
+        s"sig-screen lookups did not broadcast under the gate (got ${bhj.size} BHJ)")
+    } finally sys.props.remove("graft.d19.forceJoinBack")
+  }
+
+  private def flatten(p: org.apache.spark.sql.execution.SparkPlan) =
+    SparkTestBase.flattenPlan(p)
 }

@@ -53,6 +53,13 @@ class DedupSpec extends AnyFunSuite {
     } finally System.clearProperty("graft.d05.forceJoinBack")
   }
 
+  // d05's join-shape pin (no sort-merge join, broadcast sig lookups)
+  // lives in ContainmentSpec's d19 plan test: both entries share the
+  // same hint + sigLookup idiom, but d05's verify stage runs behind a
+  // Stage.materialize checkpoint, so its final executedPlan shows only
+  // the LogicalRDD scan — the joins are not inspectable from the
+  // returned DataFrame.
+
   test("MinHash LSH finds every planted pair with true Jaccard >= 0.9") {
     val truth = bruteForce(0.9).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val found = DedupQueries.d03MinHashLsh.fn(s, d)
