@@ -110,6 +110,38 @@ object Bench {
       catch { case scala.util.control.NonFatal(_) => () }
       System.gc(); Thread.sleep(500)
     }
+    // Box-speed calibration (VERDICT r12 item 5): cross-round bench totals
+    // had become drift-dominated (same-code walls spanning 14% on one day;
+    // the r11 binary re-measuring 1.3-1.4x slower a round later), and the
+    // drift correction was narrated, not recorded. These two pinned
+    // workloads are FROZEN — pure Spark built-ins over spark.range, no
+    // graft code, no input files — so their walls move only with the box
+    // (CPU contention, scheduler, JVM), never with engine changes. A
+    // round-over-round comparison divides by them: cpu_sec calibrates the
+    // codegen/compute axis (hash-reduce 4B longs), shuffle_sec the
+    // exchange axis (50M rows into 1M groups). Protocol: one warmup +
+    // min-of-2 each, syncQuiesce before every timed pass, measured BEFORE
+    // the catalog so no entry's garbage lands in the calibration.
+    def calibrate(): (Double, Double) = {
+      import org.apache.spark.sql.functions._
+      def run(df: => org.apache.spark.sql.DataFrame): Double = {
+        val t0 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      // bit_xor, not sum: summing the hashes overflows long under ANSI.
+      // 1B rows so the wall (~2 s at 8 cores) sits well above timer/
+      // scheduler noise — a 0.2 s workload would drift +-20% on its own.
+      def cpu() = run(spark.range(4000000000L).agg(bit_xor(xxhash64(col("id")))))
+      def shuffle() = run(spark.range(50000000L)
+        .groupBy(pmod(col("id"), lit(1000000L)).as("k")).count()
+        .agg(sum(col("count"))))
+      cpu(); shuffle() // warmup (JIT + codegen for the calibration plans)
+      syncQuiesce(); val c1 = cpu(); val s1 = shuffle()
+      syncQuiesce(); val c2 = cpu(); val s2 = shuffle()
+      (math.min(c1, c2), math.min(s1, s2))
+    }
+    val (calCpu, calShuffle) = calibrate()
     val results = if (mode == "1") {
       catalog.map(q => q.name -> runOnce(q))
     } else if (mode == "w1") {
@@ -168,7 +200,9 @@ object Bench {
     val protocol =
       s""""protocol_default":"$protocolDefault","protocol_overrides":${
         protocolOverrides.mkString("{", ",", "}")}"""
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$protocol,"sf":"$sfDir"}"""
+    val calibration =
+      f""""calibration":{"cpu_sec":$calCpu%.3f,"shuffle_sec":$calShuffle%.3f}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$protocol,$calibration,"sf":"$sfDir"}"""
     println(line)
     // The driver captures stdout with a bounded tail, and a 170-entry
     // queries map overflows it — two rounds running, BENCH_r*.json lost
@@ -199,7 +233,7 @@ object Bench {
     val rmap = results.toMap
     val compactQs = headline.flatMap(n => rmap.get(n).map(v => f""""$n":$v%.3f"""))
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$compactQs,"queries_full":"${out.toString}","n_queries":${results.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$compactQs,"queries_full":"${out.toString}","n_queries":${results.size},$calibration,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

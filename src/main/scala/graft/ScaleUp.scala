@@ -125,11 +125,23 @@ object ScaleUp {
       // up to 10 different documents (measured: a d19 probe on a chained
       // sf100 reported 56x candidate duplication where the prefix bound
       // caps it at ~11). Always scale single-hop from a base fixture.
-      keyCols.foreach { k =>
-        val mx = base.agg(max(col(k))).collect()(0).getAs[Number](0).longValue()
-        require(mx < Stride,
-          s"$t.$k max=$mx >= stride=$Stride: source was already scaled; " +
-            s"re-run single-hop from the base fixture with a larger factor")
+      // One scan for all key maxima (not one full-table agg per key), and
+      // an explicit failure on the empty/all-null case — max() returns
+      // null there, and getAs[Number].longValue() would NPE with no
+      // context instead of naming the broken fixture (ADVICE r12).
+      if (keyCols.nonEmpty) {
+        val maxRow = base.agg(max(col(keyCols.head)),
+          keyCols.tail.map(k => max(col(k))): _*).collect()(0)
+        keyCols.zipWithIndex.foreach { case (k, i) =>
+          val v = maxRow.get(i)
+          require(v != null,
+            s"$t.$k: max() is null — source table is empty or the key " +
+              s"column is all-null; fixture $src is unusable for scaling")
+          val mx = v.asInstanceOf[Number].longValue()
+          require(mx < Stride,
+            s"$t.$k max=$mx >= stride=$Stride: source was already scaled; " +
+              s"re-run single-hop from the base fixture with a larger factor")
+        }
       }
       val reps = base.withColumn("rep", explode(sequence(lit(0L), lit(factor - 1L))))
       val remapped = keyCols.foldLeft(reps) { (df, k) =>

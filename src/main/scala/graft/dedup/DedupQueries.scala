@@ -27,6 +27,28 @@ object DedupQueries {
   private def docs(s: SparkSession, d: String): DataFrame = Tables.t(s, d, "documents")
   private def toks = split(col("text"), " ")
 
+  /** Corpus-size budget for broadcasting the signature-screen lookup sides
+    * (shared by d05 and d19 — ADVICE r12: the constant was duplicated
+    * verbatim in both entries). Raw payload is ~88 B/doc (8 B doc_id +
+    * 8x8 B sig + size), so 6M docs is ~530 MB of rows — but Spark's
+    * in-memory HashedRelation typically inflates raw bytes 2-4x (UnsafeRow
+    * headers + the hash map's key/offset arrays), so the resident build
+    * side is ~1-2 GB: routine for a cluster-sized executor, and measured
+    * safe at the largest live point (5M docs, sf100). The default keeps a
+    * margin below the previously-hardcoded 8M; deployments with bigger
+    * executors can raise it per-run via -Dgraft.dedup.sigBroadcastMaxDocs.
+    * Above the budget the lookups fall back to shuffled-hash — sort-free
+    * at any scale, just not exchange-free. */
+  private[graft] def sigBroadcastMaxDocs: Long =
+    sys.props.get("graft.dedup.sigBroadcastMaxDocs").map(_.toLong)
+      .getOrElse(6000000L)
+
+  /** Budget-gated signature lookup: map-side (broadcast) under the budget
+    * so the candidate pair stream crosses NO exchange until the post-screen
+    * dedup; shuffled-hash (never sort-merge) above it. */
+  private def sigLookup(nDocs: Long)(df: DataFrame): DataFrame =
+    if (nDocs <= sigBroadcastMaxDocs) broadcast(df) else df.hint("shuffle_hash")
+
   /** Distinct word-3-gram shingles, lexicographically sorted (canonical
     * order shared by the prefix filter and the signature computations). */
   private def shingles: Column = sort_array(array_distinct(transform(
@@ -406,13 +428,12 @@ object DedupQueries {
         // Broadcast-gated sig lookups, d19's screen discipline (see its
         // scaladoc: two shuffle-join lookups reship the pair stream
         // with sig payloads; map-side lookups keep it exchange-free
-        // until the post-screen dedup).
-        def sigLookup(df: DataFrame): DataFrame =
-          if (nDocs <= 8000000L) broadcast(df) else df.hint("shuffle_hash")
+        // until the post-screen dedup). Budget + fallback are the
+        // shared sigBroadcastMaxDocs/sigLookup at the top of this file.
         val screened = cand
-          .join(sigLookup(sigSide.select(col("doc_id").as("i"),
+          .join(sigLookup(nDocs)(sigSide.select(col("doc_id").as("i"),
             col("sig").as("asig"), col("ssz").as("assz"))), "i")
-          .join(sigLookup(sigSide.select(col("doc_id").as("j"),
+          .join(sigLookup(nDocs)(sigSide.select(col("doc_id").as("j"),
             col("sig").as("bsig"), col("ssz").as("bssz"))), "j")
           .filter(least(col("assz") - missA, col("bssz") - missB) >= alphaS)
           .select(col("i"), col("j"))
@@ -1722,16 +1743,15 @@ object DedupQueries {
       // the 146M-row pair stream carrying the first join's 88 B sig
       // payload (~13 GB). Map-side lookups keep the pair stream inside
       // the candidate join's stage with NO exchange until the tiny
-      // post-screen dedup. Budget: 8M docs x ~88 B/row ~ 700 MB per
-      // executor — routine for a cluster-sized executor; above it, a
-      // shuffled-hash hint keeps the lookups sort-free at any scale.
-      def sigLookup(df: DataFrame): DataFrame =
-        if (nDocs <= 8000000L) broadcast(df) else df.hint("shuffle_hash")
+      // post-screen dedup. Budget + fallback are the shared
+      // sigBroadcastMaxDocs/sigLookup at the top of this file (sizing
+      // rationale, HashedRelation inflation, and the sys-prop override
+      // documented there).
       val screened = (if (sys.props.contains("graft.d19.noScreen")) cand
       else cand
-        .join(sigLookup(sigSide.select(col("doc_id").as("i"),
+        .join(sigLookup(nDocs)(sigSide.select(col("doc_id").as("i"),
           col("sig").as("isig"), col("ssz"))), "i")
-        .join(sigLookup(sigSide.select(col("doc_id").as("j"),
+        .join(sigLookup(nDocs)(sigSide.select(col("doc_id").as("j"),
           col("sig").as("jsig"))), "j")
         .filter(col("ssz") - missLB >= ceil(col("ssz") * theta))
         .select(col("i"), col("j"))).dropDuplicates("i", "j")

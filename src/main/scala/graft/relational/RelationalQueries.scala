@@ -3426,7 +3426,10 @@ object RelationalQueries {
        |FROM r WHERE rn <= 5000
        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
-    val n = 5000L
+    // N is overridable for scale probes ONLY (PROBE_TOPN runs the same
+    // code at N=10M to validate the scaladoc's "N changes only the
+    // constant" claim); the default matches the oracle's rn <= 5000.
+    val n = sys.props.get("graft.q101.n").map(_.toLong).getOrElse(5000L)
     val li = Tables.t(s, d, "lineitem")
       .select(col("l_returnflag"), col("l_extendedprice"),
         col("l_orderkey"), col("l_linenumber"))
@@ -3519,7 +3522,9 @@ object RelationalQueries {
        |  MAX(l_extendedprice) AS max_price
        |FROM r WHERE rn <= 20000
        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
-    sampledTopn(s, d, 20000L)
+    // same probe-only N override contract as q101 (default = oracle's N)
+    sampledTopn(s, d,
+      sys.props.get("graft.q102.n").map(_.toLong).getOrElse(20000L))
   }
 
   /** The q102 algorithm with the target N as a parameter (the spec

@@ -43,6 +43,66 @@ object Probe {
       println(f"[probe] $tag%-28s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
     }
     sys.env.get("PROBE_SHUF").foreach(n => spark.conf.set("spark.sql.shuffle.partitions", n))
+    if (sys.env.contains("PROBE_TOPN")) {
+      // VERDICT r12 item 6: validate the q101/q102 scaladoc claim that a
+      // 10M-row N "changes nothing but the constant". Runs both entries
+      // with the probe-only N override at TOPN_N (default 10M), prints
+      // the wall, checks the selected multiset size is EXACTLY
+      // min(N, corpus), and re-asserts the DistributedTopnSpec plan
+      // invariant at this N — no single-partition window in ANY of the
+      // run's executed plans (including the materialized sample/walk
+      // sub-jobs, via the listener) processed more than the recursion's
+      // 16384-row bound.
+      graft.plans.GraftEngine.install(spark)
+      val n = sys.env.getOrElse("TOPN_N", "10000000").toLong
+      val captured = new java.util.concurrent.ConcurrentLinkedQueue[
+        org.apache.spark.sql.execution.QueryExecution]()
+      spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(f: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
+          { captured.add(qe); () }
+        override def onFailure(f: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+      })
+      def flat(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => flat(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => flat(q.plan)
+        case o => o +: (o.children ++ o.subqueries).flatMap(flat)
+      }
+      val corpus = graft.Tables.t(spark, d, "lineitem").count()
+      Seq(
+        ("q101", "graft.q101.n",
+          () => graft.relational.RelationalQueries.q101DistributedTopn.fn(spark, d)),
+        ("q102", "graft.q102.n",
+          () => graft.relational.RelationalQueries.q102SampledTopn.fn(spark, d))
+      ).foreach { case (tag, prop, mk) =>
+        captured.clear()
+        sys.props.put(prop, n.toString)
+        try {
+          val t0 = System.nanoTime()
+          val rows = mk().collect()
+          val wall = (System.nanoTime() - t0) / 1e9
+          val selected = rows.map(_.getLong(1)).sum
+          var prev = -1; var spins = 0
+          while (prev != captured.size && spins < 100) {
+            prev = captured.size; Thread.sleep(100); spins += 1 }
+          import scala.jdk.CollectionConverters._
+          val globalWins = captured.asScala.toSeq
+            .flatMap(qe => flat(qe.executedPlan))
+            .collect { case w: org.apache.spark.sql.execution.window.WindowExec
+              if w.partitionSpec.isEmpty => w }
+          val maxWin = (0L +: globalWins.map(
+            _.metrics.get("numOutputRows").map(_.value).getOrElse(-1L))).max
+          val countOk = selected == math.min(n, corpus)
+          val winOk = maxWin <= 16384L
+          println(f"[probe] $tag N=$n%,d wall=$wall%.1f s selected=$selected%,d " +
+            f"(expect ${math.min(n, corpus)}%,d ${if (countOk) "OK" else "MISMATCH"}) " +
+            f"max-global-window-rows=$maxWin%,d ${if (winOk) "OK" else "UNBOUNDED"}")
+        } finally { sys.props.remove(prop); graft.Stage.release() }
+      }
+      spark.stop(); sys.exit(0)
+    }
     if (sys.env.contains("PROBE_D10")) {
       val e = graft.Tables.t(spark, d, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -241,15 +301,6 @@ object Probe {
         .join(docsSide.select(col("doc_id").as("i"),
           col("ord").as("ord"), col("sz").as("sz")), "i")
         .join(docsSide.select(col("doc_id").as("j"), col("ord").as("jord")), "j")
-      // The unscreened array join-back is measured DEAD at sf100 (it
-      // exhausted the box's disk mid-shuffle on 141.7M pairs x ~3.2 KB
-      // of ord arrays), so it only runs under D19_FAT=1 and after the
-      // screen stages below have already reported.
-      if (sys.env.contains("D19_FAT"))
-        time("arrays-noCPU")(withBoth
-          .select(col("i"), col("j"),
-            (size(col("ord")) + size(col("jord"))).as("w"))
-          .filter(col("w") >= 0))
       val sigs = {
         val aggs = Seq(count(lit(1)).as("sz")) ++ (0 until 8).map(k =>
           coalesce(bit_or(when((col("slot") / 64).cast("int") === k,
@@ -280,6 +331,17 @@ object Probe {
         .select(col("i"), col("j"), col("sz"))
       time("sig-screen")(screened)
       println(s"[probe] screen-survivors = ${screened.count()}")
+      // The unscreened array join-back is measured DEAD at sf100 (it
+      // exhausted the box's disk mid-shuffle on 141.7M pairs x ~3.2 KB
+      // of ord arrays), so it only runs under D19_FAT=1, and only AFTER
+      // the screen stages above have reported — a D19_FAT disk-death
+      // must not take the screen measurements down with it (ADVICE r12:
+      // this block used to run first, contradicting its own comment).
+      if (sys.env.contains("D19_FAT"))
+        time("arrays-noCPU")(withBoth
+          .select(col("i"), col("j"),
+            (size(col("ord")) + size(col("jord"))).as("w"))
+          .filter(col("w") >= 0))
       val containment = size(array_intersect(col("ord"), col("jord")))
         .cast("double") / col("sz").cast("double")
       if (sys.env.contains("D19_FAT"))

@@ -53,4 +53,51 @@ object SparkTestBase {
       Thread.sleep(50); prev = cur; cur = current(); spins += 1
     }
   }
+
+  /** Scoped session-conf override (restores prior values on exit). Test
+    * suites share one session and run sequentially in the forked JVM, so
+    * a scoped set/restore is race-free — same contract the existing
+    * sys.props-mutating specs already rely on. */
+  def withSQLConf[T](pairs: (String, String)*)(body: => T): T = {
+    val olds = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally olds.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  /** Every physical node of every query execution that completes while
+    * `body` runs — INCLUDING actions buried inside an entry
+    * (Stage.materialize's eager localCheckpoint goes through
+    * Dataset.withAction, so the listener hands us the QueryExecution
+    * that actually ran, post-AQE). This is how a spec inspects plan
+    * shape past a checkpoint boundary, where the returned DataFrame
+    * shows only a LogicalRDD scan. `expectMin` bounds the async wait:
+    * we poll until at least that many executions arrived (10 s cap),
+    * then drain until the bus goes quiet. */
+  def executedPlans(expectMin: Int)(body: => Unit)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    val captured = new java.util.concurrent.ConcurrentLinkedQueue[
+      org.apache.spark.sql.execution.QueryExecution]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = { captured.add(qe); () }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      body
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (captured.size < expectMin && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      drainListener(() => captured.size.toLong)
+    } finally spark.listenerManager.unregister(listener)
+    import scala.jdk.CollectionConverters._
+    captured.asScala.toSeq.flatMap(qe => flattenPlan(qe.executedPlan))
+  }
 }

@@ -49,21 +49,45 @@ class ContainmentSpec extends AnyFunSuite {
     } finally sys.props.remove("graft.d19.forceJoinBack")
   }
 
-  test("d19's scale path plans no sort-merge join; sig-screen lookups broadcast") {
+  test("d19's scale path plans no posting-stream sort-merge join; sig-screen lookups broadcast") {
     // Pins the r12b join discipline: the sf100 wall was sort-merge
     // sorting the ~500M-row container-posting side (434 vs 94 s hashed)
     // and the screen's shuffle-join lookups reshipping the pair stream
     // (159.7 s). A Spark upgrade or config drift that silently reverts
     // either choice fails here, not in a scale campaign.
+    //
+    // Strengthened per ADVICE r12: at sf0.001 every small side auto-
+    // broadcasts, so a bare no-SMJ assert was near-vacuous — AQE would
+    // hide a silently-reverted shuffle_hash hint. With BOTH broadcast
+    // thresholds disabled in scope, the hint (and the explicit
+    // broadcast() on the sig lookups) is the ONLY thing standing
+    // between each join and a sort-merge plan, so we can assert the
+    // full join inventory positively: at least one SHUFFLED-HASH join
+    // (the candidate join's hint held), >=2 broadcast joins (the gated
+    // sig lookups held), and any surviving SMJ confined to the
+    // survivor-bound (i, j) join-backs — which AQE broadcast-converts
+    // in production (survivors measured ~505k rows at sf100) and which
+    // only degrade to SMJ here because this scope forbids broadcast.
     sys.props.put("graft.d19.forceJoinBack", "1")
-    try {
+    try SparkTestBase.withSQLConf(
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
       val df = DedupQueries.d19Containment.fn(s, d)
       df.collect() // execute so AQE finalizes every stage's plan
       val nodes = flatten(df.queryExecution.executedPlan)
       val smj = nodes.collect {
         case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j }
-      assert(smj.isEmpty,
-        s"sort-merge join leaked into the scale path: ${smj.map(_.verboseString(1))}")
+      val badSmj = smj.filterNot(j =>
+        (j.leftKeys ++ j.rightKeys).flatMap(_.references).map(_.name)
+          .toSet.subsetOf(Set("i", "j")))
+      assert(badSmj.isEmpty,
+        s"sort-merge join leaked onto a posting/candidate stream: " +
+          badSmj.map(_.verboseString(1)))
+      val shj = nodes.collect {
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j }
+      assert(shj.nonEmpty,
+        "candidate join is not shuffled-hash — the shuffle_hash hint drifted " +
+          "(at sf100 the un-hinted SMJ sorts the ~500M-row posting side: 434 vs 94 s)")
       val bhj = nodes.collect {
         case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j }
       assert(bhj.size >= 2,

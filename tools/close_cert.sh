@@ -36,8 +36,17 @@ tools/run.sh graft.Smoke 2>/dev/null | tail -1 | grep -q PASS \
   || { echo "FAIL: smoke"; FAIL=1; }
 
 echo "=== 4/5 sf1 sampled truth for d05/d19 (reruns only if their code changed)"
-# certification key: the dedup implementation + the truth script itself
-CUR=$(cat src/main/scala/graft/dedup/DedupQueries.scala tools/sampled_truth.py | md5sum | cut -d' ' -f1)
+# Certification key: EVERY file d05/d19's plan flows through, not just the
+# entry file (VERDICT r12 margin item 2: the stamp keyed on DedupQueries +
+# the truth script only, so an edit to the broadcast-lookup expressions,
+# the layout widener, the table loader, or the fixture generator would NOT
+# invalidate it — the exact staleness class the stamp exists to kill).
+CUR=$(cat src/main/scala/graft/dedup/DedupQueries.scala \
+          src/main/scala/graft/functions/SortedLongContains.scala \
+          src/main/scala/graft/Layout.scala \
+          src/main/scala/graft/Tables.scala \
+          src/main/scala/graft/ScaleUp.scala \
+          tools/sampled_truth.py | md5sum | cut -d' ' -f1)
 if [[ -f "$STAMP" && "$(cat "$STAMP")" == "$CUR" ]]; then
   echo "sampled-truth certification current (key $CUR)"
 elif [[ ! -d "$SF1_DIR" ]]; then
