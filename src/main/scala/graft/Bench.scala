@@ -149,6 +149,18 @@ object Bench {
       // measure steady-state, not the warmup pass's pending garbage
       System.gc(); Thread.sleep(2000)
       catalog.map(q => q.name -> runOnce(q))
+    } else if (mode == "w3") {
+      // WARM min-of-3 (VERDICT r12 item 3): the sf100 ladder protocol was
+      // warm1-at-sf10 / cold1-at-sf100, so every "x/decade" on the last
+      // decade carried a ~1.2-1.5x cold-page penalty and the true warm
+      // exponent was inferred, not measured. One warmup pass (pages + JIT)
+      // then three measured passes with a sync quiesce before each, min —
+      // the warm analog of the heavy tier's min-of-3.
+      catalog.foreach(runOnce)
+      catalog.map { q =>
+        val ts = (1 to 3).map { _ => syncQuiesce(); runOnce(q) }
+        q.name -> (if (ts.forall(_ < 0)) -1.0 else ts.filter(_ >= 0).min)
+      }
     } else {
       catalog.foreach(runOnce) // warmup pass (JIT + codegen cache)
       // Two measured passes, min per query: single-pass numbers on a busy
@@ -192,10 +204,11 @@ object Bench {
     val protocolDefault = mode match {
       case "1" => "cold1"
       case "w1" => "warm1"
+      case "w3" => "warm-min3-sync"
       case _ => "min2-sync"
     }
     val protocolOverrides =
-      if (mode == "1" || mode == "w1") Nil
+      if (mode == "1" || mode == "w1" || mode == "w3") Nil
       else catalog.map(_.name).filter(heavyTier).map(n => s""""$n":"min3-sync"""")
     val protocol =
       s""""protocol_default":"$protocolDefault","protocol_overrides":${

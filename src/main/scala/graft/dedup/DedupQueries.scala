@@ -133,7 +133,18 @@ object DedupQueries {
     val est = size(filter(
       zip_with(col("sig_i"), col("sig_j"), (x, y) => x === y), v => v))
       .cast("double") / P
-    bands.as("a")
+    // SORT-MERGE retained after a measured A/B (r13 SMJ sweep): the
+    // audit flagged this join's shape (4M-row banded posting stream
+    // sorted to emit 183k candidates at sf10), but hinting it
+    // shuffled-hash measured SLOWER — 13.2 -> 15.2 s w1/isolated —
+    // because both sides carry the 32-perm signature payload
+    // (~300 B/row, deliberately riding along so verification needs no
+    // join-back; see above), and a 4M-row hash build over fat rows
+    // costs more than the sort saves at this width. The probe-only
+    // graft.d03.shj toggle re-runs the A/B at any scale without a
+    // recompile; flip the default only with a measurement.
+    (if (sys.props.contains("graft.d03.shj")) bands.hint("shuffle_hash")
+     else bands).as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
           && col("a.doc_id") < col("b.doc_id"))
@@ -177,6 +188,13 @@ object DedupQueries {
       posexplode(array((0 until 4).map(b =>
         shiftrightunsigned(col("sim"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
         .as(Seq("blk", "blkval")))
+    // SORT-MERGE retained after a measured A/B (r13 SMJ sweep): hinting
+    // this self-join shuffled-hash measured 17.7 -> 19.3 s at sf10
+    // (w3 min-of-3) even though the block rows are 28 B lean — the
+    // self-join's heavily duplicated (blk, blkval) keys make the hash
+    // build's per-key chains pay more than the sort's run-length merge
+    // saves. Like d03: the audit's flag is a hypothesis, the A/B is the
+    // verdict.
     blocks.as("a")
       .join(blocks.as("b"),
         col("a.blk") === col("b.blk") && col("a.blkval") === col("b.blkval")
@@ -524,12 +542,31 @@ object DedupQueries {
         concat_ws(" ", slice(col("toks"), 1, 3)).as("pre"),
         concat_ws(" ", slice(col("toks"), -3, 3)).as("suf"))
 
+  /** Budget-gated lookup for the CC kernels (r13 SMJ sweep): the lookup
+    * sides here are |V|-row bare-long tables (labels, nbrMin, parents,
+    * block hubs), so under ~2M nodes (≈32 MB of rows) an explicit
+    * broadcast makes every loop join map-side; above it, shuffled-hash
+    * keeps the corpus/edge stream sort-free at any scale. The gate
+    * matters in BOTH directions — the first sweep pass hinted
+    * shuffle_hash unconditionally and d18 regressed 13.3 → 16.0 s at
+    * sf10 because its contracted-delta loop (66k nodes) lost the
+    * broadcast AQE had been picking; gated, the small regime keeps
+    * broadcast and the large regime never sorts. */
+  private def ccLookup(nV: Long)(df: DataFrame): DataFrame =
+    if (nV <= sys.props.get("graft.cc.broadcastMaxNodes").map(_.toLong)
+        .getOrElse(2000000L)) broadcast(df)
+    else df.hint("shuffle_hash")
+
   private def ccFromKeyed(s: SparkSession, keyed: DataFrame): DataFrame = {
+    val nDocs = keyed.count()
     def blockEdges(k: String) = {
       val hub = keyed.groupBy(col(k).as("key"))
         .agg(min(col("doc_id")).as("u"), count(lit(1)).as("n"))
         .filter(col("n") > 1)
-      keyed.join(hub, col(k) === col("key"))
+      // gated hash/broadcast, never sort-merge: the corpus-side stream
+      // (all docs) dwarfs the hub table (blocks with >1 member) AND the
+      // output — sorting it buys nothing (r13 SMJ sweep)
+      keyed.join(ccLookup(nDocs)(hub), col(k) === col("key"))
         .filter(col("doc_id") =!= col("u"))
         .select(col("u"), col("doc_id").as("v"))
     }
@@ -546,18 +583,28 @@ object DedupQueries {
       .repartition(loopWidth).localCheckpoint()
     var labels = nodes.select(col("id"), col("id").as("comp"))
       .repartition(loopWidth).localCheckpoint()
+    val nV = labels.count()
     var prevSum = -1L
     var curSum = 0L
     var round = 0
     Widths.withWidth(s, loopWidth) {
       while (curSum != prevSum && round < 25) {
-        val nbrMin = edges.join(labels, edges("v") === labels("id"))
+        // Loop lookups ride ccLookup (r13 SMJ sweep): every lookup side
+        // is a |V|-row bare-long table (labels, the per-round nbrMin,
+        // parents) — broadcast under the 2M-node budget, shuffled-hash
+        // above it, NEVER sort-merge: the audit caught the pointer jump
+        // sorting both 500k-row sides every round x5 rounds at sf10,
+        // and at sf100 the nbrMin/stepped lookups stop auto-broadcasting
+        // and would degrade to per-round edge-stream sorts.
+        val nbrMin = edges.join(ccLookup(nV)(labels),
+            edges("v") === labels("id"))
           .groupBy(col("u").as("nid")).agg(min(col("comp")).as("ncomp"))
-        val stepped = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
+        val stepped = labels.join(ccLookup(nV)(nbrMin),
+            labels("id") === nbrMin("nid"), "left")
           .select(col("id"), least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
         val pinned = stepped.localCheckpoint()
         val parents = pinned.select(col("id").as("pid"), col("comp").as("pcomp"))
-        labels = pinned.join(parents, pinned("comp") === parents("pid"))
+        labels = pinned.join(ccLookup(nV)(parents), pinned("comp") === parents("pid"))
           .select(col("id"), col("pcomp").as("comp"))
           .localCheckpoint()
         prevSum = curSum
@@ -1007,10 +1054,14 @@ object DedupQueries {
       (size(array_distinct(toks)) / size(toks)).as("ttr"))
     val sizes = comp.groupBy("component").agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy("component").orderBy(col("ttr").desc, col("doc_id"))
-    comp.join(q, "doc_id")
+    // lookup sides ride ccLookup (r13 SMJ sweep): q and sizes are
+    // |V|-row lean tables — broadcast under the node budget, hashed
+    // above it, never a |V|-row sort
+    val nDocs = docs(s, d).count()
+    comp.join(ccLookup(nDocs)(q), "doc_id")
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 1)
-      .join(sizes, "component")
+      .join(ccLookup(nDocs)(sizes), "component")
       .select(col("component"), col("n_docs"),
         col("doc_id").as("rep_doc_id"), col("ttr").as("rep_ttr"))
       .orderBy("component")
@@ -1070,8 +1121,14 @@ object DedupQueries {
     // expansion, both aggs map-side-combine on the seed key
     val dfc = g.groupBy("gh", "doc_id").agg(count(lit(1)).as("occ"))
       .groupBy("gh").agg(count(lit(1)).as("df"))
-    val seeds = g.join(dfc.filter(col("df").between(2, 64)), "gh")
-    val m = seeds.as("a").join(seeds.as("b"),
+    // Both gram joins are shuffled-HASH (r13 SMJ sweep): the df lookup
+    // sorted the FULL corpus gram stream (one row per token) to keep the
+    // df-2..64 survivors, and the seed self-join sorted both survivor
+    // streams for a df-capped match volume. Rows are lean (gh + doc_id
+    // + pos, 24 B) — the d04 regime, not d03's fat-row one; A/B in
+    // SCALE.md's r13 table.
+    val seeds = g.join(dfc.filter(col("df").between(2, 64)).hint("shuffle_hash"), "gh")
+    val m = seeds.hint("shuffle_hash").as("a").join(seeds.as("b"),
         col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
         col("a.pos").as("pa"), (col("a.pos") - col("b.pos")).as("diag"))
@@ -1366,9 +1423,10 @@ object DedupQueries {
       |FROM sp GROUP BY split ORDER BY split""".stripMargin) { (s, d) =>
     val pct = conv(substring(md5(col("component").cast("string")), 1, 8), 16, 10)
       .cast("long") % 100
+    // the labels lookup is |V|-row lean — ccLookup (r13 SMJ sweep)
     docs(s, d).select("doc_id", "n_chars")
-      .join(ccLabels(s, d)
-          .select(col("id").as("doc_id"), col("comp").as("component")),
+      .join(ccLookup(docs(s, d).count())(ccLabels(s, d)
+          .select(col("id").as("doc_id"), col("comp").as("component"))),
         Seq("doc_id"))
       .select(col("n_chars"), col("component"), pct.as("pct"))
       .select(
@@ -1449,30 +1507,43 @@ object DedupQueries {
         concat(lit("S:"), col("suf")))).as("key"), col("doc_id"))
     // each old doc's keys, mapped to its component: per key at most one
     // distinct comp survives the distinct (see scaladoc invariant)
+    // All lookup joins below ride ccLookup (r13 SMJ sweep): the lookup
+    // sides are delta-/batch-/|V|-bounded lean tables, and the audit
+    // caught the un-hinted shapes sorting the melted key stream (802k
+    // rows for an 18k output at sf10) and re-sorting |V|-row label
+    // tables that a hash build passes through linearly.
+    val nOld = keyed.filter(!isNew).count()
     val oldKeyComp = melt(keyed.filter(!isNew))
-      .join(oldLabels, col("doc_id") === col("id"))
+      .join(ccLookup(nOld)(oldLabels), col("doc_id") === col("id"))
       .select(col("key"), col("comp")).distinct()
     val newKeys = melt(newKeyed)
-    // contracted members per touched key: its new docs + its old component
-    val members = newKeys.select(col("key"), col("doc_id").as("m"))
-      .union(oldKeyComp
-        .join(newKeys.select("key").distinct(), Seq("key"))
-        .select(col("key"), col("comp").as("m")))
+    // contracted members per touched key: its new docs + its old
+    // component — PINNED: three consumers (hub, e0, deltaNodes) would
+    // otherwise re-evaluate the melt+labels join subtree once each
+    // (the audit's triplicated (doc_id, id) join)
+    val members = Stage.materialize(s,
+      newKeys.select(col("key"), col("doc_id").as("m"))
+        .union(oldKeyComp
+          .join(ccLookup(nOld)(newKeys.select("key").distinct()), Seq("key"))
+          .select(col("key"), col("comp").as("m"))),
+      "d18members")
     val hub = members.groupBy("key")
       .agg(min(col("m")).as("u"), count(lit(1)).as("n"))
       .filter(col("n") > 1)
-    val e0 = members.join(hub, Seq("key"))
+    val e0 = members.join(ccLookup(nOld)(hub), Seq("key"))
       .filter(col("m") =!= col("u"))
       .select(col("u"), col("m").as("v")).distinct()
     val deltaNodes = members.select(col("m").as("id")).distinct()
     val deltaLabels = ccLoop(s, e0, deltaNodes)
     val remappedOld = oldLabels
-      .join(deltaLabels.select(col("id").as("ocomp"), col("comp").as("root")),
+      .join(ccLookup(nOld)(
+          deltaLabels.select(col("id").as("ocomp"), col("comp").as("root"))),
         oldLabels("comp") === col("ocomp"), "left")
       .select(col("id").as("doc_id"),
         coalesce(col("root"), col("comp")).as("component"))
     val newRows = deltaLabels
-      .join(newKeyed.select("doc_id"), deltaLabels("id") === col("doc_id"))
+      .join(ccLookup(nOld)(newKeyed.select("doc_id")),
+        deltaLabels("id") === col("doc_id"))
       .select(col("doc_id"), col("comp").as("component"))
     val result = remappedOld.union(newRows)
       .withColumn("arrived_today", col("doc_id") % 10 === 0)

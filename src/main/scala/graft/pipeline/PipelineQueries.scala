@@ -357,14 +357,22 @@ object PipelineQueries {
       // rank so each wedge appears once; closure = oriented edge v->w
       val e1 = oriented.select(col("u"), col("v"), col("dv"))
       val e2 = oriented.select(col("u"), col("v").as("w"), col("dv").as("dw"))
-      val wedges = e1.join(e2, Seq("u"))
+      // Both kernel joins are shuffled-HASH, not sort-merge (r13 SMJ
+      // sweep — this entry was the audit's worst flag): the closure
+      // join sorted the 140M-row wedge stream at sf10 to emit 13.7M
+      // triangles, and the wedge join sorted both 23M-row oriented
+      // streams to emit wedges. The build sides (oriented edges) are
+      // |E|-row and hash-partitioned across the data-scaled width, so
+      // the per-task build map stays bounded at any scale.
+      val wedges = e1.join(e2.hint("shuffle_hash"), Seq("u"))
         .filter(col("dv") < col("dw") || (col("dv") === col("dw") && col("v") < col("w")))
         .select("v", "w")
       // closure on the (v,w) equi key; at this |E| the shuffle join
       // beats a broadcast of the edge list (driver-side HashedRelation
       // build for 1M+ rows measured slower than the exchange it saves)
       val tri = wedges.join(
-        oriented.select(col("u").as("v"), col("v").as("w")), Seq("v", "w"))
+        oriented.select(col("u").as("v"), col("v").as("w")).hint("shuffle_hash"),
+        Seq("v", "w"))
       // materialized INSIDE the width scope: the wedge/closure shuffles
       // plan at action time, which must happen before the conf restores
       // (the returned frame is then a checkpoint scan)
@@ -549,8 +557,11 @@ object PipelineQueries {
       |SELECT dist, COUNT(*) AS n_vertices FROM d
       |GROUP BY dist ORDER BY dist""".stripMargin) { (s, d) =>
     Tables.t(s, d, "orders").createOrReplaceTempView("orders")
+    // same shuffled-hash edge build as p05's (r13 SMJ sweep: this copy
+    // had been left sort-merge — 60M fact rows sorted for a 60M-row
+    // output while p05's identical join hashes)
     val raw = Tables.t(s, d, "lineitem")
-      .join(Tables.t(s, d, "orders"),
+      .join(Tables.t(s, d, "orders").hint("shuffle_hash"),
         col("l_orderkey") === col("o_orderkey"))
       .select((col("o_custkey") * 2).as("c"),
         (col("l_suppkey") * 2 + 1).as("s"))

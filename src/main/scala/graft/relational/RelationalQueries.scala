@@ -2194,8 +2194,15 @@ object RelationalQueries {
         .join(broadcast(dim), col("o_year") === col("y"))
         .filter(col("y_tag") === "odd")
         .select("o_orderkey", "o_orderpriority", "o_year")
+      // hash, not sort-merge, for the fact join (r13 SMJ sweep): the
+      // sort paid on the bloom-filtered 14.7M-row lineitem stream (sf10)
+      // buys nothing for a 2.6M-row aggregate input; the pruned-orders
+      // build side is year-filtered and bounded. The runtime bloom
+      // injects on shuffle joins of either flavor, so the scan-side
+      // pruning this entry exists to prove is unchanged (oracle + the
+      // PushdownSpec assertions re-run green).
       val agg = li(s, d).select("l_orderkey", "l_quantity")
-        .join(pruned, col("l_orderkey") === col("o_orderkey"))
+        .join(pruned.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
         .groupBy("o_year", "o_orderpriority")
         .agg(count(lit(1)).as("n_items"), sum(col("l_quantity")).as("total_qty"))
       val w = Window.partitionBy("o_year")

@@ -399,7 +399,11 @@ object Probe {
       }
       spark.streams.addListener(listener)
       val names = Seq("st21_stream_neardup", "st16_timer_session_expiry",
-        "st17_chained_windows", "st18_state_reader")
+        "st17_chained_windows", "st18_state_reader",
+        // st23 next to st21: same corpus, same band machinery — the delta
+        // in maxStateRows IS the retention design's bound (st21 holds
+        // every band ever seen; st23 holds the retention working set)
+        "st23_bounded_state_neardup")
       for (name <- names) {
         rec.synchronized(rec.clear())
         val q = graft.SparkEntry.catalog.find(_.name == name).get

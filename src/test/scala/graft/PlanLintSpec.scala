@@ -94,6 +94,74 @@ class PlanLintSpec extends AnyFunSuite {
     assert(violations.isEmpty, violations.mkString("\n"))
   }
 
+  /** SMJ tripwire for the dedup tier (r13 sweep follow-through): the
+    * round-12/13 campaigns kept finding the same disease — a sort-merge
+    * join whose sorted input dwarfs its output, where a shuffled-hash
+    * join passes the stream through linearly (d19's candidate join: 434
+    * vs 94 s at sf100; d03's banded self-join; the CC loops' pointer
+    * jumps). Every dedup entry now runs with BOTH broadcast thresholds
+    * disabled — so AQE cannot paper over a lost hint at test SF — and
+    * any sort-merge join not on the explicit allowlist is a failure.
+    * A new entry (or a refactor that drops a hint) gets linted
+    * automatically just by existing. */
+  private val allowedDedupSmj: Map[String, Set[Set[String]]] = Map(
+    // d05/d19: (i, j) survivor join-backs — survivor-bound streams that
+    // AQE broadcast-converts in production (ContainmentSpec/DedupSpec
+    // force the scale paths and pin their full join inventory; this
+    // lint covers the default paths). Their inline candidate joins
+    // (ptok / ptok,tok) are the FAT-ROW regime: ord arrays ride the
+    // join deliberately (no join-back below the 2M/20k-doc crossovers),
+    // and d03's measured A/B (SMJ 9.6 vs SHJ 11.8 s at sf10) showed the
+    // hash build loses on rows this wide — SMJ retained by measurement.
+    "d05_ngram_jaccard" -> Set(Set("i", "j"), Set("ptok")),
+    "d19_containment" -> Set(Set("i", "j"), Set("ptok", "tok")),
+    // d03: measured no-action (SCALE.md r13 A/B table) — the banded
+    // self-join carries the 32-perm signature payload (~300 B/row) so
+    // verification needs no join-back; the fat-row hash build measured
+    // 19% slower than the sort it replaces. -Dgraft.d03.shj re-runs the
+    // A/B at any scale without a recompile.
+    "d03_minhash_lsh" -> Set(Set("band", "bkey")),
+    // d08/d09: the exact-confirm anti-join vs history. Under this
+    // lint's broadcast-disabled scope it degrades to SMJ, but the
+    // production path bloom-routes the batch down to |hits| and
+    // broadcasts it (their scaladocs); the SMJ here is an artifact of
+    // the lint config, same class as the (i, j) join-backs above.
+    "d08_bloom_incremental" -> Set(Set("h")),
+    "d09_sharded_bloom" -> Set(Set("h")),
+    // d10: per-round co-partitioned rejoins on the pinned vec_id/cell
+    // layout — the r11 re-engineering measured the full entry at
+    // 8.8x/decade to sf100; the sorted streams are id-width and linear
+    // in |V|. Revisit only if the ladder bends.
+    "d10_semantic_dedup" -> Set(Set("vec_id"), Set("cell")),
+    // d11: the md5-portable dual is doc_id < 100 bounded by
+    // construction — nothing here is corpus-scale.
+    "d11_simhash_portable" -> Set(Set("blk", "blkval")),
+    // d04: measured no-action like d03 (SMJ 17.7 vs SHJ 19.3 s at sf10,
+    // w3) — the self-join's heavily duplicated block keys favor the
+    // sort's run-length merge over hash chains.
+    "d04_simhash" -> Set(Set("blk", "blkval")))
+
+  test("dedup tier plans no unexpected sort-merge join (broadcast disabled)") {
+    SparkTestBase.withSQLConf(
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      val violations = graft.dedup.DedupQueries.all.flatMap { q =>
+        val nodes = SparkTestBase.executedPlans(expectMin = 1) {
+          q.fn(s, d).collect()
+        }
+        nodes.collect {
+            case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j }
+          .map(j => (j.leftKeys ++ j.rightKeys).flatMap(_.references)
+            .map(_.name).toSet)
+          .filterNot(ks => allowedDedupSmj.getOrElse(q.name, Set.empty)
+            .exists(_.subsetOf(ks)))
+          .map(ks => s"${q.name}: sort-merge join on keys $ks — hash it " +
+            "(hint(\"shuffle_hash\")) or allowlist it with a bounded-sort argument")
+      }
+      assert(violations.isEmpty, violations.mkString("\n"))
+    }
+  }
+
   /** Regression tripwires for the two plan properties the scale story
     * leans on hardest: the hot relational path stays inside whole-stage
     * codegen, and selective scans keep their pushed filters. A refactor
