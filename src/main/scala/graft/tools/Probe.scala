@@ -88,12 +88,25 @@ object Probe {
           while (prev != captured.size && spins < 100) {
             prev = captured.size; Thread.sleep(100); spins += 1 }
           import scala.jdk.CollectionConverters._
-          val globalWins = captured.asScala.toSeq
-            .flatMap(qe => flat(qe.executedPlan))
-            .collect { case w: org.apache.spark.sql.execution.window.WindowExec
-              if w.partitionSpec.isEmpty => w }
-          val maxWin = (0L +: globalWins.map(
-            _.metrics.get("numOutputRows").map(_.value).getOrElse(-1L))).max
+          val nodes = captured.asScala.toSeq.flatMap(qe => flat(qe.executedPlan))
+          val allWins = nodes.collect {
+            case w: org.apache.spark.sql.execution.window.WindowExec => w }
+          val globalWins = allWins.filter(_.partitionSpec.isEmpty)
+          // WindowExec itself reports only spillSize in this Spark
+          // version (no numOutputRows — a naive metrics.get here is
+          // vacuously 0/-1), so the window's volume is read from the
+          // nearest DESCENDANT that does report rows: the exchange's
+          // shuffle-records counters or any numOutputRows below it.
+          def rowsInto(w: org.apache.spark.sql.execution.SparkPlan): Long =
+            flat(w).drop(1).iterator.flatMap(n => n.metrics.collectFirst {
+              case (k, m) if k == "numOutputRows" ||
+                k.toLowerCase.contains("records") => m.value
+            }).toSeq.headOption.getOrElse(-1L)
+          val winRows = globalWins.map(rowsInto)
+          val maxWin = (0L +: winRows).max
+          println(s"[probe]   ($tag captured ${captured.size} executions, " +
+            s"${allWins.size} windows total, ${globalWins.size} global, " +
+            s"rows-into-global=${winRows.mkString("/")})")
           val countOk = selected == math.min(n, corpus)
           val winOk = maxWin <= 16384L
           println(f"[probe] $tag N=$n%,d wall=$wall%.1f s selected=$selected%,d " +

@@ -118,8 +118,9 @@ class PlanLintSpec extends AnyFunSuite {
     // d03: measured no-action (SCALE.md r13 A/B table) — the banded
     // self-join carries the 32-perm signature payload (~300 B/row) so
     // verification needs no join-back; the fat-row hash build measured
-    // 19% slower than the sort it replaces. -Dgraft.d03.shj re-runs the
-    // A/B at any scale without a recompile.
+    // 19% slower than the sort it replaces at sf10 AND 1.6x slower at
+    // sf100 (121.8 vs 196.3 s cold). -Dgraft.d03.shj re-runs the A/B
+    // at any scale without a recompile.
     "d03_minhash_lsh" -> Set(Set("band", "bkey")),
     // d08/d09: the exact-confirm anti-join vs history. Under this
     // lint's broadcast-disabled scope it degrades to SMJ, but the
