@@ -130,8 +130,9 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       // bit_xor, not sum: summing the hashes overflows long under ANSI.
-      // 1B rows so the wall (~2 s at 8 cores) sits well above timer/
-      // scheduler noise — a 0.2 s workload would drift +-20% on its own.
+      // 4B rows so the wall (~0.7 s quiet-box at 32 threads; ~2 s loaded)
+      // sits well above timer/scheduler noise — a 0.2 s workload would
+      // drift +-20% on its own. (ADVICE r13: the old comment said 1B.)
       def cpu() = run(spark.range(4000000000L).agg(bit_xor(xxhash64(col("id")))))
       def shuffle() = run(spark.range(50000000L)
         .groupBy(pmod(col("id"), lit(1000000L)).as("k")).count()
@@ -141,7 +142,13 @@ object Bench {
       syncQuiesce(); val c2 = cpu(); val s2 = shuffle()
       (math.min(c1, c2), math.min(s1, s2))
     }
-    val (calCpu, calShuffle) = calibrate()
+    // Calibration runs BEFORE the catalog so no entry's garbage lands in
+    // the calibration — EXCEPT in cold1 mode, where its warmup passes
+    // would JIT-warm Spark's range/hash-agg/exchange paths and silently
+    // change what "cold" means vs prior rounds' genuinely-cold artifacts
+    // (ADVICE r13). In mode "1" it runs AFTER the catalog: the entry
+    // stays cold and the box-speed axes are still recorded.
+    val preCal = if (mode == "1") None else Some(calibrate())
     val results = if (mode == "1") {
       catalog.map(q => q.name -> runOnce(q))
     } else if (mode == "w1") {
@@ -194,6 +201,7 @@ object Bench {
         name -> (if (t3 < 0) t else if (t < 0) t3 else math.min(t, t3))
       }
     }
+    val (calCpu, calShuffle) = preCal.getOrElse(calibrate())
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

@@ -1512,7 +1512,19 @@ object DedupQueries {
     // caught the un-hinted shapes sorting the melted key stream (802k
     // rows for an 18k output at sf10) and re-sorting |V|-row label
     // tables that a hash build passes through linearly.
-    val nOld = keyed.filter(!isNew).count()
+    //
+    // Each lookup gates its broadcast on a count that BOUNDS ITS OWN
+    // build side (ADVICE r13: gating everything on nOld broadcast
+    // unbounded new-batch tables when the old corpus was small, and
+    // shuffled tiny delta tables when it was big): oldLabels is
+    // nOld-row; the key melt is <=2 keys/new doc; hub <= distinct
+    // touched keys <= 2*nNew; the contracted delta node set is
+    // {new docs} u {touched old comps} <= 3*nNew. One agg pass
+    // computes both corpus splits.
+    val splitCounts = keyed.agg(count(lit(1)),
+      sum(when(isNew, 1L).otherwise(0L))).collect()(0)
+    val nNew = splitCounts.getLong(1)
+    val nOld = splitCounts.getLong(0) - nNew
     val oldKeyComp = melt(keyed.filter(!isNew))
       .join(ccLookup(nOld)(oldLabels), col("doc_id") === col("id"))
       .select(col("key"), col("comp")).distinct()
@@ -1524,25 +1536,25 @@ object DedupQueries {
     val members = Stage.materialize(s,
       newKeys.select(col("key"), col("doc_id").as("m"))
         .union(oldKeyComp
-          .join(ccLookup(nOld)(newKeys.select("key").distinct()), Seq("key"))
+          .join(ccLookup(2 * nNew)(newKeys.select("key").distinct()), Seq("key"))
           .select(col("key"), col("comp").as("m"))),
       "d18members")
     val hub = members.groupBy("key")
       .agg(min(col("m")).as("u"), count(lit(1)).as("n"))
       .filter(col("n") > 1)
-    val e0 = members.join(ccLookup(nOld)(hub), Seq("key"))
+    val e0 = members.join(ccLookup(2 * nNew)(hub), Seq("key"))
       .filter(col("m") =!= col("u"))
       .select(col("u"), col("m").as("v")).distinct()
     val deltaNodes = members.select(col("m").as("id")).distinct()
     val deltaLabels = ccLoop(s, e0, deltaNodes)
     val remappedOld = oldLabels
-      .join(ccLookup(nOld)(
+      .join(ccLookup(3 * nNew)(
           deltaLabels.select(col("id").as("ocomp"), col("comp").as("root"))),
         oldLabels("comp") === col("ocomp"), "left")
       .select(col("id").as("doc_id"),
         coalesce(col("root"), col("comp")).as("component"))
     val newRows = deltaLabels
-      .join(ccLookup(nOld)(newKeyed.select("doc_id")),
+      .join(ccLookup(nNew)(newKeyed.select("doc_id")),
         deltaLabels("id") === col("doc_id"))
       .select(col("doc_id"), col("comp").as("component"))
     val result = remappedOld.union(newRows)
@@ -1585,9 +1597,20 @@ object DedupQueries {
     * projection, and sz derives AFTER the pin — filtering or deriving
     * on `ord` itself lets CollapseProject + predicate pushdown inline
     * the HOF subtree into each consumer and evaluate it 2-3x per row
-    * (measured 129 vs ~25 s at sf10). */
+    * (measured 129 vs ~25 s at sf10).
+    *
+    * `msigWords` > 0 additionally materializes an inline mini-signature
+    * (msigWords x 64 bits; bit b of word t set iff some shingle hash has
+    * hash mod 64*msigWords == 64t+b) alongside each doc row — d19's
+    * candidate pre-screen (see d19Containment). Computed here, in the
+    * build's materialized projection, for the same CollapseProject
+    * reason as wcArr: derived in a consumer it would re-evaluate per
+    * POSTING row after the explode (measured: the candidate stage
+    * tripled at sf10), while here it is one pass per DOC over the raw
+    * trigram hash stream — order/duplicate-independent (the bits OR),
+    * so it needs neither the sort nor the distinct. */
   private[graft] def unigramRanked(s: SparkSession, d: String,
-      tag: String): DataFrame = {
+      tag: String, msigWords: Int = 0): DataFrame = {
     val wc = Stage.materialize(s,
       docs(s, d).select(explode(toks).as("w"))
         .groupBy("w").agg(count(lit(1)).as("c"))
@@ -1613,12 +1636,28 @@ object DedupQueries {
         (element_at(col("wcArr"), i) + element_at(col("wcArr"), i + 1) +
           element_at(col("wcArr"), i + 2)).as("e"),
         xxhash64(concat_ws(" ", w(i, 0), w(i, 1), w(i, 2))).as("x"))))
+    // mini-sig words from the raw trigram hash stream (no sort/distinct
+    // needed: the OR-mask is order- and duplicate-independent)
+    val triHashes = transform(
+      sequence(lit(1), greatest(size(t) - 2, lit(0))),
+      i => xxhash64(concat_ws(" ", w(i, 0), w(i, 1), w(i, 2))))
+    val msigs = (0 until msigWords).map { k =>
+      aggregate(triHashes, lit(0L), (acc, x) =>
+        acc.bitwiseOR(if (msigWords == 1)
+          call_function("shiftleft", lit(1L), pmod(x, lit(64L)).cast("int"))
+        else
+          when(floor(pmod(x, lit(64L * msigWords)) / 64L) === k,
+            call_function("shiftleft", lit(1L), pmod(x, lit(64L)).cast("int")))
+            .otherwise(lit(0L))))
+        .as(s"msig$k")
+    }
     Stage.materialize(s,
       docs(s, d).select(col("doc_id"), toks.as("toks"))
         .filter(size(col("toks")) >= 3)
         .withColumn("wcArr", wcArr)
-        .select(col("doc_id"),
-          transform(array_sort(keyed), e => e.getField("x")).as("ord")),
+        .select(col("doc_id") +:
+          transform(array_sort(keyed), e => e.getField("x")).as("ord") +:
+          msigs: _*),
       s"${tag}ranked")
       .withColumn("sz", size(col("ord")))
   }
@@ -1678,7 +1717,10 @@ object DedupQueries {
       |WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(a.s) >= 0.9
       |ORDER BY i, j""".stripMargin) { (s, d) =>
     val theta = 0.9
-    val ranked = unigramRanked(s, d, "d19")
+    // mini-sig width for the inline candidate pre-screen (see the
+    // join-back branch below); 0 disables, for counterfactual A/Bs
+    val msigWords = sys.props.get("graft.d19.msigWords").map(_.toInt).getOrElse(2)
+    val ranked = unigramRanked(s, d, "d19", msigWords)
     lazy val sigSide = shingleSigs(s, ranked, "d19")
     // VERIFICATION STRATEGY is corpus-size-adaptive (d05's cost-based
     // call, with a FAR lower crossover because d19's index side is
@@ -1733,16 +1775,52 @@ object DedupQueries {
       // trim — the classic index-size/candidate-volume trade, here
       // decided by the data.
       val gCls = floor(log2(col("sz"))).cast("long")
-      val probeLite = ranked.select(col("doc_id"), col("sz"), gCls.as("g"),
-        explode(slice(col("ord"), lit(1),
-          (col("sz") - ceil(col("sz") * theta) + 1).cast("int"))).as("ptok"))
+      // INLINE MINI-SIG PRE-SCREEN (r13 verdict item 1 — the named
+      // residual fix from SCALE.md's warm-exponent decomposition): the
+      // candidate join emits ~146M pairs at sf100 and EVERY one probed
+      // the 440 MB broadcast sig map — out of LLC, so each probe is a
+      // DRAM miss, and the screen stage measured 21x on a 10x-volume
+      // decade. A small signature carried INLINE in the posting rows
+      // (d03's sig-riding trick) pre-screens pairs inside the candidate
+      // join itself, before any map probe: bit b of the mini-sig is the
+      // OR over the doc's shingles of (shingle mod 64W == b), so
+      // popcount(miniA & ~miniB) is a LOWER bound on |A \ B| by exactly
+      // the 512-bit screen's witness argument (every A-set bit clear in
+      // B witnesses >=1 A-shingle absent from B; distinct bits witness
+      // disjoint shingle groups) — pruning sz - miss < ceil(theta*sz)
+      // is lossless at any width. Width W (64-bit words) trades posting
+      // bytes for screen power: ~100-shingle docs half-saturate W=2
+      // (128 bits) but blow through W=1's 64. Measured at sf10 (probe
+      // MSIG A/B): W=1 passes 1.10M of 14.63M raw candidates (13.3x),
+      // W=2 passes 264k (55x; post-dedup 53.1k — the inline screen
+      // alone nearly matches what the 512-bit broadcast screen used to
+      // keep) for ~16 extra bytes on ~40-byte posting rows. W=2 ships,
+      // overridable via -Dgraft.d19.msigWords (0 = off, for
+      // counterfactual probes). The words are computed ONCE PER DOC in
+      // the ranked build's materialized projection (unigramRanked) —
+      // derived here they re-evaluate per POSTING row after the explode
+      // (ExtractGenerator hoists non-generator projections above the
+      // Generate: candidate stage 4.7 -> 16/38 s at sf10 for W=1/2).
+      def msigCols(prefix: String): Seq[Column] = (0 until msigWords).map(t =>
+        col(s"msig$t").as(s"$prefix$t"))
+      val missMini: Column =
+        if (msigWords == 0) lit(0)
+        else (0 until msigWords).map(t =>
+          bit_count(col(s"im$t").bitwiseAND(col(s"jm$t").bitwiseXOR(lit(-1L)))))
+          .reduce(_ + _)
+      val probeLite = ranked.select(
+        Seq(col("doc_id"), col("sz"), gCls.as("g")) ++ msigCols("im") ++
+          Seq(explode(slice(col("ord"), lit(1),
+            (col("sz") - ceil(col("sz") * theta) + 1).cast("int"))).as("ptok")): _*)
       val classes = ranked.select(gCls.as("jg")).distinct()
       val indexLite = ranked.crossJoin(broadcast(classes))
         .withColumn("og", ceil(lit(theta) * pow(lit(2.0), col("jg"))).cast("long"))
         .filter(col("sz") >= col("og"))
-        .select(col("doc_id").as("j"), col("sz").as("jsz"), col("jg"),
-          posexplode(slice(col("ord"), lit(1),
-            (col("sz") - col("og") + 1).cast("int"))).as(Seq("jpos", "tok")))
+        .select(
+          Seq(col("doc_id").as("j"), col("sz").as("jsz"), col("jg")) ++
+            msigCols("jm") ++
+            Seq(posexplode(slice(col("ord"), lit(1),
+              (col("sz") - col("og") + 1).cast("int"))).as(Seq("jpos", "tok"))): _*)
       // POSITIONAL bound, the d05 PPJoin+ filter in containment form:
       // a qualifying pair's ORDER-smallest common token w sits at
       // container position p_b with nothing common before it (B's ord
@@ -1783,7 +1861,12 @@ object DedupQueries {
           col("g") === col("jg") && col("ptok") === col("tok") &&
             col("doc_id") =!= col("j") &&
             col("jsz") >= ceil(col("sz") * theta) &&
-            col("jsz") - col("jpos") >= ceil(col("sz") * theta))
+            col("jsz") - col("jpos") >= ceil(col("sz") * theta) &&
+            // the mini-sig screen rides the join condition: evaluated
+            // INSIDE the shuffled-hash join's probe loop, so pruned
+            // pairs never exist as rows at all — no exchange, no big-map
+            // probe, no dedup traffic
+            (col("sz") - missMini >= ceil(col("sz") * theta)))
         .select(col("doc_id").as("i"), col("j"))
       // SIGNATURE SCREEN (the r11 verdict's verification wall, measured
       // and fixed): the candidate count — 7.3M pairs at sf10 on this

@@ -364,15 +364,36 @@ object PipelineQueries {
       // streams to emit wedges. The build sides (oriented edges) are
       // |E|-row and hash-partitioned across the data-scaled width, so
       // the per-task build map stays bounded at any scale.
+      // WEDGE KEY PACKING (r14 — shaving the sf100 spill term): the
+      // wedge stream is the kernel's Θ(Σd²) volume (~1.4B rows at
+      // sf100), and its (v,w) exchange into the closure join is what
+      // pushed the first live sf100 into the spill regime (810.7 s
+      // cold, 21.7x on the decade). The exchange's bytes are the only
+      // tunable term — the volume is algorithmic — so each wedge ships
+      // as ONE packed long (v<<32 | w) instead of a two-long row:
+      // UnsafeRow 24 B -> 16 B (-33% spill bytes), and the closure
+      // becomes a single-key long join (cheaper hash/compare in the
+      // probe loop). Lossless while part keys fit 32 bits — partkey =
+      // 200k x SF, so up to SF ~10,000; a 100 TB deployment beyond
+      // that widens to two longs, it does not change shape.
+      //
+      // Measured dead ends, recorded so they stay dead (sf10, w3,
+      // isolated): (a) pre-aggregating wedges to ((v,w), count) before
+      // the exchange — wedge endpoint duplication is 1.04x on this
+      // graph (139.9M raw vs 134.2M distinct at sf10), so the partial
+      // agg is pure overhead: 44.4 vs 27.1 s against the raw stream
+      // (calibration cpu 0.990 vs 0.807 — the loss survives drift
+      // adjustment); (b) broadcasting the closure edge list — the
+      // driver-side HashedRelation build for 1M+ rows measured slower
+      // than the exchange it saves (r13).
+      val pk = (c1: org.apache.spark.sql.Column, c2: org.apache.spark.sql.Column) =>
+        shiftleft(c1, 32).bitwiseOR(c2)
       val wedges = e1.join(e2.hint("shuffle_hash"), Seq("u"))
         .filter(col("dv") < col("dw") || (col("dv") === col("dw") && col("v") < col("w")))
-        .select("v", "w")
-      // closure on the (v,w) equi key; at this |E| the shuffle join
-      // beats a broadcast of the edge list (driver-side HashedRelation
-      // build for 1M+ rows measured slower than the exchange it saves)
+        .select(pk(col("v"), col("w")).as("pk"))
       val tri = wedges.join(
-        oriented.select(col("u").as("v"), col("v").as("w")).hint("shuffle_hash"),
-        Seq("v", "w"))
+        oriented.select(pk(col("u"), col("v")).as("pk")).hint("shuffle_hash"),
+        Seq("pk"))
       // materialized INSIDE the width scope: the wedge/closure shuffles
       // plan at action time, which must happen before the conf restores
       // (the returned frame is then a checkpoint scan)

@@ -245,11 +245,19 @@ object Probe {
               xxhash64(concat_ws(" ", w(i, 0), w(i, 1), w(i, 2))).as("x"))))
         case "df" => null
       }
+      // MSIG=<words> mirrors the shipped inline mini-sig pre-screen
+      // (DedupQueries.d19, r14): W 64-bit words ride the posting rows
+      // and prune candidates inside the join condition. MSIG=0 is the
+      // pre-r14 counterfactual (all raw candidates reach the big
+      // screen); the shipped entry defaults to W=2.
+      val msigW = sys.env.get("MSIG").map(_.toInt).getOrElse(0)
+      require(msigW == 0 || order == "unigram",
+        "MSIG rides the unigramRanked build — set ORDER=unigram")
       val ranked = timed("ranked-build")(
         if (order == "unigram") {
           // Stage.materialize inside is an eager localCheckpoint, so
           // the build executes fully within this timed scope.
-          graft.dedup.DedupQueries.unigramRanked(spark, d, "d19v")
+          graft.dedup.DedupQueries.unigramRanked(spark, d, "d19v", msigW)
         } else if (order == "df") {
           val sh = docsT
             .select(col("doc_id"), transform(shStr, x => xxhash64(x)).as("s"))
@@ -272,16 +280,26 @@ object Probe {
             .withColumn("sz", size(col("ord"))),
           "d19vranked"))
       val gCls = floor(log2(col("sz"))).cast("long")
-      val probeLite = ranked.select(col("doc_id"), col("sz"), gCls.as("g"),
-        explode(slice(col("ord"), lit(1),
-          (col("sz") - ceil(col("sz") * theta) + 1).cast("int"))).as("ptok"))
+      def msigCols(prefix: String) = (0 until msigW).map(t =>
+        col(s"msig$t").as(s"$prefix$t"))
+      val missMini: org.apache.spark.sql.Column =
+        if (msigW == 0) lit(0)
+        else (0 until msigW).map(t =>
+          bit_count(col(s"im$t").bitwiseAND(col(s"jm$t").bitwiseXOR(lit(-1L)))))
+          .reduce(_ + _)
+      val probeLite = ranked.select(
+        Seq(col("doc_id"), col("sz"), gCls.as("g")) ++ msigCols("im") ++
+          Seq(explode(slice(col("ord"), lit(1),
+            (col("sz") - ceil(col("sz") * theta) + 1).cast("int"))).as("ptok")): _*)
       val classes = ranked.select(gCls.as("jg")).distinct()
       val indexLite = ranked.crossJoin(broadcast(classes))
         .withColumn("og", ceil(lit(theta) * pow(lit(2.0), col("jg"))).cast("long"))
         .filter(col("sz") >= col("og"))
-        .select(col("doc_id").as("j"), col("sz").as("jsz"), col("jg"),
-          posexplode(slice(col("ord"), lit(1),
-            (col("sz") - col("og") + 1).cast("int"))).as(Seq("jpos", "tok")))
+        .select(
+          Seq(col("doc_id").as("j"), col("sz").as("jsz"), col("jg")) ++
+            msigCols("jm") ++
+            Seq(posexplode(slice(col("ord"), lit(1),
+              (col("sz") - col("og") + 1).cast("int"))).as(Seq("jpos", "tok"))): _*)
       // D19_SHJ=1 hints the candidate join to a shuffled HASH join with
       // the build map on the (30x smaller) probe-prefix side: the clean
       // sf100 split measured the default sort-merge join at 434 s for a
@@ -295,7 +313,8 @@ object Probe {
           col("g") === col("jg") && col("ptok") === col("tok") &&
             col("doc_id") =!= col("j") &&
             col("jsz") >= ceil(col("sz") * theta) &&
-            col("jsz") - col("jpos") >= ceil(col("sz") * theta))
+            col("jsz") - col("jpos") >= ceil(col("sz") * theta) &&
+            (col("sz") - missMini >= ceil(col("sz") * theta)))
         .select(col("doc_id").as("i"), col("j"))
       timed("cand-raw-count")(
         println(s"[probe] cand-raw = " + candRaw.count()))
@@ -389,6 +408,70 @@ object Probe {
       time("full-t21")(graft.text.TextQueries.t21QualityRules.fn(spark, d))
       spark.stop(); sys.exit(0)
     }
+    if (sys.env.contains("PROBE_HISTJOIN")) {
+      // st23 history-tier cost model (r13 verdict item 5): the per-batch
+      // verdict join reads the parquet history table and left-joins the
+      // batch's bands — st11's shape. The scaladoc cites d08's bloom
+      // routing as the scale answer for the history side but never
+      // measured it; this probe does. H history rows (HIST_H, default
+      // 10M) and 10H, fixed batch B (HIST_B, default 2.5M — the sf100
+      // per-batch live band volume: 5M docs / 4 batches x 2 bands),
+      // fixed 5% true-hit fraction so the verdict volume is identical
+      // at both rungs. Variants per rung:
+      //   plain — st23's shipped shape: history.distinct left-joined in.
+      //   bloom — d08 routing: a driver-built bloom over the BATCH's
+      //     band hashes filters the history SCAN to ~hits + fp before
+      //     the join, so the exchange carries candidate hits, not the
+      //     whole history.
+      val H = sys.env.getOrElse("HIST_H", "10000000").toLong
+      val B = sys.env.getOrElse("HIST_B", "2500000").toLong
+      def bandOf(c: org.apache.spark.sql.Column) = concat_ws(":",
+        pmod(c, lit(2L)).cast("string"),
+        conv(substring(md5(c.cast("string")), 1, 8), 16, 10),
+        conv(substring(md5(c.cast("string")), 9, 8), 16, 10),
+        conv(substring(md5(c.cast("string")), 17, 8), 16, 10),
+        conv(substring(md5(c.cast("string")), 25, 8), 16, 10))
+      val base = java.nio.file.Paths.get(graft.TempDirs.newTempDir("graft_histjoin_"))
+      def t[T](tag: String)(f: => T): T = {
+        val t0 = System.nanoTime()
+        val r = f
+        println(f"[probe] $tag%-26s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+        r
+      }
+      // batch bands: ids < 0.05B land inside [0, H) (true hits at every
+      // rung since H >= B); the rest sit above 10*H (never hits)
+      val batch = spark.range(B).select(col("id"),
+        bandOf(when(col("id") < (B / 20L), col("id"))
+          .otherwise(col("id") + 20L * H)).as("band"))
+        .localCheckpoint()
+      println(s"[probe] batch rows = ${batch.count()}")
+      for (h <- Seq(H, 10L * H)) {
+        val histDir = base.resolve(s"hist_$h").toString
+        t(s"hist-write h=$h")(spark.range(h).select(bandOf(col("id")).as("band"))
+          .write.mode("overwrite").parquet(histDir))
+        for (pass <- 1 to 2) {
+          t(s"plain h=$h p$pass") {
+            val n = batch.join(
+                spark.read.parquet(histDir).distinct()
+                  .withColumn("in_hist", lit(true)), Seq("band"), "left")
+              .filter(coalesce(col("in_hist"), lit(false))).count()
+            println(s"[probe]   plain hits = $n")
+          }
+          t(s"bloom h=$h p$pass") {
+            val bf = batch.stat.bloomFilter(xxhash64(col("band")), B, 0.01)
+            val bc = spark.sparkContext.broadcast(bf)
+            val mightContain = udf((x: Long) => bc.value.mightContain(x))
+            val routed = spark.read.parquet(histDir)
+              .filter(mightContain(xxhash64(col("band")))).distinct()
+            val n = batch.join(routed.withColumn("in_hist", lit(true)),
+                Seq("band"), "left")
+              .filter(coalesce(col("in_hist"), lit(false))).count()
+            println(s"[probe]   bloom hits = $n")
+          }
+        }
+      }
+      spark.stop(); sys.exit(0)
+    }
     if (sys.env.contains("PROBE_STREAMSTATE")) {
       // Stateful-tier state-store ladder: replay the sf dir's events
       // through the stateful entries and record per-batch state rows
@@ -411,12 +494,24 @@ object Probe {
         }
       }
       spark.streams.addListener(listener)
-      val names = Seq("st21_stream_neardup", "st16_timer_session_expiry",
+      // STREAMSTATE_ROCKSDB=1: run the ladder under the RocksDB provider
+      // (the 100 TB deployment provider) instead of the default HDFS-
+      // backed store — the r13 verdict's st23 item asks for the state
+      // bound at the 10M+ event decade under RocksDB specifically.
+      if (sys.env.contains("STREAMSTATE_ROCKSDB"))
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // STREAMSTATE_ONLY=a,b,c: narrow to named entries (the sf100 rung
+      // only needs st21/st23 — the session-window entries are a
+      // different ladder).
+      val names0 = Seq("st21_stream_neardup", "st16_timer_session_expiry",
         "st17_chained_windows", "st18_state_reader",
         // st23 next to st21: same corpus, same band machinery — the delta
         // in maxStateRows IS the retention design's bound (st21 holds
         // every band ever seen; st23 holds the retention working set)
         "st23_bounded_state_neardup")
+      val names = sys.env.get("STREAMSTATE_ONLY")
+        .map(f => names0.filter(f.split(",").toSet)).getOrElse(names0)
       for (name <- names) {
         rec.synchronized(rec.clear())
         val q = graft.SparkEntry.catalog.find(_.name == name).get
@@ -652,6 +747,89 @@ object Probe {
       }
       t("top50") { ranks.select(col("v"), (col("rk").cast("double") / 100000000L).as("r"))
         .orderBy(col("r").desc, col("v")).limit(50).collect() }
+      spark.stop(); sys.exit(0)
+    }
+    if (sys.env.contains("PROBE_P04")) {
+      // p04 per-stage decomposition (r13 verdict item 2 — attribute the
+      // sf100 wall stage-by-stage): pairs build / orient / raw wedge
+      // volume / distinct-(v,w) wedge endpoints / closure under the
+      // shipped wedge-agg shape. P04_RAW=1 additionally times the
+      // pre-r14 raw-stream closure (the spill-regime counterfactual —
+      // at sf100 that is the 1.4B-row shuffle; run it LAST so a spill
+      // death cannot take the other stages down).
+      val s = spark
+      def t[T](tag: String)(f: => T): T = {
+        val t0 = System.nanoTime()
+        val r = f
+        println(f"[probe] $tag%-26s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+        r
+      }
+      val li = graft.Tables.t(s, d, "lineitem")
+      val width = math.min(512L,
+        math.max(s.sparkContext.defaultParallelism.toLong,
+          2L * li.count() / 1000000L)).toInt
+      println(s"[probe] width = $width")
+      graft.Widths.withWidth(s, width) {
+        val l = li
+          .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1995-01-01 00:00:00"))
+            && col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+          .select("l_orderkey", "l_partkey")
+        val perOrder = l.groupBy("l_orderkey")
+          .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+          .filter(size(col("ps")) >= 2)
+        val pairCol = flatten(transform(col("ps"), (x, i) =>
+          transform(slice(col("ps"), i + 2, size(col("ps"))), y => struct(x.as("a"), y.as("b")))))
+        val undirected = perOrder
+          .select(explode(pairCol).as("p"))
+          .select(col("p.a").as("a"), col("p.b").as("b"))
+          .distinct()
+        val edgesU = t("pairs-build")(graft.Stage.materialize(s,
+          if (width > s.sparkContext.defaultParallelism) undirected
+          else undirected.coalesce(8), "pp04pairs"))
+        println(s"[probe] edges = ${edgesU.count()}")
+        val deg = edgesU.select(col("a").as("v")).unionAll(edgesU.select(col("b").as("v")))
+          .groupBy("v").agg(count(lit(1)).as("deg"))
+        val withDeg = edgesU
+          .join(broadcast(deg).withColumnRenamed("v", "a").withColumnRenamed("deg", "da"), "a")
+          .join(broadcast(deg).withColumnRenamed("v", "b").withColumnRenamed("deg", "db"), "b")
+        val aFirst = col("da") < col("db") || (col("da") === col("db") && col("a") < col("b"))
+        val oriented = t("orient")(graft.Stage.materialize(s,
+          withDeg.select(
+            when(aFirst, col("a")).otherwise(col("b")).as("u"),
+            when(aFirst, col("b")).otherwise(col("a")).as("v"),
+            when(aFirst, col("db")).otherwise(col("da")).as("dv")),
+          "pp04oriented"))
+        val e1 = oriented.select(col("u"), col("v"), col("dv"))
+        val e2 = oriented.select(col("u"), col("v").as("w"), col("dv").as("dw"))
+        val wedgesRaw = e1.join(e2.hint("shuffle_hash"), Seq("u"))
+          .filter(col("dv") < col("dw") || (col("dv") === col("dw") && col("v") < col("w")))
+          .select("v", "w")
+        t("wedge-raw-count")(
+          println(s"[probe] wedges-raw = ${wedgesRaw.count()}"))
+        // the SHIPPED closure (r14): wedges ship as one packed long
+        val pkc = (c1: org.apache.spark.sql.Column, c2: org.apache.spark.sql.Column) =>
+          shiftleft(c1, 32).bitwiseOR(c2)
+        t("closure-packed")(
+          println(s"[probe] triangles = " + wedgesRaw
+            .select(pkc(col("v"), col("w")).as("pk"))
+            .join(oriented.select(pkc(col("u"), col("v")).as("pk"))
+              .hint("shuffle_hash"), Seq("pk")).count()))
+        if (sys.env.contains("P04_AGG")) {
+          val wagg = wedgesRaw.groupBy("v", "w").agg(count(lit(1)).as("n"))
+          t("wedge-distinct-count")(
+            println(s"[probe] wedges-distinct = ${wagg.count()}"))
+          t("closure-agg")(
+            println(s"[probe] triangles-agg = " + wagg.join(
+              oriented.select(col("u").as("v"), col("v").as("w")).hint("shuffle_hash"),
+              Seq("v", "w")).agg(coalesce(sum(col("n")), lit(0L))).collect()(0).getLong(0)))
+        }
+        if (sys.env.contains("P04_RAW"))
+          t("closure-raw")(
+            println(s"[probe] triangles-raw = " + wedgesRaw.join(
+              oriented.select(col("u").as("v"), col("v").as("w"))
+                .hint("shuffle_hash"), Seq("v", "w")).count()))
+      }
+      graft.Stage.release()
       spark.stop(); sys.exit(0)
     }
     if (sys.env.contains("PROBE_SUMS")) {

@@ -154,12 +154,54 @@ class PlanLintSpec extends AnyFunSuite {
             case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j }
           .map(j => (j.leftKeys ++ j.rightKeys).flatMap(_.references)
             .map(_.name).toSet)
+          // EXACT key-set match (ADVICE r13): the old subset check passed
+          // any SMJ whose keys merely CONTAINED an allowed set, so a new
+          // corpus-scale SMJ that happened to include allowlisted names
+          // (e.g. i,j plus a posting key) would silently pass the lint.
           .filterNot(ks => allowedDedupSmj.getOrElse(q.name, Set.empty)
-            .exists(_.subsetOf(ks)))
+            .contains(ks))
           .map(ks => s"${q.name}: sort-merge join on keys $ks — hash it " +
             "(hint(\"shuffle_hash\")) or allowlist it with a bounded-sort argument")
       }
       assert(violations.isEmpty, violations.mkString("\n"))
+    }
+  }
+
+  /** SMJ tripwire for the NON-dedup heavy tier (r13 verdict item 3):
+    * p06's fact join — IDENTICAL to p05's hinted one — sat sort-merge
+    * for five rounds because only per-entry specs pinned shapes outside
+    * the dedup tier. Every entry with an sf10+ scale ladder now gets
+    * the same broadcast-disabled SMJ inventory the dedup tier has:
+    * with both thresholds off, AQE cannot paper over a lost hint, and
+    * any sort-merge join not on the argued allowlist fails. */
+  private val heavyTierEntries = Seq(
+    "p03_pagerank", "p04_triangles", "p05_bfs_hops", "p06_bfs_recursive_cte",
+    "q37_stats_exact", "q51_tpch_composite", "q70_pruning_capstone",
+    "q101_distributed_topn", "q102_sampled_topn",
+    "t14_lm_score", "t21_quality_rules", "t25_bpe_train", "t26_classifier_eval",
+    "i21_spj_join", "i26_sorted_scan_join")
+
+  private val allowedHeavySmj: Map[String, Set[Set[String]]] = Map()
+
+  test("heavy-tier entries plan no unexpected sort-merge join (broadcast disabled)") {
+    SparkTestBase.withSQLConf(
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      val violations = SparkEntry.catalog
+        .filter(q => heavyTierEntries.contains(q.name)).flatMap { q =>
+        val nodes = SparkTestBase.executedPlans(expectMin = 1) {
+          q.fn(s, d).collect()
+        }
+        nodes.collect {
+            case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j }
+          .map(j => (j.leftKeys ++ j.rightKeys).flatMap(_.references)
+            .map(_.name).toSet)
+          .filterNot(ks => allowedHeavySmj.getOrElse(q.name, Set.empty)
+            .contains(ks))
+          .map(ks => s"${q.name}: sort-merge join on keys $ks — hash it " +
+            "(hint(\"shuffle_hash\")) or allowlist it with a bounded-sort argument")
+      }
+      assert(violations.isEmpty, violations.distinct.mkString("\n"))
     }
   }
 

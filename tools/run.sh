@@ -13,7 +13,9 @@ done
 for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   ADD_OPENS="$ADD_OPENS --add-opens=java.base/$p=ALL-UNNAMED"
 done
-exec java $ADD_OPENS \
+# GRAFT_JAVA_OPTS: extra -D flags for per-run engine overrides
+# (e.g. GRAFT_JAVA_OPTS="-Dgraft.d19.msigWords=0" for A/B counterfactuals)
+exec java $ADD_OPENS ${GRAFT_JAVA_OPTS:-} \
   -Dspark.ui.enabled=false \
   -Dspark.sql.session.timeZone=UTC \
   -Duser.timezone=UTC \

@@ -1,9 +1,22 @@
 #!/bin/bash
 # Isolated per-entry scale benching (SCALE.md protocol): one JVM per
 # entry so no entry runs behind another's un-reclaimed shuffle/broadcast
-# garbage. Mode w1 (warmup + one measured pass) for entries under ~30 s;
-# mode 1 (one cold pass) for multi-minute entries where JIT noise is
-# negligible and a warmup pass would double the wall for no information.
+# garbage.
+#
+# Protocol defaults (r13 falsification follow-through — d03's w1 spread
+# was 9.5-13.2 s on bit-identical plans, and a cold1 sf100 record sat
+# BELOW the warm min-of-3 a round later, so neither single-pass mode
+# supports an A/B verdict):
+#   w3  — warmup + min-of-3 + sync: THE DEFAULT for any A/B or ladder
+#         row on entries under ~60 s, and for every load-bearing
+#         per-decade exponent.
+#   w1  — exploratory only; never cite a w1 number in a verdict.
+#   1   — one cold pass: multi-minute entries only (>60 s, where JIT
+#         noise is <2% and 4 passes would burn an hour for no
+#         information); cold1 rows are NOT comparable across sessions —
+#         mark them as such wherever recorded.
+# The chosen mode lands in the artifact's protocol_default field, so
+# every recorded number carries its own protocol.
 #
 # Usage: tools/scale_bench.sh <sfDir> <outDir> <mode> <entry> [entry...]
 set -euo pipefail
