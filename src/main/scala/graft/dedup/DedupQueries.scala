@@ -342,11 +342,27 @@ object DedupQueries {
       // 190k-pair dropDuplicates shuffle (measured 4.1 -> 2.3 s at
       // sf0.1; the dup-match double-verify costs ~1.5%). Survivors
       // dedup AFTER the θ filter, when ~hundreds of rows remain.
-      val ranked = unigramRanked(s, d, "d05")
-      val prefix = ranked.select(col("doc_id"), col("sz"), col("ord"),
-        posexplode(slice(col("ord"), lit(1),
-          (col("sz") - ceil(col("sz") * theta) + 1).cast("int"))))
-        .select(col("doc_id"), col("sz"), col("ord"), col("pos"), col("col").as("ptok"))
+      // Inline mini-sig (d19's r14 pre-screen, in two-sided Jaccard
+      // form): W x 64-bit per-doc OR-masks ride the prefix rows and
+      // prune candidate matches INSIDE the join condition. Lossless:
+      // popcount(mA & ~mB) lower-bounds |A \ B| (d19's witness
+      // argument), so overlap <= min(|a| - missA, |b| - missB), and
+      // matches with that bound < alpha can never verify. DEFAULT OFF,
+      // d19's verdict (see its scaladoc + SCALE.md r14): the words
+      // widen every exploded prefix row, and the candidate exchange's
+      // bytes — not the screen probes they save — are the measured
+      // sf100 wall. -Dgraft.d05.msigWords=W enables for probe-bound
+      // corpora; the words are materialized per doc in unigramRanked
+      // (deriving them here would re-evaluate per posting row).
+      val msigWords = sys.props.get("graft.d05.msigWords").map(_.toInt).getOrElse(0)
+      val msel = (0 until msigWords).map(n => col(s"msig$n"))
+      val ranked = unigramRanked(s, d, "d05", msigWords)
+      val prefix = ranked.select(
+        Seq(col("doc_id"), col("sz"), col("ord")) ++ msel ++
+          Seq(posexplode(slice(col("ord"), lit(1),
+            (col("sz") - ceil(col("sz") * theta) + 1).cast("int")))): _*)
+        .select(Seq(col("doc_id"), col("sz"), col("ord"), col("pos"),
+          col("col").as("ptok")) ++ msel: _*)
       // Two more lossless bounds ride in the join condition:
       //  - length filter: jaccard >= θ forces θ|a| <= |b| <= |a|/θ, so
       //    mismatched sizes never leave the bucket;
@@ -371,11 +387,18 @@ object DedupQueries {
         val inter = size(array_intersect(aOrd, bOrd)).cast("long")
         inter / (aSz.cast("long") + bSz.cast("long") - inter)
       }
+      val missOf = (x: String, y: String) => (0 until msigWords).map(n =>
+        bit_count(col(s"$x.msig$n").bitwiseAND(
+          col(s"$y.msig$n").bitwiseXOR(lit(-1L))))).reduce(_ + _)
+      val miniBound =
+        if (msigWords == 0) lit(true)
+        else least(col("a.sz") - missOf("a", "b"),
+          col("b.sz") - missOf("b", "a")) >= alpha
       val bucketCond =
         col("a.ptok") === col("b.ptok") && col("a.doc_id") < col("b.doc_id") &&
           col("b.sz") >= ceil(col("a.sz") * theta) &&
           col("b.sz") <= floor(col("a.sz") / theta) &&
-          posBound >= alpha
+          posBound >= alpha && miniBound
       // VERIFICATION STRATEGY is corpus-size-adaptive — the same
       // cost-based call a planner makes, decided from the row count
       // already fetched for the width:
@@ -418,7 +441,8 @@ object DedupQueries {
             .filter(col("jac") >= theta),
           "d05pairs").dropDuplicates("i", "j")
       } else {
-        val lite = prefix.select(col("doc_id"), col("sz"), col("pos"), col("ptok"))
+        val lite = prefix.select(
+          Seq(col("doc_id"), col("sz"), col("pos"), col("ptok")) ++ msel: _*)
         // d19's r12b join discipline, in self-join form: shuffled HASH
         // join (skips sorting both exploded prefix streams — the sort
         // was measured as d19's sf100 wall, 434 vs 94 s) and candidate
@@ -1636,28 +1660,35 @@ object DedupQueries {
         (element_at(col("wcArr"), i) + element_at(col("wcArr"), i + 1) +
           element_at(col("wcArr"), i + 2)).as("e"),
         xxhash64(concat_ws(" ", w(i, 0), w(i, 1), w(i, 2))).as("x"))))
-    // mini-sig words from the raw trigram hash stream (no sort/distinct
-    // needed: the OR-mask is order- and duplicate-independent)
-    val triHashes = transform(
-      sequence(lit(1), greatest(size(t) - 2, lit(0))),
-      i => xxhash64(concat_ws(" ", w(i, 0), w(i, 1), w(i, 2))))
-    val msigs = (0 until msigWords).map { k =>
-      aggregate(triHashes, lit(0L), (acc, x) =>
+    // mini-sig words fold the keyed structs' ALREADY-COMPUTED trigram
+    // hashes (field x) — a separate hash pass re-ran concat_ws+xxhash64
+    // over all Σ|doc| trigrams and cost +2.7 s of d19's sf10 entry w3
+    // (22.30 -> 19.64 after this refactor, matched calibrations), a
+    // per-doc-linear term (~10x that at sf100). `keyed` becomes a
+    // multi-referenced non-cheap alias exactly like wcArr
+    // (CollapseProject keeps it materialized, both consumers read the
+    // stored array), so the msig aggregate adds only the bit-OR fold.
+    // The OR-mask is order/duplicate-independent, so folding the
+    // pre-sort array is equivalent.
+    def msigsOf(k: Column): Seq[Column] = (0 until msigWords).map { n =>
+      aggregate(k, lit(0L), (acc, e) => {
+        val x = e.getField("x")
         acc.bitwiseOR(if (msigWords == 1)
           call_function("shiftleft", lit(1L), pmod(x, lit(64L)).cast("int"))
         else
-          when(floor(pmod(x, lit(64L * msigWords)) / 64L) === k,
+          when(floor(pmod(x, lit(64L * msigWords)) / 64L) === n,
             call_function("shiftleft", lit(1L), pmod(x, lit(64L)).cast("int")))
-            .otherwise(lit(0L))))
-        .as(s"msig$k")
+            .otherwise(lit(0L)))
+      }).as(s"msig$n")
     }
     Stage.materialize(s,
       docs(s, d).select(col("doc_id"), toks.as("toks"))
         .filter(size(col("toks")) >= 3)
         .withColumn("wcArr", wcArr)
+        .withColumn("keyed", keyed)
         .select(col("doc_id") +:
-          transform(array_sort(keyed), e => e.getField("x")).as("ord") +:
-          msigs: _*),
+          transform(array_sort(col("keyed")), e => e.getField("x")).as("ord") +:
+          msigsOf(col("keyed")): _*),
       s"${tag}ranked")
       .withColumn("sz", size(col("ord")))
   }
@@ -1719,7 +1750,7 @@ object DedupQueries {
     val theta = 0.9
     // mini-sig width for the inline candidate pre-screen (see the
     // join-back branch below); 0 disables, for counterfactual A/Bs
-    val msigWords = sys.props.get("graft.d19.msigWords").map(_.toInt).getOrElse(2)
+    val msigWords = sys.props.get("graft.d19.msigWords").map(_.toInt).getOrElse(0)
     val ranked = unigramRanked(s, d, "d19", msigWords)
     lazy val sigSide = shingleSigs(s, ranked, "d19")
     // VERIFICATION STRATEGY is corpus-size-adaptive (d05's cost-based
@@ -1775,32 +1806,29 @@ object DedupQueries {
       // trim — the classic index-size/candidate-volume trade, here
       // decided by the data.
       val gCls = floor(log2(col("sz"))).cast("long")
-      // INLINE MINI-SIG PRE-SCREEN (r13 verdict item 1 — the named
-      // residual fix from SCALE.md's warm-exponent decomposition): the
-      // candidate join emits ~146M pairs at sf100 and EVERY one probed
-      // the 440 MB broadcast sig map — out of LLC, so each probe is a
-      // DRAM miss, and the screen stage measured 21x on a 10x-volume
-      // decade. A small signature carried INLINE in the posting rows
-      // (d03's sig-riding trick) pre-screens pairs inside the candidate
-      // join itself, before any map probe: bit b of the mini-sig is the
-      // OR over the doc's shingles of (shingle mod 64W == b), so
-      // popcount(miniA & ~miniB) is a LOWER bound on |A \ B| by exactly
-      // the 512-bit screen's witness argument (every A-set bit clear in
-      // B witnesses >=1 A-shingle absent from B; distinct bits witness
-      // disjoint shingle groups) — pruning sz - miss < ceil(theta*sz)
-      // is lossless at any width. Width W (64-bit words) trades posting
-      // bytes for screen power: ~100-shingle docs half-saturate W=2
-      // (128 bits) but blow through W=1's 64. Measured at sf10 (probe
-      // MSIG A/B): W=1 passes 1.10M of 14.63M raw candidates (13.3x),
-      // W=2 passes 264k (55x; post-dedup 53.1k — the inline screen
-      // alone nearly matches what the 512-bit broadcast screen used to
-      // keep) for ~16 extra bytes on ~40-byte posting rows. W=2 ships,
-      // overridable via -Dgraft.d19.msigWords (0 = off, for
-      // counterfactual probes). The words are computed ONCE PER DOC in
-      // the ranked build's materialized projection (unigramRanked) —
-      // derived here they re-evaluate per POSTING row after the explode
-      // (ExtractGenerator hoists non-generator projections above the
-      // Generate: candidate stage 4.7 -> 16/38 s at sf10 for W=1/2).
+      // INLINE MINI-SIG PRE-SCREEN — implemented, measured, and
+      // RETIRED TO A KNOB (r13 verdict item 1, resolved by
+      // falsification; full table in SCALE.md r14). The named residual
+      // said the ~146M candidate probes into the 440 MB broadcast sig
+      // map were the sf100 wall, and prescribed W 64-bit OR-mask words
+      // riding the posting rows to prune candidates inside the join
+      // condition — lossless by the 512-bit screen's witness bound
+      // (popcount(miniA & ~miniB) <= |A \ B|). The screen WORKS as
+      // volume machinery: W=2 cuts raw candidates 55.4x at both sf10
+      // (14.63M -> 264k) and sf100 (146.27M -> 2.64M), and the big
+      // screen's stage collapses 92.6 -> 2.3 s. The ENTRY still loses:
+      // same-session w3 at sf100, matched calibrations, W=2 333.4 s vs
+      // W=0 210.9 s (+58%), and ~ties at sf10 (19.64 vs 18.90). Cause:
+      // the broadcast sig probes the screen kills were PIPELINED inside
+      // the candidate join's stage (the r13 "21x screen stage" came
+      // from the probe's shuffle-join counterfactual shape, not the
+      // shipped broadcast shape), while the +16 B the words add to each
+      // of the ~500M container posting rows lands on the candidate
+      // exchange — the entry's true spill term — and +40% bytes there
+      // buys back more than the probes were costing. The machinery
+      // stays behind -Dgraft.d19.msigWords (default 0) for corpora
+      // where verification is genuinely probe-bound; the words cost
+      // nothing when off (unigramRanked only folds them at W>0).
       def msigCols(prefix: String): Seq[Column] = (0 until msigWords).map(t =>
         col(s"msig$t").as(s"$prefix$t"))
       val missMini: Column =

@@ -515,7 +515,13 @@ object PipelineQueries {
         val next = graft.Stage.materializeBy(s,
           edges.join(frontier.hint("shuffle_hash"), col("src") === col("v"))
             .select(col("dst").as("v")).distinct()
-            .join(visited.select("v"), Seq("v"), "left_anti")
+            // the anti side rides a hash build too (r14 heavy-tier SMJ
+            // lint: this join had been left sort-merge — both sides are
+            // |V|-row, hash(v)-pinned to the same width, and the SMJ
+            // re-SORTED them every round while a hash build passes the
+            // candidate stream through linearly; the r13 audit's "p05
+            // hashed end-to-end" claim had missed it)
+            .join(visited.select("v").hint("shuffle_hash"), Seq("v"), "left_anti")
             .select(col("v"), lit(round).as("dist")),
           n, Seq(col("v")), s"p05f$round")
         if (next.isEmpty) done = true
@@ -578,6 +584,16 @@ object PipelineQueries {
       |SELECT dist, COUNT(*) AS n_vertices FROM d
       |GROUP BY dist ORDER BY dist""".stripMargin) { (s, d) =>
     Tables.t(s, d, "orders").createOrReplaceTempView("orders")
+    // The recursion's LEVEL join stays sort-merge BY MEASUREMENT (r14
+    // heavy-tier SMJ lint flag, overruled by its A/B like d03/d04's): a
+    // SHUFFLE_HASH(reach) hint measured 88.3/95.0 s w3 at sf10 across
+    // two runs vs 57.1 s unhinted (calibrations 2.919/2.052 vs 1.932 —
+    // the loss survives drift adjustment). The edge-side subtree is
+    // bit-identical on every level, so the engine REUSES its sorted
+    // exchange across all 8 levels and each level pays only the merge
+    // against the small frontier; the hash form forfeits that reuse for
+    // a per-level rebuild. PlanLintSpec allowlists (src, v) with this
+    // argument.
     // same shuffled-hash edge build as p05's (r13 SMJ sweep: this copy
     // had been left sort-merge — 60M fact rows sorted for a 60M-row
     // output while p05's identical join hashes)

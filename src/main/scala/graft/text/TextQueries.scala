@@ -1174,7 +1174,12 @@ object TextQueries {
     val pred = classifierScores(s, d).select(col("doc_id"), col("keep").as("p"))
     def cell(g: Int, p: Int) =
       sum(when(col("g") === g && col("p") === p, 1L).otherwise(0L))
-    gold.join(pred, "doc_id")
+    // hash, not sort-merge (r14 heavy-tier SMJ lint): both sides are
+    // |docs|-row (doc_id, bool) streams and the output is the same size
+    // — sorting both buys nothing a hash build doesn't. A/B w3 at sf10:
+    // 7.18 vs 7.84 s, matched calibrations; the avoided double sort is
+    // corpus-sized at sfc100.
+    gold.join(pred.hint("shuffle_hash"), "doc_id")
       .agg(cell(1, 1).as("tp"), cell(0, 1).as("fp"),
         cell(1, 0).as("fn"), cell(0, 0).as("tn"))
       .select(col("tp"), col("fp"), col("fn"), col("tn"),

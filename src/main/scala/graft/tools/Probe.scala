@@ -245,11 +245,12 @@ object Probe {
               xxhash64(concat_ws(" ", w(i, 0), w(i, 1), w(i, 2))).as("x"))))
         case "df" => null
       }
-      // MSIG=<words> mirrors the shipped inline mini-sig pre-screen
+      // MSIG=<words> mirrors the inline mini-sig pre-screen
       // (DedupQueries.d19, r14): W 64-bit words ride the posting rows
-      // and prune candidates inside the join condition. MSIG=0 is the
-      // pre-r14 counterfactual (all raw candidates reach the big
-      // screen); the shipped entry defaults to W=2.
+      // and prune candidates inside the join condition. MSIG=0 matches
+      // the SHIPPED default — the r14 same-session sf100 A/B retired
+      // the screen (the +16 B/posting-row exchange tax outweighs the
+      // pipelined broadcast probes it saves; SCALE.md r14).
       val msigW = sys.env.get("MSIG").map(_.toInt).getOrElse(0)
       require(msigW == 0 || order == "unigram",
         "MSIG rides the unigramRanked build — set ORDER=unigram")
