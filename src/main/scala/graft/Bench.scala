@@ -221,8 +221,14 @@ object Bench {
     val protocol =
       s""""protocol_default":"$protocolDefault","protocol_overrides":${
         protocolOverrides.mkString("{", ",", "}")}"""
+    // Calibration placement is part of the measurement (ADVICE r14): in
+    // cold1 mode the calibration runs AFTER the catalog on a
+    // garbage-laden JVM, so its cpu/shuffle values are NOT comparable to
+    // the pre-catalog calibrations of the other modes — record where it
+    // ran so cross-round drift normalization can account for it.
+    val calPlacement = if (preCal.isDefined) "pre-catalog" else "post-catalog"
     val calibration =
-      f""""calibration":{"cpu_sec":$calCpu%.3f,"shuffle_sec":$calShuffle%.3f}"""
+      f""""calibration":{"cpu_sec":$calCpu%.3f,"shuffle_sec":$calShuffle%.3f,"placement":"$calPlacement"}"""
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$protocol,$calibration,"sf":"$sfDir"}"""
     println(line)
     // The driver captures stdout with a bounded tail, and a 170-entry

@@ -1546,7 +1546,7 @@ object DedupQueries {
     // {new docs} u {touched old comps} <= 3*nNew. One agg pass
     // computes both corpus splits.
     val splitCounts = keyed.agg(count(lit(1)),
-      sum(when(isNew, 1L).otherwise(0L))).collect()(0)
+      coalesce(sum(when(isNew, 1L).otherwise(0L)), lit(0L))).collect()(0)
     val nNew = splitCounts.getLong(1)
     val nOld = splitCounts.getLong(0) - nNew
     val oldKeyComp = melt(keyed.filter(!isNew))

@@ -386,6 +386,17 @@ object PipelineQueries {
       // adjustment); (b) broadcasting the closure edge list — the
       // driver-side HashedRelation build for 1M+ rows measured slower
       // than the exchange it saves (r13).
+      // Loud guard for the 32-bit bound (ADVICE r14: a silent overflow
+      // is silent wrong answers). The bound is a property of the VERTEX
+      // domain, so it is checked ONCE on the |V|-row degree table — one
+      // O(|E|) scan off the edges checkpoint — not per-row on the
+      // Θ(Σd²) wedge stream.
+      val keyBounds = deg.agg(
+        coalesce(max(col("v")), lit(0L)), coalesce(min(col("v")), lit(0L)))
+        .collect()(0)
+      require(keyBounds.getLong(0) < (1L << 32) && keyBounds.getLong(1) >= 0,
+        s"p04 packed wedge key needs part keys in [0, 2^32); saw " +
+          s"[${keyBounds.getLong(1)}, ${keyBounds.getLong(0)}] — widen pk to two longs")
       val pk = (c1: org.apache.spark.sql.Column, c2: org.apache.spark.sql.Column) =>
         shiftleft(c1, 32).bitwiseOR(c2)
       val wedges = e1.join(e2.hint("shuffle_hash"), Seq("u"))

@@ -1744,17 +1744,54 @@ object RelationalQueries {
     val suAsia = sup(s, d).select("s_suppkey", "s_nationkey")
       .join(broadcast(nAsia), col("s_nationkey") === col("n_nationkey"))
       .select("s_suppkey", "s_nationkey", "n_name")
-    // All three non-broadcast joins hash (r14 heavy-tier SMJ lint): the
-    // date-filtered orders / customer / Asia-supplier sides are each a
-    // fraction of the fact stream they join, so the default SMJ sorted
-    // a 60M-row lineitem stream (and re-sorted each join's output) for
-    // outputs the filters keep small. A/B w3 at sf10: 4.87 vs 5.46 s
-    // with matched calibrations; at sf100 the avoided sorts are
-    // corpus-sized. Production AQE broadcast-converts c and suAsia at
-    // small SFs — the hint only binds where they outgrow the threshold.
-    l.join(o.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
-      .join(c.hint("shuffle_hash"), col("o_custkey") === col("c_custkey"))
-      .join(suAsia.hint("shuffle_hash"), col("l_suppkey") === col("s_suppkey")
+    // All three non-broadcast joins hash where their build side is big
+    // (r14 heavy-tier SMJ lint): the date-filtered orders / customer /
+    // Asia-supplier sides are each a fraction of the fact stream they
+    // join, so the default SMJ sorted a 60M-row lineitem stream (and
+    // re-sorted each join's output) for outputs the filters keep small.
+    // A/B w3 at sf10: 4.87 vs 5.46 s with matched calibrations; at
+    // sf100 the avoided sorts are corpus-sized.
+    //
+    // The hints are SIZE-GATED (ADVICE r14 + the r14 bench's q51
+    // 0.649→1.466 s sf0.1 move): the r13 comment claimed AQE still
+    // broadcast-converts the hinted sides at small SFs, but Spark
+    // resolves SHUFFLE_HASH hints BEFORE size-based broadcast selection
+    // and AQE re-planning preserves logical-plan hints — an
+    // unconditional hint forfeits the broadcast at EVERY SF. So each
+    // hint binds only where its own build side outgrows the broadcast
+    // threshold (ccLookup's gating discipline). The gate reads the
+    // BASE SCAN's column-pruned stats — an upper bound on the filtered
+    // build side that never under-gates (a join-product estimate on
+    // suAsia would spuriously read "big" at tiny SFs).
+    //
+    // Measured (r15, w3 isolated JVMs, calibrations quoted):
+    //  - sf0.1: gated 0.975 s (cal 0.767/2.071) vs all-hints 1.518
+    //    (0.796/2.179) — the gate recovers the dim broadcasts and the
+    //    r14 bench regression with them.
+    //  - sf10: gated 5.20/5.87 s across two runs (0.738/2.203,
+    //    0.764/2.305) vs all-hints 8.28 (0.813/2.457). At sf10 only the
+    //    ORDERS hint binds (2.3M filtered rows); AQE broadcasts c and
+    //    suAsia from runtime sizes, and that beats hinting them — the
+    //    r14 hint-vs-SMJ A/B (4.87 vs 5.46) had broadcast out of the
+    //    frame, so "hint everywhere" was never compared against the
+    //    mixed shape the gate now picks.
+    //  - sf100: customer is ~240 MB and supplier ~60 MB pruned — every
+    //    gate binds and the plan is the r14 all-hash shape.
+    // -Dgraft.q51.forceHints=1 re-runs the counterfactual.
+    val bcBytes = BigInt(math.max(0L,
+      s.sessionState.conf.autoBroadcastJoinThreshold))
+    def gated(df: org.apache.spark.sql.DataFrame,
+        bound: org.apache.spark.sql.DataFrame) =
+      if (sys.props.contains("graft.q51.forceHints") ||
+          bound.queryExecution.optimizedPlan.stats.sizeInBytes > bcBytes)
+        df.hint("shuffle_hash")
+      else df
+    val oG = gated(o, ord(s, d).select("o_orderkey", "o_custkey"))
+    val cG = gated(c, c)
+    val suG = gated(suAsia, sup(s, d).select("s_suppkey", "s_nationkey"))
+    l.join(oG, col("l_orderkey") === col("o_orderkey"))
+      .join(cG, col("o_custkey") === col("c_custkey"))
+      .join(suG, col("l_suppkey") === col("s_suppkey")
         && col("c_nationkey") === col("s_nationkey"))
       .groupBy("n_name")
       .agg(Det.dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
@@ -2194,7 +2231,25 @@ object RelationalQueries {
       // 100 TB, re-running a KB-sized dim query to skip entire fact
       // partitions is exactly the right trade, which is why the conf
       // exists.
-      "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly" -> "false")
+      "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly" -> "false",
+      // AQE OFF for this entry (r15, the real deadlock fix). The r14
+      // full-suite deadlock reproduced WITH the log4j workaround in
+      // place: AdaptiveSparkPlanExec.onUpdatePlan computes an
+      // explainString EAGERLY as a listener-event argument — no logger
+      // level touches it — and that explain walk takes plan-node
+      // `metadata`/description lazy-val monitors on nodes AQE freshly
+      // re-planned mid-execution (so the in-entry pre-warm below never
+      // saw them). Meanwhile a shuffle-exchange thread holds the fact
+      // scan's monitor inside executeQuery/waitForSubqueries, parked on
+      // this entry's non-reuse DPP in-subquery future: three-thread
+      // cycle (r14 verdict thread dumps, 2-for-2). None of the four
+      // asserted channels needs AQE — DPP is PlanDynamicPruningFilters,
+      // the bloom is InjectRuntimeFilter, eager agg + AutoLocalTopK are
+      // our own rules — and without AdaptiveSparkPlanExec the racy
+      // onUpdatePlan path does not exist. Shuffle width is the static
+      // 32 either way (this entry's joins are hinted/broadcast, not
+      // AQE-sized).
+      "spark.sql.adaptive.enabled" -> "false")
     val saved = confs.map { case (k, _) => k -> s.conf.get(k) }
     confs.foreach { case (k, v) => s.conf.set(k, v) }
     try {
@@ -2222,18 +2277,15 @@ object RelationalQueries {
         .orderBy("o_year", "rn")
       // Force optimization while the confs are on — via the FORMATTED
       // explain, whose node walk also initializes every plan node's
-      // lazy description fields. That pre-warm is load-bearing, not
-      // cosmetic: executeQuery is synchronized on the plan node and
-      // BLOCKS inside waitForSubqueries, and a concurrent
-      // SQL-execution-start event computing the same node's verbose
-      // string takes the same monitor through the metadata lazy-val
-      // init. With this entry's non-reuse DPP channel + runtime-bloom
-      // subqueries, that pairing can cycle (observed once: the
-      // shuffle-exchange thread held the fact scan's monitor waiting on
-      // the DPP subquery, whose nested execution's explain blocked on
-      // that very monitor — three-thread deadlock). Initializing the
-      // lazies here, before any concurrent execution exists, leaves
-      // nothing for the racing threads to lock.
+      // lazy description fields. With AQE off (conf above) the plan is
+      // static, so THIS walk sees every node the execution will ever
+      // have — pre-initializing the metadata/description lazies leaves
+      // nothing for a concurrent explain render (listener event or
+      // logger) to lock against while an exchange thread holds a scan
+      // monitor inside executeQuery/waitForSubqueries. Under AQE this
+      // was insufficient (re-planning created fresh un-warmed nodes
+      // mid-execution — the r14 deadlock); the conf is the fix, the
+      // pre-warm is the remaining belt-and-braces for the static plan.
       df.queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
       df

@@ -1054,8 +1054,24 @@ object StreamingQueries {
     }) { (s, d) => boundedStateNearDup(s, d) }
 
   /** st23's implementation, callable on any documents dir (the spec runs
-    * it on a planted fixture to force the evict-then-rehydrate path). */
-  private[graft] def boundedStateNearDup(s: SparkSession, d: String): DataFrame = {
+    * it on a planted fixture to force the evict-then-rehydrate path).
+    *
+    * Probe knobs (PROBE_ST23SPLIT, r15 — the entry is the board's
+    * slowest bench row and had never had a cost-split; production
+    * answers are never read from probe modes):
+    *  - `probeMode`: "full" (the entry), "nohist" (verdicts from live
+    *    state only — no per-batch history read/join, evictions still
+    *    append), "bands" (band derivation + streaming machinery, no
+    *    stateful op, noop sink), "passthrough" (raw file stream + noop
+    *    sink — the fixed micro-batch overhead floor). The ladder
+    *    passthrough < bands < nohist < full splits the wall into fixed
+    *    overhead / band derivation / state ops / history join.
+    *  - `histSeed`: pre-seed the history tier with N synthetic bands —
+    *    the knob that measures the per-batch history-join cost as
+    *    history grows 10x (the d08 bloom-routing argument, measured). */
+  private[graft] def boundedStateNearDup(s: SparkSession, d: String,
+      probeMode: String = "full",
+      histSeed: Option[DataFrame] = None): DataFrame = {
     import java.nio.file.{Files, Paths}
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import s.implicits._
@@ -1084,7 +1100,8 @@ object StreamingQueries {
     }
     // empty seed so the per-batch history read never races its own first
     // append (schema pinned; the dir always exists and parses)
-    s.emptyDataset[String].toDF("band").write.mode("overwrite").parquet(histDir)
+    histSeed.getOrElse(s.emptyDataset[String].toDF("band"))
+      .write.mode("overwrite").parquet(histDir)
     // band derivation shared by the stream and the static distinct-band
     // self-check (st21's staged-projection discipline; see its comments)
     val hash8: Column => Column = t => array((0 until 8).map(i =>
@@ -1105,9 +1122,26 @@ object StreamingQueries {
           element_at(col("ms"), 4 * j + 3).cast("string"),
           element_at(col("ms"), 4 * j + 4).cast("string"))): _*)).as("band"))
     val schema = s.read.parquet(base.resolve("w0").toString).schema
-    val bands = bandize(s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(streamDir.toString))
+    val rawStream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(streamDir.toString)
+    if (probeMode == "passthrough" || probeMode == "bands") {
+      // probe floors: same files, same trigger cadence, same checkpoint
+      // machinery — minus the stateful op (+ minus band derivation for
+      // passthrough) and with a noop sink
+      val floor = if (probeMode == "passthrough") rawStream.select("doc_id")
+        else bandize(rawStream)
+      val q = floor.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.format("noop").mode("overwrite").save()
+        }
+        .option("checkpointLocation", base.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      return s.emptyDataFrame
+    }
+    val bands = bandize(rawStream)
       // event time derives from the doc's batch — stable under replay,
       // so the watermark walk (and therefore eviction timing) is
       // deterministic for a given corpus
@@ -1141,13 +1175,18 @@ object StreamingQueries {
             // verdicts against history AS OF THE PREVIOUS batch — a band
             // evicted in this trigger had no arrivals in it, so no
             // verdict in this batch can need this batch's evictions
-            b.filter(!col("evict"))
-              .join(ss.read.parquet(histDir).distinct()
-                .withColumn("in_hist", lit(true)), Seq("band"), "left")
-              .select(col("doc_id"),
-                (col("prior_live") || coalesce(col("in_hist"), lit(false)))
-                  .as("dup"))
-              .write.mode("append").parquet(outDir)
+            // (probe nohist: live-state verdict only — isolates the
+            // per-batch history read+join term)
+            val verdict =
+              if (probeMode == "nohist") b.filter(!col("evict"))
+                .select(col("doc_id"), col("prior_live").as("dup"))
+              else b.filter(!col("evict"))
+                .join(ss.read.parquet(histDir).distinct()
+                  .withColumn("in_hist", lit(true)), Seq("band"), "left")
+                .select(col("doc_id"),
+                  (col("prior_live") || coalesce(col("in_hist"), lit(false)))
+                    .as("dup"))
+            verdict.write.mode("append").parquet(outDir)
             b.filter(col("evict")).select("band")
               .write.mode("append").parquet(histDir)
           } finally { b.unpersist(); () }
@@ -1161,6 +1200,13 @@ object StreamingQueries {
     // The bound is the point — make it load-bearing, st22-style: the run
     // must actually have evicted (else this degrades to st21 with extra
     // steps), and live state must end strictly below bands-ever-seen.
+    // (Probe modes skip the checks: a histSeed inflates the eviction
+    // count and nohist's verdicts are deliberately partial.)
+    if (probeMode != "full" || histSeed.nonEmpty)
+      return s.read.parquet(outDir)
+        .groupBy("doc_id")
+        .agg(max(when(col("dup"), 1).otherwise(0)).as("dup"))
+        .groupBy().count().toDF("n")
     val evicted = s.read.parquet(histDir).count()
     require(evicted > 0,
       "retention never fired — no band was idle past the window; " +

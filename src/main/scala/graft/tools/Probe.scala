@@ -531,6 +531,49 @@ object Probe {
       spark.streams.removeListener(listener)
       spark.stop(); sys.exit(0)
     }
+    if (sys.env.contains("PROBE_ST23SPLIT")) {
+      // st23 cost split + history-growth (r14 verdict items 2/5): the
+      // board's slowest bench entry, decomposed via boundedStateNearDup's
+      // probe modes. Ladder passthrough < bands < nohist < full splits
+      // the wall into fixed micro-batch overhead / band derivation /
+      // state ops / per-batch history read+join. Then ST23_HIST=n1,n2,..
+      // (default 1000000,10000000) seeds the history tier with synthetic
+      // never-matching bands and re-times full — the growth of the
+      // per-batch history join as history scales 10x (the d08
+      // bloom-routing argument, measured instead of cited). Protocol:
+      // warmup + min-of-3 with sync quiesce per timed pass (w3).
+      def quiesce(): Unit = {
+        try new ProcessBuilder("sync").start().waitFor()
+        catch { case scala.util.control.NonFatal(_) => () }
+        System.gc(); Thread.sleep(500)
+      }
+      def once(mode: String, seed: Option[DataFrame]): Double = {
+        val t0 = System.nanoTime()
+        graft.streaming.StreamingQueries.boundedStateNearDup(spark, d, mode, seed)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      def w3(tag: String, mode: String, seed: Option[DataFrame]): Double = {
+        once(mode, seed) // warmup
+        val ts = (1 to 3).map { _ => quiesce(); once(mode, seed) }
+        println(f"[probe] st23:$tag%-22s ${ts.min}%8.3f s (passes ${
+          ts.map(t => f"$t%.2f").mkString("/")})")
+        ts.min
+      }
+      val pass = w3("passthrough", "passthrough", None)
+      val bands = w3("bands", "bands", None)
+      val nohist = w3("nohist", "nohist", None)
+      val full = w3("full", "full", None)
+      println(f"[probe] st23 split: fixed=$pass%.2f bandDerive=${bands - pass}%.2f " +
+        f"stateOps=${nohist - bands}%.2f histJoin=${full - nohist}%.2f s")
+      val seeds = sys.env.getOrElse("ST23_HIST", "1000000,10000000")
+        .split(",").map(_.trim.toLong)
+      for (n <- seeds) {
+        val seed = spark.range(n).select(concat(lit("h:"), col("id")).as("band"))
+        w3(s"full+hist$n", "full", Some(seed))
+      }
+      spark.stop(); sys.exit(0)
+    }
     if (sys.env.contains("PROBE_D10L")) {
       // Log-tree d10: final cell histogram — Σ|cell|² IS the pair-stage
       // cost, so this is the one number that decides whether the

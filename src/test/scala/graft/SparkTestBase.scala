@@ -25,18 +25,17 @@ object SparkTestBase {
       .config("spark.cleaner.periodicGC.interval", "45s")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
-    // Hard-OFF the adaptive-execution logger (r14): AQE's plan-change
-    // logging renders an explainString whose tree walk takes every
-    // node's `metadata` lazy-val monitor — while a concurrently
-    // executing exchange thread can HOLD a scan's monitor inside
-    // executeQuery/waitForSubqueries, parked on a DPP in-subquery
-    // future whose own subquery thread is the one rendering the
-    // explain. Circular wait; q70's DPP capstone deadlocked the suite
-    // 2-for-2 this session (thread dump in SCALE.md r14 notes).
-    // setLogLevel(ERROR) on the root is not enough — something in the
-    // multi-suite run re-enables it — so the specific logger goes OFF,
-    // which keeps the by-name log message (and the explain walk)
-    // from ever being evaluated.
+    // Hard-OFF the adaptive-execution logger. NOTE (r15): this is NOT
+    // the q70 deadlock fix — the r14 verdict reproduced the hang WITH
+    // this in place, because AdaptiveSparkPlanExec.onUpdatePlan computes
+    // its explainString eagerly as a *listener-event argument*, which no
+    // logger level touches. The real fix is in the entry itself: q70
+    // scopes spark.sql.adaptive.enabled=false (its non-reuse DPP +
+    // runtime-bloom subqueries are the only place the three-thread
+    // explain/exchange/subquery cycle was ever reachable, and all four
+    // asserted channels are AQE-independent). This logger-OFF stays as
+    // cheap hygiene for the one explain path that IS logger-gated —
+    // AQE's by-name plan-change log render on the other 270 entries.
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.adaptive",
       org.apache.logging.log4j.Level.OFF)
