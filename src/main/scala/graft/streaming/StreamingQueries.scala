@@ -1069,6 +1069,32 @@ object StreamingQueries {
     *  - `histSeed`: pre-seed the history tier with N synthetic bands —
     *    the knob that measures the per-batch history-join cost as
     *    history grows 10x (the d08 bloom-routing argument, measured). */
+  /** st23's band derivation over a batch (doc_id, text) frame — shared
+    * by the stream, the static distinct-band self-check, and
+    * PROBE_STREAMSTATE's static ever-seen counterpoint (the number
+    * st21's state converges to, computable without a 40-minute
+    * streaming replay at the big rungs). st21's staged-projection
+    * discipline; see its comments. */
+  private[graft] def bandize(df: DataFrame): DataFrame = {
+    val hash8: Column => Column = t => array((0 until 8).map(i =>
+      conv(substring(md5(concat(lit(s"$i:"), t)), 1, 8), 16, 10).cast("long")): _*)
+    df
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"), array_distinct(transform(
+        sequence(lit(1), size(col("tk")) - 2),
+        i => concat_ws(" ", element_at(col("tk"), i),
+          element_at(col("tk"), i + 1), element_at(col("tk"), i + 2)))).as("sh"))
+      .select(col("doc_id"), aggregate(col("sh"),
+        array((0 until 8).map(_ => lit(Long.MaxValue)): _*),
+        (acc, t) => zip_with(acc, hash8(t), (a, b) => least(a, b))).as("ms"))
+      .select(col("doc_id"), explode(array((0 until 2).map(j =>
+        concat_ws(":", lit(j.toString),
+          element_at(col("ms"), 4 * j + 1).cast("string"),
+          element_at(col("ms"), 4 * j + 2).cast("string"),
+          element_at(col("ms"), 4 * j + 3).cast("string"),
+          element_at(col("ms"), 4 * j + 4).cast("string"))): _*)).as("band"))
+  }
+
   private[graft] def boundedStateNearDup(s: SparkSession, d: String,
       probeMode: String = "full",
       histSeed: Option[DataFrame] = None): DataFrame = {
@@ -1102,25 +1128,6 @@ object StreamingQueries {
     // append (schema pinned; the dir always exists and parses)
     histSeed.getOrElse(s.emptyDataset[String].toDF("band"))
       .write.mode("overwrite").parquet(histDir)
-    // band derivation shared by the stream and the static distinct-band
-    // self-check (st21's staged-projection discipline; see its comments)
-    val hash8: Column => Column = t => array((0 until 8).map(i =>
-      conv(substring(md5(concat(lit(s"$i:"), t)), 1, 8), 16, 10).cast("long")): _*)
-    def bandize(df: DataFrame): DataFrame = df
-      .select(col("doc_id"), split(col("text"), " ").as("tk"))
-      .select(col("doc_id"), array_distinct(transform(
-        sequence(lit(1), size(col("tk")) - 2),
-        i => concat_ws(" ", element_at(col("tk"), i),
-          element_at(col("tk"), i + 1), element_at(col("tk"), i + 2)))).as("sh"))
-      .select(col("doc_id"), aggregate(col("sh"),
-        array((0 until 8).map(_ => lit(Long.MaxValue)): _*),
-        (acc, t) => zip_with(acc, hash8(t), (a, b) => least(a, b))).as("ms"))
-      .select(col("doc_id"), explode(array((0 until 2).map(j =>
-        concat_ws(":", lit(j.toString),
-          element_at(col("ms"), 4 * j + 1).cast("string"),
-          element_at(col("ms"), 4 * j + 2).cast("string"),
-          element_at(col("ms"), 4 * j + 3).cast("string"),
-          element_at(col("ms"), 4 * j + 4).cast("string"))): _*)).as("band"))
     val schema = s.read.parquet(base.resolve("w0").toString).schema
     val rawStream = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
@@ -1180,12 +1187,33 @@ object StreamingQueries {
             val verdict =
               if (probeMode == "nohist") b.filter(!col("evict"))
                 .select(col("doc_id"), col("prior_live").as("dup"))
-              else b.filter(!col("evict"))
-                .join(ss.read.parquet(histDir).distinct()
-                  .withColumn("in_hist", lit(true)), Seq("band"), "left")
-                .select(col("doc_id"),
-                  (col("prior_live") || coalesce(col("in_hist"), lit(false)))
-                    .as("dup"))
+              else {
+                // History probe shape (r15, measured by PROBE_ST23SPLIT's
+                // seeded-history growth rows): the old form
+                // `hist.distinct()` SHUFFLED the full history table every
+                // micro-batch — the one per-batch term that grows with
+                // history, i.e. the entry's 100 TB killer. The batch's
+                // own bands are O(batch), so instead BROADCAST them into
+                // a semi-join that streams history past the build map
+                // with no exchange and no history-wide distinct; only
+                // the (tiny) intersection is then broadcast back into
+                // the verdict join. At scale the same probe composes
+                // with date-partitioned history + per-partition
+                // band-hash bucketing/bloom (d08's routing) to skip
+                // whole files; the semi-join shape is what makes that
+                // pushdown reachable — a history-wide distinct never
+                // prunes anything.
+                val live = b.filter(!col("evict"))
+                val touched = ss.read.parquet(histDir)
+                  .join(broadcast(live.select("band").distinct()),
+                    Seq("band"), "left_semi")
+                  .distinct()
+                live.join(broadcast(touched).withColumn("in_hist", lit(true)),
+                    Seq("band"), "left")
+                  .select(col("doc_id"),
+                    (col("prior_live") || coalesce(col("in_hist"), lit(false)))
+                      .as("dup"))
+              }
             verdict.write.mode("append").parquet(outDir)
             b.filter(col("evict")).select("band")
               .write.mode("append").parquet(histDir)

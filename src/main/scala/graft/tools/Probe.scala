@@ -528,6 +528,16 @@ object Probe {
         println(f"[probe] $name%-28s batches=$batches%-4d input=$input%-10d " +
           f"maxStateRows=$maxState%-9d wall=$wall%8.3f s")
       }
+      // Static ever-seen-bands counterpoint for the near-dup entries:
+      // st21's state converges to exactly this number (set-once per
+      // band), so at the big rungs the st23-vs-ever-seen ratio does not
+      // need a second multi-minute streaming replay to be measured.
+      if (names.exists(n => n.startsWith("st21") || n.startsWith("st23"))) {
+        val bands = graft.streaming.StreamingQueries.bandize(
+          graft.Tables.t(spark, d, "documents").select("doc_id", "text"))
+          .agg(count_distinct(col("band"))).collect()(0).getLong(0)
+        println(f"[probe] static distinct bands (ever-seen bound) = $bands")
+      }
       spark.streams.removeListener(listener)
       spark.stop(); sys.exit(0)
     }
