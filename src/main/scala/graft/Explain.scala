@@ -45,6 +45,32 @@ object Explain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.GraftEngine.install(spark)
+    // Bulk mode (r15 optimization round): `Explain --all <outDir> [sfDir]`
+    // writes every catalog entry's formatted plan to <outDir>/<name>.txt in
+    // ONE JVM — the per-entry single-plan mode below pays ~20 s of JVM+
+    // session startup each, which at 272 entries is 90 minutes of nothing.
+    // Plans only; no query executes (entries with eager stage
+    // materialization still run their setup, same as fn() always does).
+    if (name == "--all") {
+      val outDir = args(1)
+      val dir = args.drop(2).find(!_.startsWith("--")).getOrElse("/root/testdata/sf0.1")
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+      SparkEntry.catalog.foreach { q =>
+        try {
+          val df = q.fn(spark, dir)
+          val plan = df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode)
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(outDir, q.name + ".txt"),
+            plan.getBytes("UTF-8"))
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[explain] ${q.name} failed: ${e.getMessage}")
+        } finally Stage.release()
+      }
+      spark.stop()
+      return
+    }
     val q = SparkEntry.catalog.find(_.name == name)
       .getOrElse(sys.error(s"no catalog entry named $name"))
     // Timer wraps fn too: queries with eager stage materialization do real
