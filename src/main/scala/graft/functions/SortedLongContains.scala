@@ -190,3 +190,40 @@ case class BroadcastSortedRank(
   override protected def withNewChildInternal(newChild: Expression): BroadcastSortedRank =
     copy(child = newChild)
 }
+
+/** Off-row broadcast Bloom-filter membership probe — the §3.2
+  * "pre-filter the big side before its exchange" guide pattern as a
+  * codegen'd expression. d08's scalar-UDF probe is fine at batch-row
+  * volumes; this exists for streams where the probe sits on a
+  * billions-of-rows hot path (p04's wedge stream) and a boxing closure
+  * would become the stage's own term. False positives only cost their
+  * share of the downstream exchange; there are NO false negatives, so a
+  * confirming equi join downstream is unchanged — the filter routes,
+  * the join answers. Same off-row discipline as
+  * [[BroadcastSortedContains]]: the filter never enters the row schema. */
+case class BroadcastBloomContains(
+    bc: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter],
+    child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_bc_bloom_contains expects bigint, got $t")
+  }
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_bc_bloom_contains"
+
+  override def nullSafeEval(v: Any): Any =
+    bc.value.mightContainLong(v.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("bloomBc", bc,
+      "org.apache.spark.broadcast.Broadcast<org.apache.spark.util.sketch.BloomFilter>")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"""${ev.value} = ((org.apache.spark.util.sketch.BloomFilter)
+         |  $bcRef.value()).mightContainLong($v);""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BroadcastBloomContains =
+    copy(child = newChild)
+}

@@ -4,7 +4,7 @@
 # Usage: tools/run.sh graft.Verify /root/testdata/sf0.01 /tmp/verify_out
 set -euo pipefail
 cd "$(dirname "$0")/.."
-CP="target/scala-2.13/classes:/opt/spark/jars/*"
+CP="${GRAFT_CLASSES:-target/scala-2.13/classes}:/opt/spark/jars/*"
 ADD_OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio \
          java.util java.util.concurrent java.util.concurrent.atomic; do
