@@ -66,3 +66,71 @@ object PosExplodeNgrams {
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction("graft_posexplode_ngrams", builder, "built-in")
 }
+
+/** CHARACTER n-gram generator: one row per length-n codepoint window of
+  * `child`, bit-identical to `explode(transform(sequence(1, length(t) -
+  * (n-1)), i => substr(t, i, n)))` on any string with at least n chars
+  * (and empty below that, like the exploded empty array).
+  *
+  * Why it exists (r15 optimization pass, guide §1.2 "per-task work"):
+  * `UTF8String.substring(start, until)` walks BYTES FROM ZERO to find
+  * the start codepoint, so the substr-per-position spelling is O(len²)
+  * byte steps per document — t14's trigram stream paid ~125k steps for
+  * a 500-char doc, twice (the count pass and the probe pass). This
+  * generator walks the byte array ONCE, records codepoint starts, and
+  * emits each window as a zero-copy slice over one shared byte array:
+  * O(len) per document and no per-window array/sequence
+  * materialization. eval-mode like [[PosExplodeNgrams]]; the Generate
+  * operator pipelines inside the stage either way, and the O(len²)→
+  * O(len) swap dwarfs the lost whole-stage fusion of the explode form
+  * (measured on t14; see OPTIMIZATION_r15.md). */
+case class CharNgrams(child: Expression, nExpr: Expression)
+    extends Expression with Generator with CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(child, nExpr)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (child.dataType, nExpr.dataType) match {
+      case (StringType, IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case (t1, t2) => TypeCheckResult.TypeCheckFailure(
+        s"graft_char_ngrams expects (string, int), got ($t1, $t2)")
+    }
+
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("g", StringType)))
+
+  override def prettyName: String = "graft_char_ngrams"
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val text = child.eval(input)
+    val nVal = nExpr.eval(input)
+    if (text == null || nVal == null) return Iterator.empty
+    val n = nVal.asInstanceOf[Int]
+    if (n <= 0) return Iterator.empty
+    val bytes = text.asInstanceOf[UTF8String].getBytes
+    // one pass: offsets of codepoint starts (UTF-8 continuation bytes
+    // have the 10xxxxxx prefix), plus the end sentinel
+    var chars = 0
+    var i = 0
+    while (i < bytes.length) {
+      if ((bytes(i) & 0xC0) != 0x80) chars += 1
+      i += 1
+    }
+    if (chars < n) return Iterator.empty
+    val starts = new Array[Int](chars + 1)
+    var c = 0
+    i = 0
+    while (i < bytes.length) {
+      if ((bytes(i) & 0xC0) != 0x80) { starts(c) = i; c += 1 }
+      i += 1
+    }
+    starts(chars) = bytes.length
+    (0 to chars - n).iterator.map { k =>
+      InternalRow(UTF8String.fromBytes(bytes, starts(k), starts(k + n) - starts(k)))
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): CharNgrams =
+    copy(child = newChildren(0), nExpr = newChildren(1))
+}

@@ -392,19 +392,82 @@ object PipelineQueries {
       // O(|E|) scan off the edges checkpoint — not per-row on the
       // Θ(Σd²) wedge stream.
       val keyBounds = deg.agg(
-        coalesce(max(col("v")), lit(0L)), coalesce(min(col("v")), lit(0L)))
+        coalesce(max(col("v")), lit(0L)), coalesce(min(col("v")), lit(0L)),
+        coalesce(sum(col("deg")), lit(0L)))
         .collect()(0)
-      require(keyBounds.getLong(0) < (1L << 32) && keyBounds.getLong(1) >= 0,
-        s"p04 packed wedge key needs part keys in [0, 2^32); saw " +
-          s"[${keyBounds.getLong(1)}, ${keyBounds.getLong(0)}] — widen pk to two longs")
+      // r15: the ADVICE-r14 guard fired for real — at sf100 ScaleUp's
+      // remapped part keys reach ~1e10 > 2^32, so the r14 sf100 rows
+      // (424.2 w3 / 810.7 cold1) were computed with silently colliding
+      // packed keys and are retired in SCALE.md. Instead of failing
+      // loud, the kernel now WIDENS: packed single-long key while the
+      // vertex domain fits 32 bits (bench SFs, production keys that
+      // fit), two-column (v,w) key above it — same algorithm, the
+      // exchange carries 24 B rows instead of 16 B in the wide regime.
+      // -Dgraft.p04.forceWideKey=1: counterfactual knob — runs the wide
+      // two-column shape on a corpus whose keys fit 32 bits, so the two
+      // regimes can be count-compared at any SF.
+      val keyFits32 = keyBounds.getLong(0) < (1L << 32) && keyBounds.getLong(1) >= 0 &&
+        !sys.props.get("graft.p04.forceWideKey").contains("1")
       val pk = (c1: org.apache.spark.sql.Column, c2: org.apache.spark.sql.Column) =>
         shiftleft(c1, 32).bitwiseOR(c2)
-      val wedges = e1.join(e2.hint("shuffle_hash"), Seq("u"))
+      // WEDGE BLOOM PRE-FILTER (r15, guide §3.2): the wedge stream's
+      // (v,w) exchange into the closure join is the kernel's one
+      // super-linear term — Θ(Σd²) rows, ~22 GB packed at sf100, the
+      // measured 19.7x/decade spill driver — and only ~1/10 of wedges
+      // close into a triangle (13.7M of 139.9M at sf10). A Bloom filter
+      // over the |E| oriented pks drops definitely-non-closing wedges
+      // INSIDE the wedge stage, before their bytes ever reach the
+      // exchange: survivors = triangles + fpp of the rest, so the
+      // exchange shrinks ~10x while the closure join still confirms
+      // exactly (no false negatives; false positives only ride the
+      // smaller shuffle and fail the join as before — bit-identical
+      // count). Probe is the codegen'd off-row BroadcastBloomContains
+      // — a boxing UDF here would put a closure on the Θ(Σd²) path.
+      // This is NOT the r13 dead end (broadcasting the closure edge
+      // list as a HashedRelation): the filter is 7 bits/key instead of
+      // a 16-byte row in a join map, builds distributively off the
+      // checkpoint (one |E| pass), and the exchange it feeds keeps the
+      // exact-join semantics. Capacity = |E| (from Σdeg/2, free off the
+      // keyBounds scan); fpp 0.02 ≈ 8.2 bits/key ≈ 240 MB at sf100's
+      // ~230M edges — per-executor once at cluster scale.
+      // -Dgraft.p04.bloomFpp: A/B knob; <= 0 disables the filter.
+      // The bloom keys on xxhash64 of the endpoint PAIR in both regimes
+      // (equal pairs hash equal, so no false negatives either way; a
+      // 64-bit hash collision is just one more false positive for the
+      // exact join to reject).
+      val bloomFpp = sys.props.get("graft.p04.bloomFpp").map(_.toDouble).getOrElse(0.02)
+      val nEdges = math.max(keyBounds.getLong(2) / 2, 1L)
+      val closes: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        if (bloomFpp <= 0) _ => lit(true)
+        else {
+          // coalesce to core width before the build: stat.bloomFilter
+          // allocates one FULL-SIZE filter buffer per input partition
+          // and tree-merges them, so at the loop's data-scaled width
+          // (~2000 partitions at sf100) the build alone was ~2000
+          // x 230 MB of allocation+merge — measured 1012 s bloom-on vs
+          // 749 s off at sf100 before this line. Coalesce is a narrow
+          // dependency (no exchange); the scan parallelism drops to the
+          // core count for this one |E|-row pass.
+          val bf = oriented.select(xxhash64(col("u"), col("v")).as("hk"))
+            .coalesce(s.sparkContext.defaultParallelism)
+            .stat.bloomFilter("hk", nEdges, bloomFpp)
+          val bfB = s.sparkContext.broadcast(bf)
+          c => org.apache.spark.sql.GraftPlanShim.column(
+            graft.functions.BroadcastBloomContains(bfB,
+              org.apache.spark.sql.GraftPlanShim.expression(c)))
+        }
+      val wedgesRaw = e1.join(e2.hint("shuffle_hash"), Seq("u"))
         .filter(col("dv") < col("dw") || (col("dv") === col("dw") && col("v") < col("w")))
-        .select(pk(col("v"), col("w")).as("pk"))
-      val tri = wedges.join(
-        oriented.select(pk(col("u"), col("v")).as("pk")).hint("shuffle_hash"),
-        Seq("pk"))
+        .filter(closes(xxhash64(col("v"), col("w"))))
+      val tri =
+        if (keyFits32)
+          wedgesRaw.select(pk(col("v"), col("w")).as("pk"))
+            .join(oriented.select(pk(col("u"), col("v")).as("pk")).hint("shuffle_hash"),
+              Seq("pk"))
+        else
+          wedgesRaw.select(col("v"), col("w"))
+            .join(oriented.select(col("u").as("v"), col("v").as("w")).hint("shuffle_hash"),
+              Seq("v", "w"))
       // materialized INSIDE the width scope: the wedge/closure shuffles
       // plan at action time, which must happen before the conf restores
       // (the returned frame is then a checkpoint scan)

@@ -2051,8 +2051,13 @@ object RelationalQueries {
       |SELECT o_orderpriority, COUNT(*) AS n,
       |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
       |FROM j GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
-    def mod(c: Column): Column =
-      conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long") % 10
+    // The base/delta split is ENGINE-INTERNAL: the maintained view is the
+    // union of the four delta joins for ANY disjoint split, and the oracle
+    // computes the plain full join — so the split hash is free to be cheap.
+    // r15 opt pass: xxhash64 (codegen'd, no allocation) replaces the
+    // md5+substring+conv chain (per-row digest + hex decode, paid on two
+    // scans of each fact) — result rows unchanged by construction.
+    def mod(c: Column): Column = pmod(xxhash64(c), lit(10L))
     val o = ord(s, d).select("o_orderkey", "o_orderpriority")
     val l = li(s, d).select("l_orderkey", "l_quantity")
     val (oBase, oDelta) = (o.filter(mod(col("o_orderkey")) =!= 0),

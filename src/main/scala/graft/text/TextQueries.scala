@@ -438,9 +438,16 @@ object TextQueries {
       |  CAST(SUM(cnt) AS BIGINT) / COUNT(*) AS mean_freq
       |FROM tri JOIN c USING (g)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val tris = explode(transform(
-      sequence(lit(1), length(col("text")) - 2),
-      i => col("text").substr(i, lit(3))))
+    // r15 opt pass: CharNgrams generator replaces the
+    // explode(transform(sequence, substr)) spelling — substr walks bytes
+    // from zero per position (O(len²) per doc, paid on BOTH the count
+    // pass and the probe pass); the generator emits the same trigrams in
+    // one O(len) byte walk as zero-copy slices. Same rows bit-for-bit
+    // (CharNgrams scaladoc), oracle unchanged.
+    val tris = org.apache.spark.sql.GraftPlanShim.column(
+      graft.functions.CharNgrams(
+        org.apache.spark.sql.GraftPlanShim.expression(col("text")),
+        org.apache.spark.sql.catalyst.expressions.Literal(3)))
     val tri = docs(s, d).filter(length(col("text")) >= 3)
       .select(col("doc_id"), tris.as("g"))
     val counts = tri.groupBy("g").agg(count(lit(1)).as("cnt"))
