@@ -52,7 +52,8 @@ object Explain {
     // Plans only; no query executes (entries with eager stage
     // materialization still run their setup, same as fn() always does).
     if (name == "--all") {
-      val outDir = args(1)
+      val outDir = args.lift(1).getOrElse(
+        sys.error("usage: Explain --all <outDir> [sfDir]"))
       val dir = args.drop(2).find(!_.startsWith("--")).getOrElse("/root/testdata/sf0.1")
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
       SparkEntry.catalog.foreach { q =>

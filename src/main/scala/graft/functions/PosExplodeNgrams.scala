@@ -108,21 +108,26 @@ case class CharNgrams(child: Expression, nExpr: Expression)
     val n = nVal.asInstanceOf[Int]
     if (n <= 0) return Iterator.empty
     val bytes = text.asInstanceOf[UTF8String].getBytes
-    // one pass: offsets of codepoint starts (UTF-8 continuation bytes
-    // have the 10xxxxxx prefix), plus the end sentinel
+    // Offsets of codepoint starts, stepped with the SAME lead-byte widths
+    // UTF8String.substring uses (numBytesForFirstByte) so the bit-identity
+    // claim holds even on malformed UTF-8 — counting non-continuation
+    // bytes diverges there (a truncated multi-byte lead's trailing ASCII
+    // counts extra chars that substr skips). The end sentinel clamps the
+    // last window exactly like substring clamps `until` at numBytes.
     var chars = 0
     var i = 0
     while (i < bytes.length) {
-      if ((bytes(i) & 0xC0) != 0x80) chars += 1
-      i += 1
+      chars += 1
+      i += UTF8String.numBytesForFirstByte(bytes(i))
     }
     if (chars < n) return Iterator.empty
     val starts = new Array[Int](chars + 1)
     var c = 0
     i = 0
     while (i < bytes.length) {
-      if ((bytes(i) & 0xC0) != 0x80) { starts(c) = i; c += 1 }
-      i += 1
+      starts(c) = i
+      c += 1
+      i += UTF8String.numBytesForFirstByte(bytes(i))
     }
     starts(chars) = bytes.length
     (0 to chars - n).iterator.map { k =>

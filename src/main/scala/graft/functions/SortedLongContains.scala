@@ -106,14 +106,21 @@ case class BroadcastSortedContains(
   override def dataType: DataType = BooleanType
   override def prettyName: String = "graft_bc_sorted_contains"
 
+  // Broadcast.value() pays assertValid + a soft-ref lookup per call;
+  // hoist the unwrapped array so per-row work is the binary search alone
+  // (interpreted path: once per deserialized task instance).
+  @transient private lazy val arr: Array[Long] = bc.value
+
   override def nullSafeEval(v: Any): Any =
-    SortedSearch.contains(bc.value, v.asInstanceOf[Long])
+    SortedSearch.contains(arr, v.asInstanceOf[Long])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val bcRef = ctx.addReferenceObj("hotsetBc", bc,
       "org.apache.spark.broadcast.Broadcast<long[]>")
+    val arrTerm = ctx.addMutableState("long[]", "hotsetArr",
+      v => s"$v = (long[]) $bcRef.value();")
     nullSafeCodeGen(ctx, ev, v =>
-      s"${ev.value} = graft.functions.SortedSearch.contains((long[]) $bcRef.value(), $v);")
+      s"${ev.value} = graft.functions.SortedSearch.contains($arrTerm, $v);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): BroadcastSortedContains =
@@ -140,17 +147,23 @@ case class BroadcastSortedLookup(
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_bc_sorted_lookup"
 
+  @transient private lazy val keys: Array[Long] = keysBc.value
+  @transient private lazy val vals: Array[Long] = valsBc.value
+
   override def nullSafeEval(v: Any): Any =
-    SortedSearch.lookup(keysBc.value, valsBc.value, v.asInstanceOf[Long])
+    SortedSearch.lookup(keys, vals, v.asInstanceOf[Long])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val kRef = ctx.addReferenceObj("lookupKeysBc", keysBc,
       "org.apache.spark.broadcast.Broadcast<long[]>")
     val vRef = ctx.addReferenceObj("lookupValsBc", valsBc,
       "org.apache.spark.broadcast.Broadcast<long[]>")
+    val kTerm = ctx.addMutableState("long[]", "lookupKeys",
+      v => s"$v = (long[]) $kRef.value();")
+    val vTerm = ctx.addMutableState("long[]", "lookupVals",
+      v => s"$v = (long[]) $vRef.value();")
     nullSafeCodeGen(ctx, ev, v =>
-      s"""${ev.value} = graft.functions.SortedSearch.lookup(
-         |  (long[]) $kRef.value(), (long[]) $vRef.value(), $v);""".stripMargin)
+      s"${ev.value} = graft.functions.SortedSearch.lookup($kTerm, $vTerm, $v);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): BroadcastSortedLookup =
@@ -177,14 +190,18 @@ case class BroadcastSortedRank(
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_bc_sorted_rank"
 
+  @transient private lazy val bounds: Array[Double] = bc.value
+
   override def nullSafeEval(v: Any): Any =
-    SortedSearch.rankLe(bc.value, v.asInstanceOf[Double])
+    SortedSearch.rankLe(bounds, v.asInstanceOf[Double])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val bcRef = ctx.addReferenceObj("rankBc", bc,
       "org.apache.spark.broadcast.Broadcast<double[]>")
+    val bTerm = ctx.addMutableState("double[]", "rankBounds",
+      v => s"$v = (double[]) $bcRef.value();")
     nullSafeCodeGen(ctx, ev, v =>
-      s"${ev.value} = graft.functions.SortedSearch.rankLe((double[]) $bcRef.value(), $v);")
+      s"${ev.value} = graft.functions.SortedSearch.rankLe($bTerm, $v);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): BroadcastSortedRank =
@@ -213,15 +230,22 @@ case class BroadcastBloomContains(
   override def dataType: DataType = BooleanType
   override def prettyName: String = "graft_bc_bloom_contains"
 
+  // The probe sits on p04's Θ(Σd²) wedge stream: TorrentBroadcast.value()
+  // does assertValid + a lookup per call, so hoist the unwrapped filter
+  // into per-instance state and probe that field (r15 ADVICE).
+  @transient private lazy val filter = bc.value
+
   override def nullSafeEval(v: Any): Any =
-    bc.value.mightContainLong(v.asInstanceOf[Long])
+    filter.mightContainLong(v.asInstanceOf[Long])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val bcRef = ctx.addReferenceObj("bloomBc", bc,
       "org.apache.spark.broadcast.Broadcast<org.apache.spark.util.sketch.BloomFilter>")
+    val fTerm = ctx.addMutableState("org.apache.spark.util.sketch.BloomFilter",
+      "bloomFilter",
+      v => s"$v = (org.apache.spark.util.sketch.BloomFilter) $bcRef.value();")
     nullSafeCodeGen(ctx, ev, v =>
-      s"""${ev.value} = ((org.apache.spark.util.sketch.BloomFilter)
-         |  $bcRef.value()).mightContainLong($v);""".stripMargin)
+      s"${ev.value} = $fTerm.mightContainLong($v);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): BroadcastBloomContains =

@@ -125,9 +125,17 @@ object StreamingQueries {
       val dst = streamDir.resolve(s"b$b.parquet")
       val part = if (Files.isDirectory(dir)) {
         val listing = Files.list(dir)
-        try listing.filter(_.getFileName.toString.endsWith(".parquet"))
-          .findFirst().get()
-        finally listing.close()
+        val files = try {
+          import scala.jdk.CollectionConverters._
+          listing.filter(_.getFileName.toString.endsWith(".parquet"))
+            .iterator().asScala.toList
+        } finally listing.close()
+        // One task per residue ⇒ exactly one data file; a second file
+        // (e.g. maxRecordsPerFile / maxConcurrentOutputFileWriters set)
+        // would silently drop rows from the staged batch — fail loud.
+        require(files.size == 1,
+          s"staged batch dir $dir holds ${files.size} data files, expected 1")
+        files.head
       } else {
         val empty = base.resolve(s"we$b")
         src.filter(lit(false)).coalesce(1).write.parquet(empty.toString)
@@ -969,29 +977,18 @@ object StreamingQueries {
     val src = Tables.t(s, d, "documents").select("doc_id", "text")
     // Pinned, increasing mtimes — the file source's batch order.
     stageModBatches(s, src, 3, base, streamDir, 1700000000000L, 60000L)
-    // Staged projections, one non-cheap column each: HOFs run in eval
-    // mode (no codegen CSE), so a single-projection spelling would
-    // recompute the shingle array once PER min-hash (8x) with three
-    // splits each — CollapseProject keeps these stages separate because
-    // each produced column is non-trivial and referenced multiple times
-    // downstream (the d05 Stage.materialize rationale, projection-level
-    // because a stream can't materialize). The 8 minima come from ONE
-    // fold over the shingles (zip_with least against an 8-wide
-    // accumulator), so each shingle is hashed exactly 8 times total.
-    val hash8: Column => Column = t => array((0 until 8).map(i =>
-      conv(substring(md5(concat(lit(s"$i:"), t)), 1, 8), 16, 10).cast("long")): _*)
+    // Band derivation rides the shared SaltedMinHash kernel (r16): the
+    // r15 staged-HOF spelling (trigram transform + array_distinct +
+    // aggregate/zip_with over 8 salted md5s, every lambda interpreted)
+    // is one eval call per doc — same minima bit-for-bit
+    // (SaltedMinHashSpec pins it against the HOF form on the fixture
+    // corpus), ~2.5x less band-derivation wall (A/B in
+    // OPTIMIZATION_r16.md).
     val schema = s.read.parquet(streamDir.resolve("b0.parquet").toString).schema
     val bands = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(streamDir.toString)
-      .select(col("doc_id"), split(col("text"), " ").as("tk"))
-      .select(col("doc_id"), array_distinct(transform(
-        sequence(lit(1), size(col("tk")) - 2),
-        i => concat_ws(" ", element_at(col("tk"), i),
-          element_at(col("tk"), i + 1), element_at(col("tk"), i + 2)))).as("sh"))
-      .select(col("doc_id"), aggregate(col("sh"),
-        array((0 until 8).map(_ => lit(Long.MaxValue)): _*),
-        (acc, t) => zip_with(acc, hash8(t), (a, b) => least(a, b))).as("ms"))
+      .select(col("doc_id"), minhash8(col("text")).as("ms"))
       .select(col("doc_id"), explode(array((0 until 2).map(j =>
         concat_ws(":", lit(j.toString),
           element_at(col("ms"), 4 * j + 1).cast("string"),
@@ -1106,18 +1103,18 @@ object StreamingQueries {
     * st21's state converges to, computable without a 40-minute
     * streaming replay at the big rungs). st21's staged-projection
     * discipline; see its comments. */
+  /** text → array<long>(8) of salted-md5 trigram-shingle minima: the
+    * one-eval-per-doc [[graft.functions.SaltedMinHash]] kernel (r16),
+    * bit-identical to the r15 staged-HOF spelling it replaced
+    * (SaltedMinHashSpec pins the identity; A/B in OPTIMIZATION_r16.md). */
+  private def minhash8(text: Column): Column =
+    org.apache.spark.sql.GraftPlanShim.column(
+      graft.functions.SaltedMinHash(
+        org.apache.spark.sql.GraftPlanShim.expression(split(text, " "))))
+
   private[graft] def bandize(df: DataFrame): DataFrame = {
-    val hash8: Column => Column = t => array((0 until 8).map(i =>
-      conv(substring(md5(concat(lit(s"$i:"), t)), 1, 8), 16, 10).cast("long")): _*)
     df
-      .select(col("doc_id"), split(col("text"), " ").as("tk"))
-      .select(col("doc_id"), array_distinct(transform(
-        sequence(lit(1), size(col("tk")) - 2),
-        i => concat_ws(" ", element_at(col("tk"), i),
-          element_at(col("tk"), i + 1), element_at(col("tk"), i + 2)))).as("sh"))
-      .select(col("doc_id"), aggregate(col("sh"),
-        array((0 until 8).map(_ => lit(Long.MaxValue)): _*),
-        (acc, t) => zip_with(acc, hash8(t), (a, b) => least(a, b))).as("ms"))
+      .select(col("doc_id"), minhash8(col("text")).as("ms"))
       .select(col("doc_id"), explode(array((0 until 2).map(j =>
         concat_ws(":", lit(j.toString),
           element_at(col("ms"), 4 * j + 1).cast("string"),
