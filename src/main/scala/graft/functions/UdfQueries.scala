@@ -114,7 +114,7 @@ object UdfQueries {
     BottomKHashes.register(s)
     Tables.t(s, d, "documents")
       .select(col("source"),
-        conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long").as("h"))
+        Md5PrefixLong(col("text"), 1, 8).as("h"))
       .groupBy("source")
       .agg(expr("graft_bottomk(h, 5)").as("sketch"))
       .select(col("source"), posexplode(col("sketch")).as(Seq("pos", "h")))
@@ -220,8 +220,7 @@ object UdfQueries {
       |SELECT ex.k AS suppkey, exact_n, cm_est
       |FROM ex JOIN est USING (k) ORDER BY suppkey""".stripMargin) { (s, d) =>
     def bucket(dep: Int, k: Column): Column =
-      conv(substring(md5(concat(lit(s"$dep:"), k.cast("string"))), 1, 8), 16, 10)
-        .cast("long") % 64
+      Md5PrefixLong(concat(lit(s"$dep:"), k.cast("string")), 1, 8) % 64
     val rows = Tables.t(s, d, "lineitem").select(col("l_suppkey").as("k"))
     // Sketch build: one explode to (depth, bucket) then a 192-cell agg —
     // partial aggregation compresses every partition to ≤192 rows before
@@ -286,8 +285,7 @@ object UdfQueries {
     def sketch(priority: String) = Tables.t(s, d, "orders")
       .filter(col("o_orderpriority") === priority)
       .select(col("o_custkey").as("k")).distinct()
-      .select(conv(substring(md5(col("k").cast("string")), 1, 8), 16, 10)
-        .cast("long").as("h"))
+      .select(Md5PrefixLong(col("k").cast("string"), 1, 8).as("h"))
       .agg(expr("graft_bottomk(h, 64)").as("s"))
     val keys = Tables.t(s, d, "orders")
       .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
@@ -369,8 +367,7 @@ object UdfQueries {
     val hk = Tables.t(s, d, "orders").select(
       date_format(col("o_orderdate"), "yyyy-MM").as("mon"),
       col("o_custkey").as("k"),
-      conv(substring(md5(col("o_custkey").cast("string")), 1, 8), 16, 10)
-        .cast("long").as("h"))
+      Md5PrefixLong(col("o_custkey").cast("string"), 1, 8).as("h"))
     // The persisted sketch table: ONE fact scan, one bounded sketch/month.
     val monSk = hk.groupBy("mon").agg(expr("graft_bottomk(h, 64)").as("s"))
     val ranges = Seq(

@@ -21,9 +21,20 @@ object PipelineQueries {
     * stats the same way. A fixed core-count width puts 100x the rows in
     * each setup task at 100x data — measured as the dominant super-
     * linear term in all three kernels at sf10. */
+  /** Data-scaled shuffle width for the graph kernels: ~0.5M input rows
+    * per partition, clamped to [8, 512]. The floor is 8, NOT the core
+    * count (r16): per-round fixed costs (task waves, checkpoint blocks,
+    * exchange setup) scale with the width, and when the data term is
+    * below the core count the extra partitions are pure overhead — the
+    * driver's own 8-cpu bench ran p03 2.0x and p04/p05 1.7x FASTER than
+    * the 32-cpu run at sf0.1 on identical data (PERF_r15), the same
+    * sub-16MB-per-partition regime where withCappedStateWidth and
+    * ccLoop already floor at 8. Above ~sf2.5 the data term exceeds any
+    * local core count and nothing changes (sf10 = 120, sf100 = 512 —
+    * every recorded ladder regime keeps its width). */
   private def graphWidth(s: SparkSession, d: String): Int =
     math.min(512L,
-      math.max(s.sparkContext.defaultParallelism.toLong,
+      math.max(8L,
         2L * Tables.t(s, d, "lineitem").count() / 1000000L)).toInt
 
   val p01TrainingPipeline: Q = Q(
@@ -436,9 +447,23 @@ object PipelineQueries {
       // 64-bit hash collision is just one more false positive for the
       // exact join to reject).
       val bloomFpp = sys.props.get("graft.p04.bloomFpp").map(_.toDouble).getOrElse(0.02)
+      // SCALE GATE (r16): the filter only wins while it stays
+      // cache-resident. The probe runs once per wedge — Θ(Σd²) times — and
+      // each mightContainLong is ~6 dependent random word loads into the
+      // filter; at sf10 (23M keys ≈ 24 MB, last-level-cache-sized) the
+      // filter measured 45.1 vs 49.7 s w3, at sf100 (231M keys ≈ 241 MB,
+      // DRAM-resident) the same filter measured 1234.9 s on vs 965.6 s
+      // off, cold1 same-session (SCALE.md r16, calibration caveat there)
+      // — the probe's memory-latency term outgrew the exchange bytes it
+      // saves. Default bound 64M keys
+      // (~67 MB) sits between the measured win and loss; deployments with
+      // bigger LLCs or costlier (network) exchanges raise
+      // -Dgraft.p04.bloomMaxKeys.
+      val bloomMaxKeys = sys.props.get("graft.p04.bloomMaxKeys")
+        .map(_.toLong).getOrElse(64000000L)
       val nEdges = math.max(keyBounds.getLong(2) / 2, 1L)
       val closes: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-        if (bloomFpp <= 0) _ => lit(true)
+        if (bloomFpp <= 0 || nEdges > bloomMaxKeys) _ => lit(true)
         else {
           // coalesce to core width before the build: stat.bloomFilter
           // allocates one FULL-SIZE filter buffer per input partition
@@ -539,7 +564,12 @@ object PipelineQueries {
       // it saved on the build.
       val shufKey = "spark.sql.shuffle.partitions"
       val savedShuf = s.conf.get(shufKey)
-      val n = s.sparkContext.defaultParallelism
+      // Loop width: the core width where the graph outgrows it (the
+      // sf10 A/B above), but never above the data-scaled width — when
+      // the whole graph is a few MB (bench SF), |V|-row rounds at core
+      // width pay task waves for empty parallelism (graphWidth's floor
+      // rationale; the 8-cpu bench ran these rounds 1.7x faster).
+      val n = math.min(s.sparkContext.defaultParallelism, width)
       val edges = {
         val raw = Tables.t(s, d, "lineitem").select("l_orderkey", "l_suppkey")
           .join(Tables.t(s, d, "orders").select("o_orderkey", "o_custkey")

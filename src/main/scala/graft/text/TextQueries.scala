@@ -216,7 +216,7 @@ object TextQueries {
       |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
     val weighted = transform(toks,
-      (t, i) => (i + 1).cast("long") * conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
+      (t, i) => (i + 1).cast("long") * graft.functions.Md5PrefixLong(t, 1, 8))
     docs(s, d)
       .select(col("doc_id"),
         aggregate(weighted, lit(0L), (acc, x) => acc + x).as("fp"))
@@ -999,7 +999,7 @@ object TextQueries {
         i => concat(element_at(t, i), lit(" "), element_at(t, i + 1))))
       .otherwise(array().cast("array<string>"))
     def weight(f: Column): Column =
-      pmod(conv(substring(md5(f), 1, 8), 16, 10).cast("long") % 1024L
+      pmod(graft.functions.Md5PrefixLong(f, 1, 8) % 1024L
         * 2654435761L, lit(2048L)) - 1024L
     toksDf
       .select(col("doc_id"), concat(t, bigrams).as("feats"))

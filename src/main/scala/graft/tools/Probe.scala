@@ -541,6 +541,45 @@ object Probe {
       spark.streams.removeListener(listener)
       spark.stop(); sys.exit(0)
     }
+    if (sys.env.contains("PROBE_BANDPLAN")) {
+      // Formatted plans of the st21/st23 band derivation, old HOF form
+      // vs the shipped SaltedMinHash kernel (r16) — the streaming
+      // entries' bulk Explain dump shows only their post-stream final
+      // frame, so the plans/r16 before/after artifacts come from the
+      // batch-equivalent pipeline (the SAME projection stages the
+      // micro-batch plan runs over each staged file).
+      val docs = graft.Tables.t(spark, d, "documents").select("doc_id", "text")
+      val hash8: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        t => array((0 until 8).map(i =>
+          conv(substring(md5(concat(lit(s"$i:"), t)), 1, 8), 16, 10).cast("long")): _*)
+      val tkc = split(col("text"), " ")
+      val shc = array_distinct(transform(sequence(lit(1), size(tkc) - 2),
+        i => concat_ws(" ", element_at(tkc, i), element_at(tkc, i + 1),
+          element_at(tkc, i + 2))))
+      val msOld = docs
+        .select(col("doc_id"), tkc.as("tk"))
+        .select(col("doc_id"), array_distinct(transform(
+          sequence(lit(1), size(col("tk")) - 2),
+          i => concat_ws(" ", element_at(col("tk"), i),
+            element_at(col("tk"), i + 1), element_at(col("tk"), i + 2)))).as("sh"))
+        .select(col("doc_id"), aggregate(col("sh"),
+          array((0 until 8).map(_ => lit(Long.MaxValue)): _*),
+          (acc, t) => zip_with(acc, hash8(t), (a, b) => least(a, b))).as("ms"))
+        .select(col("doc_id"), explode(array((0 until 2).map(j =>
+          concat_ws(":", lit(j.toString),
+            element_at(col("ms"), 4 * j + 1).cast("string"),
+            element_at(col("ms"), 4 * j + 2).cast("string"),
+            element_at(col("ms"), 4 * j + 3).cast("string"),
+            element_at(col("ms"), 4 * j + 4).cast("string"))): _*)).as("band"))
+      val _ = shc // silence unused for clarity of the verbatim copy above
+      println("=== BAND DERIVATION, BEFORE (r15 staged-HOF form, verbatim) ===")
+      println(msOld.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+      println("=== BAND DERIVATION, AFTER (SaltedMinHash kernel, shipped) ===")
+      println(graft.streaming.StreamingQueries.bandize(docs)
+        .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode))
+      spark.stop(); sys.exit(0)
+    }
     if (sys.env.contains("PROBE_ST23SPLIT")) {
       // st23 cost split + history-growth (r14 verdict items 2/5): the
       // board's slowest bench entry, decomposed via boundedStateNearDup's
@@ -819,9 +858,9 @@ object Probe {
         r
       }
       val li = graft.Tables.t(s, d, "lineitem")
+      // mirrors PipelineQueries.graphWidth (floor 8 since r16)
       val width = math.min(512L,
-        math.max(s.sparkContext.defaultParallelism.toLong,
-          2L * li.count() / 1000000L)).toInt
+        math.max(8L, 2L * li.count() / 1000000L)).toInt
       println(s"[probe] width = $width")
       graft.Widths.withWidth(s, width) {
         val l = li
