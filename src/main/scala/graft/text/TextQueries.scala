@@ -787,13 +787,17 @@ object TextQueries {
     val merges = top.agg(expr(
       "transform(sort_array(collect_list(struct(-n as nn, pair))), x -> x.pair)")
       .as("merges"))
+    // Encode fold rides the BpeFold kernel (r16): one byte-walk build of
+    // the delimited form + 30 byte-scan merge passes per doc, replacing
+    // the regex walk + 31 per-doc full-string allocations of the SQL
+    // fold. Bit-identical enc (BpeFoldSpec pins it against the verbatim
+    // fold on the fixture corpus; md5(enc) is the output contract).
     docs(s, d)
       .crossJoin(broadcast(merges))
-      .select(col("doc_id"), expr(
-        """aggregate(merges,
-          |  concat('|', regexp_replace(text, '(.)', '$1|')),
-          |  (s, p) -> replace(s, concat('|', substr(p,1,1), '|', substr(p,2,1), '|'),
-          |                    concat('|', p, '|')))""".stripMargin).as("enc"))
+      .select(col("doc_id"), org.apache.spark.sql.GraftPlanShim.column(
+        graft.functions.BpeFold(
+          org.apache.spark.sql.GraftPlanShim.expression(col("text")),
+          org.apache.spark.sql.GraftPlanShim.expression(col("merges")))).as("enc"))
       .select(col("doc_id"), col("enc"),
         expr("filter(split(enc, '\\\\|'), x -> x != '')").as("toks2"))
       .select(col("doc_id"),
