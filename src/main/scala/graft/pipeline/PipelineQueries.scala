@@ -687,6 +687,15 @@ object PipelineQueries {
       |d AS (SELECT v, MIN(dist) AS dist FROM reach GROUP BY v)
       |SELECT dist, COUNT(*) AS n_vertices FROM d
       |GROUP BY dist ORDER BY dist""".stripMargin) { (s, d) =>
+    // Recursion width follows the p05-loop policy (r16): the session
+    // width where the graph outgrows it (sf10+ stays at core width, so
+    // the r14 sorted-exchange-reuse A/B baseline is untouched), the
+    // data-scaled width when the whole graph is a few MB — at bench SF
+    // the 8 levels paid core-width task waves per level for empty
+    // parallelism (graphWidth's floor rationale; A/B in
+    // OPTIMIZATION_r16.md).
+    Widths.withWidth(s,
+      math.min(s.sparkContext.defaultParallelism, graphWidth(s, d))) {
     Tables.t(s, d, "orders").createOrReplaceTempView("orders")
     // The recursion's LEVEL join stays sort-merge BY MEASUREMENT (r14
     // heavy-tier SMJ lint flag, overruled by its A/B like d03/d04's): a
@@ -712,7 +721,11 @@ object PipelineQueries {
         .union(raw.select(col("s").as("src"), col("c").as("dst"))),
       "p06edges")
       .createOrReplaceTempView("p06_edges")
-    s.sql(
+    // materialized INSIDE the width scope, like p04: the recursion
+    // plans its level shuffles at action time, which must happen
+    // before the conf restores (the returned frame is then a
+    // checkpoint scan)
+    graft.Stage.materializeKeeping(s, s.sql(
       """WITH RECURSIVE reach(v, dist) AS (
         |  SELECT 2 * (SELECT MIN(o_custkey) FROM orders) AS v, 0 AS dist
         |  UNION ALL
@@ -721,7 +734,8 @@ object PipelineQueries {
         |  WHERE r.dist < 8)
         |SELECT dist, COUNT(*) AS n_vertices
         |FROM (SELECT v, MIN(dist) AS dist FROM reach GROUP BY v)
-        |GROUP BY dist ORDER BY dist""".stripMargin)
+        |GROUP BY dist ORDER BY dist""".stripMargin), "p06out")
+    }
   }
 
   /** Training-MIX planner capstone: the step after curation — decide how
