@@ -552,12 +552,8 @@ object Probe {
       val hash8: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
         t => array((0 until 8).map(i =>
           conv(substring(md5(concat(lit(s"$i:"), t)), 1, 8), 16, 10).cast("long")): _*)
-      val tkc = split(col("text"), " ")
-      val shc = array_distinct(transform(sequence(lit(1), size(tkc) - 2),
-        i => concat_ws(" ", element_at(tkc, i), element_at(tkc, i + 1),
-          element_at(tkc, i + 2))))
       val msOld = docs
-        .select(col("doc_id"), tkc.as("tk"))
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
         .select(col("doc_id"), array_distinct(transform(
           sequence(lit(1), size(col("tk")) - 2),
           i => concat_ws(" ", element_at(col("tk"), i),
@@ -571,7 +567,6 @@ object Probe {
             element_at(col("ms"), 4 * j + 2).cast("string"),
             element_at(col("ms"), 4 * j + 3).cast("string"),
             element_at(col("ms"), 4 * j + 4).cast("string"))): _*)).as("band"))
-      val _ = shc // silence unused for clarity of the verbatim copy above
       println("=== BAND DERIVATION, BEFORE (r15 staged-HOF form, verbatim) ===")
       println(msOld.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
